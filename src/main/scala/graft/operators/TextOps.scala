@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure `functions._` column expressions (whole-stage codegen'd — no
+  * UDFs), embarrassingly parallel per-row, so they scale linearly with
+  * input splits: no shuffle anywhere in this file.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + lowercase normalization shared by dedup and
+    * fingerprinting. Must match the oracle SQL's
+    * `lower(trim(regexp_replace(text,'\s+',' ','g')))`. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  def normWords(c: Column): Column = split(normText(c), " ")
+
+  /** Language ID via script-range heuristic (n-gram models need external
+    * corpora; codepoint classes are the deterministic, oracle-checkable
+    * core). Precedence: CJK → Hiragana/Katakana → Cyrillic → Hangul →
+    * pure-ASCII 'en' → 'other'. */
+  def langIdExpr(text: Column): Column =
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(text.rlike("[\\x{3040}-\\x{30ff}]"), "ja")
+      .when(text.rlike("[\\x{0400}-\\x{04ff}]"), "ru")
+      .when(text.rlike("[\\x{ac00}-\\x{d7af}]"), "ko")
+      .when(text.rlike("^[\\x{0000}-\\x{007f}]*$"), "en")
+      .otherwise("other")
+
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      langIdExpr(col("text")).as("pred_lang"))
+
+  /** Quality scoring: length / punctuation / stopword-ratio heuristics
+    * (the C4/Gopher-style filters, minus the corpus-specific ones). */
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val words = normWords(col("text"))
+    val nWords = size(words).cast("double")
+    val stopRatio = size(filter(words, w => w.isInCollection(stop))).cast("double") / nWords
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      round((length(regexp_replace(normText(col("text")), " ", "")).cast("double")) / nWords, 4)
+        .as("avg_word_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punct / length(col("text")).cast("double"), 4).as("punct_ratio"),
+      round(least(nWords / lit(100.0), lit(1.0)) * (lit(1.0) - stopRatio), 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
+    * digit runs / single other glyph), and unique-token count. */
+  def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    val words = normWords(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(words).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("re_tokens"),
+      size(array_distinct(words)).cast("long").as("uniq_tokens"))
+  }
+
+  /** Document fingerprinting: content hash of the normalized text plus an
+    * order-insensitive bag-of-words fingerprint (sorted distinct tokens).
+    * md5 of UTF-8 bytes matches DuckDB's md5(varchar). */
+  def qFingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = normText(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      md5(norm.cast("binary")).as("content_fp"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(norm, " ")))).cast("binary")).as("bow_fp"))
+  }
+}
