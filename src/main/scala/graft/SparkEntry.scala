@@ -1,13 +1,294 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+import graft.operators.{Dedup, Multimodal, Relational => R, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2.4 (plus the LLM-pipeline surface) is
+  * registered in [[queries]]; every oracle-expressible one has matching
+  * DuckDB SQL in [[oracleSql]] with IDENTICAL output column names (the
+  * driver sorts columns by name before hashing values).
+  *
+  * Determinism rules shared with the oracle SQL (see Relational.scala
+  * scaladoc): money sums run over decimal(18,4) (order-independent, exact),
+  * free doubles snap to decimal(18,6) before summing, timestamps are
+  * emitted as formatted strings, and every top-k/window query carries a
+  * unique tie-breaker.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    R.q07AggTpchQ1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- relational surface (SURVEY §2.4) ----
+    "q01_scan_count"      -> (R.q01ScanCount _),
+    "q02_filter_project"  -> (R.q02FilterProject _),
+    "q03_join_broadcast"  -> (R.q03JoinBroadcast _),
+    "q04_join_shuffle"    -> (R.q04JoinShuffle _),
+    "q05_join_semi"       -> (R.q05JoinSemi _),
+    "q06_join_anti"       -> (R.q06JoinAnti _),
+    "q07_agg_tpch_q1"     -> (R.q07AggTpchQ1 _),
+    "q08_distinct_agg"    -> (R.q08DistinctAgg _),
+    "q09_approx_distinct" -> (R.q09ApproxDistinct _), // rows-only: HLL sketch differs per engine
+    "q10_rollup"          -> (R.q10Rollup _),
+    "q11_cube"            -> (R.q11Cube _),
+    "q12_window_rank"     -> (R.q12WindowRank _),
+    "q13_window_running"  -> (R.q13WindowRunning _),
+    "q14_topk"            -> (R.q14TopK _),
+    "q15_set_ops"         -> (R.q15SetOps _),
+    "q16_union_all"       -> (R.q16UnionAll _),
+    "q17_scalar_fns"      -> (R.q17ScalarFns _),
+    "q18_json_fns"        -> (R.q18JsonFns _),
+    "q19_array_fns"       -> (R.q19ArrayFns _),
+    "q20_explode"         -> (R.q20Explode _),
+    "q21_hourly_window"   -> (R.q21HourlyWindow _),
+    // ---- LLM-pipeline: dedup ----
+    "dedup_exact"         -> (Dedup.qDedupExact _),
+    "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
+    "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
+    "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
+    "simhash_pairs"       -> (Dedup.qSimHashPairs _), // rows-only: xxhash64 not in DuckDB
+    // ---- LLM-pipeline: similarity search ----
+    "ann_brute"           -> (Similarity.qAnnBrute _),
+    "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
+    "ann_lsh"             -> (Similarity.qAnnLsh _),  // rows-only: approximate; recall tested vs nearest_neighbor
+    // ---- LLM-pipeline: text analysis ----
+    "lang_id"             -> (TextOps.qLangId _),
+    "quality_score"       -> (TextOps.qQualityScore _),
+    "token_count"         -> (TextOps.qTokenCount _),
+    "fingerprint"         -> (TextOps.qFingerprint _),
+    // ---- LLM-pipeline: multimodal ----
+    "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
+    "media_features"      -> ((s: SparkSession, d: String) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()),
+  )
+
+  // Shared DuckDB fragments (documents text normalization must equal
+  // TextOps.normText / normWords exactly).
+  private val NORM  = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+  private val WORDS = s"string_split($NORM, ' ')"
+  /** dot(a,b) over dim-64 float lists in double, sequential fold like
+    * Spark's `aggregate` (same accumulation order → identical doubles). */
+  private def dot(a: String, b: String) =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)])"
+  private def l2(a: String) =
+    s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN $a]))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (HLL,
+    * xxhash64-based signatures, approximate ANN, stub decode) → driver
+    * records a weaker rows-only check; each has a deterministic twin here.
+    */
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_scan_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+
+    "q07_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q08_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q10_rollup" ->
+      """WITH t AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, order_year,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM t GROUP BY ROLLUP(n_name, order_year)""".stripMargin,
+
+    "q11_cube" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(year(ts) AS INT) AS event_year, "value" FROM events)
+        |SELECT event_type, event_year, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM t GROUP BY CUBE(event_type, event_year)""".stripMargin,
+
+    "q12_window_rank" ->
+      """SELECT o_custkey, o_orderkey, total, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS total,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q13_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q14_topk" ->
+      """SELECT p_partkey, p_name, p_retailprice AS price FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+
+    "q15_set_ops" ->
+      """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type FROM events)
+        |(SELECT user_id, day FROM ev WHERE event_type = 'purchase'
+        | INTERSECT
+        | SELECT user_id, day FROM ev WHERE event_type = 'click')
+        |EXCEPT
+        |SELECT user_id, day FROM ev WHERE event_type = 'error'""".stripMargin,
+
+    "q16_union_all" ->
+      """WITH u AS (
+        |  SELECT 'buyers' AS tag, user_id FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'whales' AS tag, user_id FROM events WHERE "value" > 50.0)
+        |SELECT tag, count(*) AS n, count(DISTINCT user_id) AS uniq
+        |FROM u GROUP BY tag""".stripMargin,
+
+    "q17_scalar_fns" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  upper(substring(o_orderpriority, 3, 20)) AS priority_name,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q18_json_fns" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events""".stripMargin,
+
+    "q19_array_fns" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+         |  CAST(embedding[1] AS DOUBLE) AS first_val,
+         |  round(${l2("embedding")}, 3) AS l2_norm
+         |FROM embeddings""".stripMargin,
+
+    "q20_explode" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q21_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT md5($NORM) AS content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2])
+         |                        FOR i IN range(1, len(words) - 1)]) AS sh
+         |       FROM w WHERE len(words) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+         |ex2 AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+         |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
+         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+
+    "ann_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id AS nn_id,
+         |  round(${dot("e.v", "q.qv")} / (${l2("e.v")} * ${l2("q.qv")}), 4) AS cos
+         |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, nn_id LIMIT 5""".stripMargin,
+
+    "nearest_neighbor" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS nn_id,
+         |    round(${dot("e.v", "q.qv")} / (${l2("e.v")} * ${l2("q.qv")}), 4) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, nn_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nn_id) AS rn FROM scored) WHERE rn = 1""".stripMargin,
+
+    "lang_id" ->
+      raw"""SELECT doc_id, lang AS labeled_lang,
+           |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           |       WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+           |       WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+           |       WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+           |       WHEN regexp_matches(text, '^[\x00-\x7f]*$$') THEN 'en'
+           |       ELSE 'other' END AS pred_lang
+           |FROM documents""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),
+         |s AS (SELECT *,
+         |  CAST(len([w FOR w IN words IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |    / len(words) AS stop_ratio FROM t)
+         |SELECT doc_id, length(text) AS n_chars, len(words) AS n_words,
+         |  round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(words), 4) AS avg_word_len,
+         |  round(stop_ratio, 4) AS stopword_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |    / length(text), 4) AS punct_ratio,
+         |  round(least(len(words) / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality
+         |FROM s""".stripMargin,
+
+    "token_count" ->
+      raw"""SELECT doc_id,
+           |  len($WORDS) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS re_tokens,
+           |  len(list_distinct($WORDS)) AS uniq_tokens
+           |FROM documents""".stripMargin,
+
+    "fingerprint" ->
+      s"""SELECT doc_id, md5($NORM) AS content_fp,
+         |  md5(array_to_string(list_sort(list_distinct($WORDS)), ' ')) AS bow_fp
+         |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+        |FROM documents""".stripMargin,
+  )
 }

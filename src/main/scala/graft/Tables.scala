@@ -13,6 +13,20 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects at analysis time. Read it as a raw long (legacy nanosAsLong)
+    * and truncate to microseconds with INTEGER division (`div`) — a double
+    * division would lose precision above 2^53 ns and drift the truncation
+    * by a few microseconds vs the DuckDB oracle. Oracle SQL reads nanos
+    * natively, so any query emitting `ts`-derived values must truncate at
+    * or above microsecond granularity on both sides. */
+  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -20,7 +34,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = eventsWithTs(s, d)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

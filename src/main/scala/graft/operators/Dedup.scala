@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * word-shingle Jaccard (exact inverted-index join), MinHash+LSH, SimHash.
   *
   * Scale design:
-  *  - signature computation (MinHash / SimHash) is a pure per-row column
-  *    expression — nested higher-order functions, no explode, no shuffle —
-  *    so the expensive part is embarrassingly parallel at 100 TB.
+  *  - signature computation (MinHash / SimHash) EXPLODES tokens/perms into
+  *    rows so every hash stays inside whole-stage codegen, then map-side
+  *    partial aggregation (min / signed sum) collapses back to one row per
+  *    doc before the shuffle. Spark's higher-order-function lambdas are
+  *    interpreted (measured ~35 µs/element), so per-row nested-HOF
+  *    signatures are 50-100× slower — at any scale.
   *  - candidate generation shuffles only small keys (band hashes / shingle
   *    strings), never full documents; pair verification joins signatures
   *    (fixed 64×8 bytes), not text.
@@ -35,27 +38,39 @@ object Dedup {
       .groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Document-frequency cap for candidate generation: shingles appearing in
+    * more than this many documents are boilerplate — at corpus scale a hot
+    * shingle creates a quadratic self-join bucket, so it is excluded from
+    * intersection counting (in the DuckDB oracle too, so the check stays
+    * exact). */
+  val ShingleDfCap = 100
+
   /** Exact near-dup pairs by word-3-gram Jaccard ≥ 0.5, via an inverted
     * shingle index self-join (the oracle-checkable ground truth that the
-    * MinHash variant approximates). Shuffles (doc_id, shingle) pairs — at
-    * 100 TB you'd add a document-frequency cap on shingles to bound bucket
-    * skew; the synthetic corpus has no hot shingles so the exact form is
-    * used here. */
+    * MinHash variant approximates). Shuffles (doc_id, shingle) pairs; hot
+    * shingles are DF-capped (see [[ShingleDfCap]]) so no join bucket can go
+    * quadratic at 100 TB. Per-doc shingle counts join by shuffle — never
+    * broadcast an unbounded per-document relation; AQE still broadcasts it
+    * at small scale on its own. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"), shingles(normWords(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("shingle"))
+    val exCapped = ex.join(rare, Seq("shingle"))
+    val inter = exCapped.as("a").join(exCapped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") /
       (col("ca.n") + col("cb.n") - col("inter")).cast("double")
     inter
-      .join(broadcast(counts.as("ca")), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(counts.as("cb")), col("doc_b") === col("cb.doc_id"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .filter(j >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(j, 3).as("jaccard"))
   }
@@ -63,12 +78,24 @@ object Dedup {
   val MinHashPerms = 64
   val LshBands = 16 // 4 rows/band → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** 64-perm MinHash signature as a per-row expression: perm p's hash of a
-    * shingle is xxhash64("mh", p, shingle); the signature entry is the min
-    * over the doc's shingles. Nested HOFs — zero shuffle. */
-  def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinHashPerms - 1)),
-      p => array_min(transform(sh, x => xxhash64(lit("mh"), p, x))))
+  /** 64-perm MinHash signatures via EXPLODE + codegen'd hashing + two-level
+    * aggregation, NOT a nested higher-order-function expression: Spark
+    * evaluates HOF lambdas interpreted (~35 µs/element measured), so a
+    * perms×shingles nested transform is ~60 s for 500 docs. Exploding
+    * (doc, perm, shingle) keeps xxhash64 inside whole-stage codegen, and
+    * the min() partial-aggregates map-side, so the shuffle carries only
+    * docs×64 rows — the standard MinHash-at-scale dataflow. */
+  def minhashSigs(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    ex
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(MinHashPerms - 1))).as("p"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min(xxhash64(lit("mh"), col("p"), col("shingle"))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("mh")))),
+        e => e.getField("mh")).as("sig"))
+  }
 
   /** Per-band LSH keys: band b's key hashes signature rows 4b..4b+3. */
   def bandKeys(sig: Column): Column =
@@ -78,49 +105,67 @@ object Dedup {
         element_at(sig, b * 4 + 3), element_at(sig, b * 4 + 4)))
 
   /** MinHash+LSH near-dup candidates with signature-estimated Jaccard.
-    * Dataflow: map-side signatures → explode 16 small band keys → self-join
-    * on (band, key) → estimate Jaccard from signature agreement → dedup
-    * pairs. Only (doc_id, band key, signature) ever shuffles. */
+    *
+    * Dataflow (each stage sees signatures as DATA, never re-derives them):
+    *   1. compute the 64-perm signature once per doc ([[minhashSigs]]) and
+    *      MATERIALIZE it (`persist`) so the band-key explode and the two
+    *      estimate-side joins reuse it instead of re-running the signature
+    *      job per branch (round 1 recomputed signatures ~64×: 129 s for
+    *      500 docs). At cluster scale the same boundary is a checkpoint /
+    *      signature table.
+    *   2. explode 16 band keys per doc, self-join on (band, bkey), and
+    *      DISTINCT the candidate id-pairs BEFORE any signature comparison —
+    *      a pair colliding in k bands is estimated once, not k times.
+    *   3. join the two fixed-size signatures back by id and estimate
+    *      Jaccard from positionwise agreement.
+    * Only ids, band keys, and 64×8-byte signatures ever shuffle. */
   def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = documents(s, d)
+    val sigs = minhashSigs(documents(s, d)
       .select(col("doc_id"), shingles(normWords(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      .filter(size(col("sh")) > 0))
+      .persist()
     val buckets = sigs
-      .select(col("doc_id"), col("sig"), posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
-    val est = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-      m => m)).cast("double") / lit(MinHashPerms.toDouble)
-    buckets.as("a").join(buckets.as("b"),
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
+    val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(est, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      m => m)).cast("double") / lit(MinHashPerms.toDouble)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
   }
 
-  /** 64-bit SimHash over the normalized token bag, as a single column
-    * expression (nested aggregates; bit j votes +1/−1 by bit j of
-    * xxhash64(token)). Emits the signature per doc — banding/hamming
-    * joins compose on top exactly like [[qMinHashLsh]]. */
-  val simhashExpr: Column = expr(
-    """aggregate(
-      |  sequence(0, 63), 0L,
-      |  (acc, j) -> acc + if(
-      |    aggregate(norm_words, 0,
-      |      (c, w) -> c + if((shiftright(xxhash64(w), j) & 1L) = 1L, 1, -1)) > 0,
-      |    shiftleft(1L, j), 0L))""".stripMargin)
-
-  def qSimHash(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("norm_words", normWords(col("text")))
-      .select(col("doc_id"), simhashExpr.as("simhash"))
+  /** 64-bit SimHash over the normalized token bag (duplicates count): bit j
+    * votes +1/−1 by bit j of xxhash64(token); bit set iff the vote sum is
+    * positive. Same explode + codegen + partial-agg shape as
+    * [[minhashSigs]]: one hash per (doc, token) row, 64 signed-sum
+    * aggregates (map-side combined), bit assembly in a final projection. */
+  def qSimHash(s: SparkSession, d: String): DataFrame = {
+    val h = documents(s, d)
+      .select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val voteCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val bits = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    h.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), bits.as("simhash"))
+  }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
     * (hamming ≤ 3 ⇒ at least one chunk equal), join on chunks, verify with
     * bit_count(xor). */
   def qSimHashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = qSimHash(s, d)
+    val sigs = qSimHash(s, d).persist() // computed once; both join sides reuse
+
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))

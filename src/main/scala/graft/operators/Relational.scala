@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,14 +16,32 @@ import org.apache.spark.sql.functions._
   *    proportions) are `broadcast()` so fact-side scans never shuffle for
   *    the join; fact⋈fact joins shuffle once on the join key and AQE picks
   *    SMJ vs shuffled-hash at runtime.
-  *  - every computed double is rounded on output (and the oracle SQL rounds
-  *    identically) so cross-engine float summation-order noise can't flip a
-  *    hash compare; inputs are 2-decimal money values so error << 1 ulp of
-  *    the rounding grid.
+  *  - money math is DECIMAL-SNAPPED: per-row money expressions are cast to
+  *    decimal(18,4) (the exact grid of 2-dec × 2-dec products) and sums run
+  *    over decimals, so results are order-independent and bit-identical to
+  *    the DuckDB oracle — no reliance on float-sum rounding luck. Outputs
+  *    are cast back to double for a stable cross-engine schema.
+  *  - timestamp-derived outputs are formatted as strings so parquet/duckdb
+  *    timestamp-precision differences (ms vs us vs ns) can't flip a hash.
   *  - top-k / windowed queries carry explicit unique tie-breaker keys so the
   *    result SET is deterministic.
   */
 object Relational {
+
+  /** Snap a per-row money expression to its exact decimal(18,4) grid, back
+    * as double. 2-decimal money × 2-decimal rate products have ≤4 decimals,
+    * so this recovers the exact mathematical value from float noise —
+    * deterministically, in any engine. */
+  def money(c: Column): Column = c.cast("decimal(18,4)").cast("double")
+
+  /** Order-independent exact sum of a money expression: sum over
+    * decimal(18,4), emitted as double. Bit-identical across engines and
+    * partitionings — safe for hash-compared aggregates at any scale. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Same, for free-precision doubles (events.value): snap each value to
+    * 6 decimals first so the sum is order-independent. */
+  def vsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
   /** Full-scan count — exercises parquet scan + partial count aggregation
     * (one long per task, merged on driver; no row shuffle). */
@@ -36,11 +54,11 @@ object Relational {
     * whole table. */
   def q02FilterProject(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .filter(col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
+        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
 
   /** Equi inner join, broadcast: orders (fact) ⋈ customer (dim). customer is
     * ~1.5 % of orders rows — broadcast keeps the fact side shuffle-free. */
@@ -51,7 +69,7 @@ object Relational {
         col("o_orderkey"),
         col("c_custkey"),
         col("c_name"),
-        round(col("o_totalprice"), 2).as("total"))
+        col("o_totalprice").as("total"))
 
   /** Equi inner join, shuffle: lineitem ⋈ orders — both fact-sized, so this
     * is a genuine shuffle-on-key join (AQE chooses SMJ/shuffled-hash).
@@ -62,7 +80,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
 
   /** Left-semi join (EXISTS): customers that placed at least one order. */
   def q05JoinSemi(s: SparkSession, d: String): DataFrame =
@@ -70,10 +88,13 @@ object Relational {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value order
+    * (> 300k, ≈ p90 — every customer has SOME order in this data, so the
+    * unqualified anti join would be vacuously empty). */
   def q06JoinAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   /** Hash aggregate, partial+final — TPC-H Q1 shape. Map-side partial agg
@@ -83,11 +104,11 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Exact distinct aggregation (two-phase shuffle: expand on user_id, then
@@ -113,7 +134,7 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .withColumn("order_year", year(col("o_orderdate")))
       .rollup(col("n_name"), col("order_year"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .select(col("n_name"), col("order_year"), col("revenue"), col("n_orders"))
 
   /** CUBE over events: all (event_type, year) combinations. */
@@ -121,7 +142,7 @@ object Relational {
     events(s, d)
       .withColumn("event_year", year(col("ts")))
       .cube(col("event_type"), col("event_year"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), vsum(col("value")).as("total_value"))
       .select(col("event_type"), col("event_year"), col("n"), col("total_value"))
 
   /** Window rank: top-3 orders per customer by totalprice. Tie-broken on
@@ -133,7 +154,7 @@ object Relational {
     orders(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total"), col("rn"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("total"), col("rn"))
   }
 
   /** Window running aggregate: cumulative quantity per supplier in ship
@@ -144,7 +165,7 @@ object Relational {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
-      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .withColumn("running_qty", sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
   }
 
@@ -154,14 +175,18 @@ object Relational {
     part(s, d)
       .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
       .limit(10)
-      .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("price"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice").as("price"))
 
-  /** Set ops: users who both signed up and purchased, minus users who ever
-    * errored — INTERSECT then EXCEPT (both distinct-set semantics). */
+  /** Set ops over (user, day) pairs: days a user both purchased and
+    * clicked, minus days they hit an error — INTERSECT then EXCEPT (both
+    * distinct-set semantics). Grain is (user_id, day) because every user
+    * appears in every event_type in this data, so user-level sets would be
+    * vacuously identical. */
   def q15SetOps(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    def slice(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
-    slice("signup").intersect(slice("purchase")).except(slice("error"))
+    val ev = events(s, d).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    def slice(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("day"))
+    slice("purchase").intersect(slice("click")).except(slice("error"))
   }
 
   /** UNION ALL of two tagged slices + reaggregation (multiset union). */
@@ -177,10 +202,10 @@ object Relational {
     * order priority. */
   def q17ScalarFns(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .withColumn("order_month", date_trunc("month", col("o_orderdate")))
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .withColumn("priority_name", upper(substring(col("o_orderpriority"), 3, 20)))
       .groupBy(col("order_month"), col("priority_name"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
 
   /** JSON functions: extract props.k as int per event. */
   def q18JsonFns(s: SparkSession, d: String): DataFrame =
@@ -222,8 +247,8 @@ object Relational {
   def q21HourlyWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), vsum(col("value")).as("total_value"))
       .select(
-        col("window.start").as("hour_start"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 }

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local pre-check that mimics the driver's DuckDB oracle compare:
+for each entry in oracle_sql.json, run the SQL in DuckDB over the sf
+parquet tables and compare (rows, schema-ish, values) with the Spark
+parquet dump. Columns sorted by name, rows sorted by all columns.
+
+Usage: python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/vout
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].removesuffix(".parquet")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}")
+        fails.append(name)
+        continue
+    sdf = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{outdir}/{name}/*.parquet")])
+    o = odf.reindex(sorted(odf.columns), axis=1)
+    s = sdf.reindex(sorted(sdf.columns), axis=1)
+    if list(o.columns) != list(s.columns):
+        print(f"{name}: COLUMN MISMATCH oracle={list(o.columns)} spark={list(s.columns)}")
+        fails.append(name)
+        continue
+    if len(o) != len(s):
+        print(f"{name}: ROW COUNT oracle={len(o)} spark={len(s)}")
+        fails.append(name)
+        continue
+    o = o.sort_values(list(o.columns)).reset_index(drop=True)
+    s = s.sort_values(list(s.columns)).reset_index(drop=True)
+    bad = None
+    for c in o.columns:
+        ov, sv = o[c], s[c]
+        if ov.dtype.kind == "f" or sv.dtype.kind == "f":
+            eq = (ov.astype(float).fillna(math.nan)).combine(
+                sv.astype(float).fillna(math.nan),
+                lambda a, b: (math.isnan(a) and math.isnan(b)) or a == b)
+        else:
+            eq = ov.astype(str).fillna("<null>") == sv.astype(str).fillna("<null>")
+        if not eq.all():
+            i = eq.idxmin()
+            bad = f"col {c} row {i}: oracle={ov[i]!r} spark={sv[i]!r} ({(~eq).sum()} diffs)"
+            break
+    if bad:
+        print(f"{name}: VALUE MISMATCH {bad}")
+        fails.append(name)
+    else:
+        print(f"{name}: OK ({len(o)} rows)")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match; fails: {fails}")
+sys.exit(1 if fails else 0)
