@@ -241,14 +241,26 @@ object Relational {
         (col("pos0") + 1).as("pos"),
         col("val").cast("double").as("val"))
 
-  /** Tumbling event-time window (the streaming-native operator, run over a
-    * bounded source): hourly event counts per type. Identical code works
-    * under readStream + withWatermark — see streaming specs. */
-  def q21HourlyWindow(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+  /** Tumbling-window aggregation core shared by the batch (q21) and
+    * streaming forms: hourly event counts per type over (ts, event_type,
+    * value). */
+  def hourlyWindowAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), vsum(col("value")).as("total_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Tumbling event-time window over the bounded events table. */
+  def q21HourlyWindow(s: SparkSession, d: String): DataFrame =
+    hourlyWindowAgg(events(s, d))
+
+  /** Streaming-native form of q21 (SURVEY §2.4 row 14): the SAME
+    * aggregation over an unbounded source with a 10-minute event-time
+    * watermark, so state for closed windows is dropped and, in append
+    * mode, each window is emitted exactly once when finalized. Agreement
+    * with the batch form on a bounded replay is asserted in
+    * StreamingWindowSpec. */
+  def hourlyWindowStream(streamingEvents: DataFrame): DataFrame =
+    hourlyWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
 }

@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Topic-name convention `ingest.<tenant>.<stream>.in` with sibling topics
+  * derived by suffix swap (reference PassthroughStreamingJobTest.java:104-121,
+  * flink_validation_passthrough_spec.rb:24-32). */
+final case class Topics(in: String) {
+  val base: String = in.stripSuffix(".in")
+  val out: String = s"$base.out"
+  val invalid: String = s"$base.invalid"
+  val notification: String = s"$base.notification"
+  /** `ingest.<tenant>....` → tenant (SURVEY §3.1). */
+  val tenant: String = in.split('.').lift(1).getOrElse("")
+  /** Consumer group `hri-validation-<in>-<out>` (spec.rb:61-63). */
+  val consumerGroup: String = s"hri-validation-$in-$out"
+}
+
+object Topics {
+  /** Parity with the reference's abort-before-start validation: topic must
+    * start with `ingest.` and end with `.in`. */
+  def validate(in: String): Either[String, Topics] =
+    if (!in.startsWith("ingest.")) Left(s"The Input Topic name $in must start with 'ingest.'")
+    else if (!in.endsWith(".in")) Left(s"The Input Topic name $in must end with '.in'")
+    else Right(Topics(in))
+}
+
+/** Graph assembly for the validation pipeline — the Spark twin of the
+  * reference's three BaseValidationJob constructor shapes
+  * (PassthroughStreamingJob.java:96-117):
+  *
+  *  - [[ValidationJob.pipeline]] is the pure transform every shape shares:
+  *    union of record/notification events → groupByKey(batchId) →
+  *    flatMapGroupsWithState(ProcessingTimeTimeout) with [[BatchTracker]].
+  *  - the embedded-test shape drives it from MemoryStreams and collects the
+  *    tagged outputs (ValidationJobSpec — twin of
+  *    PassthroughStreamingJobIntTest.java:61-155);
+  *  - [[ValidationJob.startKafka]] is the standalone/production shape: two
+  *    Kafka sources with headers, three Kafka sinks + optional Management
+  *    API writeback, one foreachBatch epoch for all three (SURVEY §7.4 —
+  *    Spark has no side-outputs, so the split happens per micro-batch).
+  *
+  * Scale: the record path shuffles ONCE, on batchId, into the stateful
+  * operator; the notification stream is negligible traffic on the same
+  * shuffle. State is O(1) per batch. Checkpointing gives exactly-once state
+  * transitions; the Kafka sink is at-least-once — record identity
+  * (topic, partition, offset) makes downstream dedup idempotent, and the
+  * README documents the delta from Flink's transactional sink honestly.
+  */
+object ValidationJob {
+
+  /** The §2.3 stateful core as a pure Dataset transform (testable with
+    * MemoryStream and batch Datasets alike). */
+  def pipeline(events: Dataset[PipelineEvent], tracker: BatchTracker): Dataset[Output] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.batchId)
+      .flatMapGroupsWithState[BatchProgress, Output](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(tracker.trackBatch)
+  }
+
+  /** Kafka record stream → PipelineEvent. Schema is the standard Kafka
+    * source shape with includeHeaders (FIXTURES A.2); `seq` = offset (per
+    * partition monotonic — cross-partition order is undefined in Kafka
+    * itself, exactly as in the reference). */
+  def recordEvents(df: DataFrame): Dataset[PipelineEvent] = {
+    import df.sparkSession.implicits._
+    df.select(col("headers"), col("key"), col("value"), col("topic"),
+        col("partition"), col("offset"))
+      .as[(Seq[HriHeader], Array[Byte], Array[Byte], String, Int, Long)]
+      .map { case (headers, key, value, topic, partition, offset) =>
+        PipelineEvent.of(HriRecord(headers, key, value, topic, partition, offset), offset)
+      }
+  }
+
+  /** Kafka notification stream → PipelineEvent (JSON body, FIXTURES A.3). */
+  def notificationEvents(df: DataFrame): Dataset[PipelineEvent] = {
+    import df.sparkSession.implicits._
+    df.select(col("value"), col("offset")).as[(Array[Byte], Long)]
+      .map { case (value, offset) => PipelineEvent.of(NotificationJson.parse(value), offset) }
+  }
+
+  /** Standalone/production shape: wire Kafka sources and sinks and start
+    * the query. `mgmt` is None in standalone mode (K4 skipped, parity with
+    * PassthroughStreamingJob.java:107-110). Requires the Kafka connector on
+    * the classpath at runtime. */
+  def startKafka(
+      spark: SparkSession,
+      topics: Topics,
+      brokers: Seq[String],
+      password: Option[String],
+      validator: Validator,
+      lookup: BatchLookup,
+      completionDelayMs: Long,
+      mgmt: Option[MgmtClient],
+      checkpointLocation: String): StreamingQuery = {
+    import spark.implicits._
+
+    def source(topic: String): DataFrame = {
+      val base = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers.mkString(","))
+        .option("subscribe", topic)
+        .option("includeHeaders", "true")
+        .option("startingOffsets", "latest")
+        .option("kafka.group.id", topics.consumerGroup)
+      password.fold(base) { p =>
+        base
+          .option("kafka.security.protocol", "SASL_SSL")
+          .option("kafka.sasl.mechanism", "PLAIN")
+          .option("kafka.sasl.jaas.config",
+            "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+              s"""username="token" password="$p";""")
+      }.load()
+    }
+
+    val events = recordEvents(source(topics.in))
+      .union(notificationEvents(source(topics.notification)))
+    val tracker = new BatchTracker(validator, lookup, topics.tenant, completionDelayMs)
+    val outputs = pipeline(events, tracker)
+
+    outputs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: Dataset[Output], _: Long) =>
+        writeOutputs(batch, topics, brokers, password, mgmt)
+      }
+      .start()
+  }
+
+  /** One micro-batch epoch feeds all three sinks (+ optional K4 writeback)
+    * so per-batch outputs stay ordered per key relative to each other. */
+  private[streaming] def writeOutputs(
+      batch: Dataset[Output],
+      topics: Topics,
+      brokers: Seq[String],
+      password: Option[String],
+      mgmt: Option[MgmtClient]): Unit = {
+    import batch.sparkSession.implicits._
+    val cached = batch.persist()
+    try {
+      def kafkaWrite(df: DataFrame, topic: String): Unit = {
+        val w = df.write.format("kafka")
+          .option("kafka.bootstrap.servers", brokers.mkString(","))
+          .option("topic", topic)
+          .option("includeHeaders", "true")
+        password.fold(w) { p =>
+          w.option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option("kafka.sasl.jaas.config",
+              "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+                s"""username="token" password="$p";""")
+        }.save()
+      }
+
+      def recordFrame(tag: String): DataFrame = cached
+        .filter(_.tag == tag)
+        .map(o => (o.record.get.key, o.record.get.value, o.record.get.headers))
+        .toDF("key", "value", "headers")
+
+      kafkaWrite(recordFrame(Output.Valid), topics.out)     // K1
+      kafkaWrite(recordFrame(Output.Invalid), topics.invalid) // K2
+
+      val notifications = cached.filter(_.tag == Output.Notification)
+        .map(o => (o.notification.get.id, NotificationJson.render(o.notification.get)))
+        .collect() // tiny: lifecycle transitions only, a handful per batch
+      if (notifications.nonEmpty) {
+        val nDf = notifications.toSeq.toDF("key", "value")
+          .select(col("key").cast("binary"), col("value").cast("binary"))
+        kafkaWrite(nDf, topics.notification) // K3
+        mgmt.foreach { client =>             // K4 (production mode only)
+          notifications.foreach { case (id, json) =>
+            client.putStatus(topics.tenant, id, json)
+          }
+        }
+      }
+    } finally cached.unpersist()
+  }
+}
