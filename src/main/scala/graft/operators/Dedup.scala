@@ -21,12 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of the normalized text, as strings. */
-  def shingles(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      array_distinct(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + lit(k + 1))): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct (doc_id, shingle) inverted-index rows — the shared input of
+    * both the exact-Jaccard and MinHash paths.
+    *
+    * Computed HOF-free: posexplode the words, window-`lead` the next n−1
+    * words per doc, concat. Every operator here is whole-stage codegen'd;
+    * the per-row `transform(sequence…)` alternative evaluates its lambda
+    * interpreted (~35 µs/element — 13 s for the sf0.1 corpus, and Catalyst
+    * re-inlines it into every consumer). Costs one shuffle of the word
+    * table on doc_id; at 100 TB this is the standard tokenize-shuffle and
+    * the output would be written once as a materialized shingle table. */
+  def shingleTable(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nexts = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    docs
+      .select(col("doc_id"), posexplode(normWords(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("w") +: nexts: _*)
+      .filter(col(s"w${n - 1}").isNotNull) // tail positions have no full n-gram
+      .select(col("doc_id"),
+        concat_ws(" ", col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("shingle"))
+      .distinct()
+  }
 
   /** Exact dedup: group documents by content fingerprint (md5 of the
     * normalized text). Emits one row per distinct content with the
@@ -53,11 +69,10 @@ object Dedup {
     * broadcast an unbounded per-document relation; AQE still broadcasts it
     * at small scale on its own. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), shingles(normWords(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val counts = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // materialized once; reused by the DF cap, the per-doc counts, and
+    // both sides of the self-join (at cluster scale: a shingle table)
+    val ex = shingleTable(documents(s, d)).persist()
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
       .select(col("shingle"))
@@ -85,8 +100,7 @@ object Dedup {
     * (doc, perm, shingle) keeps xxhash64 inside whole-stage codegen, and
     * the min() partial-aggregates map-side, so the shuffle carries only
     * docs×64 rows — the standard MinHash-at-scale dataflow. */
-  def minhashSigs(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+  def minhashSigs(ex: DataFrame): DataFrame = {
     ex
       .select(col("doc_id"), col("shingle"),
         explode(sequence(lit(0), lit(MinHashPerms - 1))).as("p"))
@@ -120,10 +134,7 @@ object Dedup {
     *      Jaccard from positionwise agreement.
     * Only ids, band keys, and 64×8-byte signatures ever shuffle. */
   def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(documents(s, d)
-      .select(col("doc_id"), shingles(normWords(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0))
-      .persist()
+    val sigs = minhashSigs(shingleTable(documents(s, d))).persist()
     val buckets = sigs
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
     val cand = buckets.as("a").join(buckets.as("b"),
