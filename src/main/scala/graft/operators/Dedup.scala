@@ -111,12 +111,18 @@ object Dedup {
         e => e.getField("mh")).as("sig"))
   }
 
-  /** Per-band LSH keys: band b's key hashes signature rows 4b..4b+3. */
-  def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(LshBands - 1)),
-      b => xxhash64(lit("band"), b,
-        element_at(sig, b * 4 + 1), element_at(sig, b * 4 + 2),
-        element_at(sig, b * 4 + 3), element_at(sig, b * 4 + 4)))
+  /** (doc_id, band, bkey) rows: band b's key hashes signature rows
+    * 4b..4b+3. Exploded + codegen'd (top-level xxhash64 projection), not a
+    * per-row HOF. */
+  def bandKeyTable(sigs: DataFrame): DataFrame = {
+    val rows = MinHashPerms / LshBands
+    sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(lit("band") +: col("band") +:
+          (1 to rows).map(k => element_at(col("sig"), col("band") * rows + k)): _*).as("bkey"))
+  }
 
   /** MinHash+LSH near-dup candidates with signature-estimated Jaccard.
     *
@@ -135,8 +141,7 @@ object Dedup {
     * Only ids, band keys, and 64×8-byte signatures ever shuffle. */
   def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigs(shingleTable(documents(s, d))).persist()
-    val buckets = sigs
-      .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "bkey")))
+    val buckets = bandKeyTable(sigs)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -223,11 +223,9 @@ object Relational {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         col("embedding").getItem(0).cast("double").as("first_val"),
-        round(
-          sqrt(aggregate(
-            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (acc, x) => acc + x)),
-          3).as("l2_norm"))
+        round(sqrt(graft.functions.VectorFunctions.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))), 3).as("l2_norm"))
 
   /** posexplode: flatten embeddings to (vec_id, pos, val) — 1-based pos to
     * match SQL WITH ORDINALITY. Caps to vec_id < 100 to keep the exploded

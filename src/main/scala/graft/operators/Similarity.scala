@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** embedding column cast to array<double>. */
-  def vecd(c: Column): Column = transform(c, x => x.cast("double"))
+  def vecd(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.DotProduct) — the zip_with/
+    * aggregate HOF form evaluates interpreted at ~35 µs/element, which is
+    * the whole cost of a cosine scan. Same left-to-right fold order as the
+    * DuckDB oracle. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   def l2(a: Column): Column = sqrt(dot(a, a))
 
@@ -86,14 +89,22 @@ object Similarity {
     Seq.fill(LshTables * LshBitsPerTable)(Seq.fill(64)(rng.nextDouble() * 2 - 1))
   }
 
-  /** array<int> of length L: the vector's bucket in each LSH table. */
-  private def lshBuckets(v: Column): Column = {
+  /** (vec_id, tbl, bucket) rows — one bucket per LSH table per vector.
+    * Fully codegen'd: explode the L×B plane indexes into rows, take the
+    * sign bit of a codegen'd dot against the literal plane row, sum bits
+    * per (vec_id, table) with a map-side partial aggregate. No interpreted
+    * lambdas anywhere on this path. */
+  private def lshBucketTable(e: DataFrame): DataFrame = {
     val w = typedlit(planeMatrix)
-    transform(sequence(lit(0), lit(LshTables - 1)), t =>
-      aggregate(sequence(lit(0), lit(LshBitsPerTable - 1)), lit(0),
-        (acc, p) => acc.bitwiseOR(
-          when(dot(v, element_at(w, t * LshBitsPerTable + p + 1)) > 0,
-            call_function("shiftleft", lit(1), p)).otherwise(lit(0)))))
+    e.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(LshTables * LshBitsPerTable - 1))).as("tp"))
+      .select(col("vec_id"),
+        (col("tp") / LshBitsPerTable).cast("int").as("tbl"),
+        when(dot(col("v"), element_at(w, col("tp") + 1)) > 0.0,
+          call_function("shiftleft", lit(1), pmod(col("tp"), lit(LshBitsPerTable))))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit")).cast("int").as("bucket"))
   }
 
   /** LSH-bucketed ANN, top-3 per query: candidates = corpus vectors sharing
@@ -104,8 +115,7 @@ object Similarity {
     * vectors are joined back by id for scoring. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
-    val eb = e.select(col("vec_id"),
-        posexplode(lshBuckets(col("v"))).as(Seq("tbl", "bucket")))
+    val eb = lshBucketTable(e)
     val qb = eb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cand = eb.join(qb, Seq("tbl", "bucket"))
