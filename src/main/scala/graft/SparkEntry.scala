@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_brute"           -> (Similarity.qAnnBrute _),
     "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
     "ann_lsh"             -> (Similarity.qAnnLsh _),  // rows-only: approximate; recall tested vs nearest_neighbor
+    "embedding_dedup"     -> (Similarity.qEmbeddingDedup _),
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),
@@ -246,6 +247,13 @@ object SparkEntry {
          |SELECT query_id, nn_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, nn_id) AS rn FROM scored) WHERE rn = 1""".stripMargin,
+
+    "embedding_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) >= 0.4""".stripMargin,
 
     "lang_id" ->
       raw"""SELECT doc_id, lang AS labeled_lang,
