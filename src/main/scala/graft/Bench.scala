@@ -16,6 +16,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (task scheduling, codegen compiler, parquet footer
+    // caches) so the first timed query doesn't absorb JVM start-up costs
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).queryExecution.toRdd.count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

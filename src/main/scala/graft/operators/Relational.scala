@@ -158,11 +158,13 @@ object Relational {
   }
 
   /** Window running aggregate: cumulative quantity per supplier in ship
-    * order. ORDER BY is a total order (shipdate, orderkey, linenumber) so
-    * every prefix sum is deterministic. */
+    * order. The synthetic data contains duplicate (orderkey, linenumber)
+    * pairs, so l_quantity joins the ORDER BY: rows that still tie then
+    * carry equal quantities and contribute identical prefix sums — the
+    * running values are deterministic in any engine. */
   def q13WindowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .withColumn("running_qty", sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double"))
