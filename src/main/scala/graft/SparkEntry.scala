@@ -68,6 +68,11 @@ object SparkEntry {
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()),
+    "media_resize"        -> ((s: SparkSession, d: String) =>
+      Multimodal.resize(Multimodal.mediaFromDocuments(s, d), 320, 240).toDF()
+        .drop("content")), // metadata slice; payload bytes are opaque
+    "media_frames"        -> ((s: SparkSession, d: String) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -187,7 +192,8 @@ object SparkEntry {
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "q18_json_fns" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
         |FROM events""".stripMargin,
 
     "q19_array_fns" ->

@@ -52,6 +52,53 @@ object Multimodal {
     assets.mapPartitions(it => it.map(decodeStub))
   }
 
+  /** One sampled frame of an asset: payload slice + its own checksum. */
+  case class MediaFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      frame_bytes: Long,
+      frame_checksum: Long)
+
+  /** STUB resize: a real codec would decode, scale, re-encode; the
+    * deterministic fake clamps the metadata dims and truncates the payload
+    * proportionally to the pixel ratio, so tests can assert exact sizes.
+    * The Spark contract is the real part: a typed map over the Dataset,
+    * safe to run per partition on executors. */
+  def resizeStub(a: MediaAsset, maxW: Int, maxH: Int): MediaAsset = {
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / math.max(1, a.width), maxH.toDouble / math.max(1, a.height)))
+    val newLen = math.max(1, (a.content.length * scale * scale).toInt)
+    a.copy(
+      width = math.max(1, (a.width * scale).toInt),
+      height = math.max(1, (a.height * scale).toInt),
+      content = a.content.take(newLen))
+  }
+
+  def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(resizeStub(_, maxW, maxH)))
+  }
+
+  /** STUB frame sampling: every n_frames/k-th "frame" is a fixed-stride
+    * slice of the payload (a real implementation seeks keyframes). One
+    * asset flatMaps to k frame rows — the row-explosion shape a video
+    * pipeline needs, with frames owned by executors, never the driver. */
+  def sampleFrames(assets: Dataset[MediaAsset], k: Int): Dataset[MediaFrame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val n = math.min(k, math.max(1, a.n_frames))
+      (0 until n).map { i =>
+        val start = (a.content.length.toLong * i / n).toInt
+        val end = (a.content.length.toLong * (i + 1) / n).toInt
+        val slice = java.util.Arrays.copyOfRange(a.content, start, math.max(start, end))
+        var h = 1125899906842597L
+        var j = 0
+        while (j < slice.length) { h = 31 * h + slice(j); j += 1 }
+        MediaFrame(a.asset_id, i, slice.length.toLong, h)
+      }
+    }
+  }
+
   /** Builds a synthetic media table from documents: the UTF-8 text bytes
     * stand in for an encoded payload. Exercises the binary column path
     * end-to-end on driver-provided data. */

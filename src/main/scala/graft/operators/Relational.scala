@@ -209,12 +209,15 @@ object Relational {
       .groupBy(col("order_month"), col("priority_name"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
 
-  /** JSON functions: extract props.k as int per event. */
+  /** JSON functions: path extraction (get_json_object) AND schema-typed
+    * parsing (from_json) of props.k — both must agree with the oracle's
+    * json_extract. */
   def q18JsonFns(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_typed"))
 
   /** Array functions over embeddings: size, first element, L2 norm.
     * All math in double (floats widen exactly) so oracle comparison is

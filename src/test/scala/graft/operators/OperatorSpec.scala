@@ -75,6 +75,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats.forall(f => Set("image", "audio", "video").contains(f.media_type)))
   }
 
+  test("multimodal resize: dims clamp to the box, payload shrinks by pixel ratio, aspect kept") {
+    val assets = Multimodal.mediaFromDocuments(spark, d)
+    val resized = Multimodal.resize(assets, 320, 240).collect()
+    val orig = assets.collect().map(a => a.asset_id -> a).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.width <= 320 && r.height <= 240)
+      val o = orig(r.asset_id)
+      assert(r.content.length <= o.content.length)
+      if (o.width <= 320 && o.height <= 240) // already inside the box: untouched
+        assert(r.width == o.width && r.height == o.height && r.content.length == o.content.length)
+    }
+  }
+
+  test("multimodal frame sampling: k rows per asset, slices partition the payload") {
+    val assets = Multimodal.mediaFromDocuments(spark, d)
+    val frames = Multimodal.sampleFrames(assets, 4).collect()
+    val byAsset = frames.groupBy(_.asset_id)
+    val orig = assets.collect().map(a => a.asset_id -> a).toMap
+    byAsset.foreach { case (id, fs) =>
+      val expected = math.min(4, math.max(1, orig(id).n_frames))
+      assert(fs.length == expected, s"asset $id: ${fs.length} frames, expected $expected")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until expected))
+      assert(fs.map(_.frame_bytes).sum == orig(id).content.length.toLong) // exact partition
+    }
+  }
+
   test("plan shape: filter and projection push down to the parquet scan (q02)") {
     val plan = Relational.q02FilterProject(spark, d).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
