@@ -8,17 +8,19 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the embeddings table (`embedding: array<float>`,
   * dim 64).
   *
-  * All vector math is `zip_with` + `aggregate` column expressions in DOUBLE
-  * (floats widen exactly, so Spark and the DuckDB oracle compute from
-  * identical inputs) — codegen'd, no UDFs.
+  * All vector math runs in DOUBLE (floats widen exactly, so Spark and the
+  * DuckDB oracle compute from identical inputs) through the codegen'd
+  * [[graft.functions.DotProduct]] expression — no UDFs, no interpreted
+  * higher-order-function lambdas. Norms are computed once per vector and
+  * carried as a column, so scoring a candidate pair costs exactly one dot.
   *
   * Scale paths:
   *  - brute force = broadcast the (small) query set against the full table:
   *    one scan, no shuffle, linear in corpus size — the right baseline even
   *    at 100 TB when the query set is small.
-  *  - LSH = 16 random-hyperplane sign bits → bucket join: candidate set
-  *    shrinks ~2^16× for high-recall-at-top-k workloads; buckets shuffle
-  *    only (id, bucket, vector).
+  *  - multi-table hyperplane LSH → bucket join: only (id, table, bucket)
+  *    rows shuffle for candidate generation; vectors join back by id for
+  *    one exact verification per DISTINCT candidate pair.
   */
 object Similarity {
 
@@ -35,18 +37,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 
-  private def withVec(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+  /** (vec_id, v, nrm): the norm is computed ONCE per vector here so pair
+    * scoring costs one dot, not three — cosine(a,b) = dot/(nrm_a*nrm_b)
+    * with identical arithmetic (and doubles) to the inline form. */
+  private def withVec(s: SparkSession, d: String): DataFrame = {
+    val v = vecd(col("embedding"))
+    embeddings(s, d).select(col("vec_id"), v.as("v"), sqrt(dot(v, v)).as("nrm"))
+  }
 
   /** Brute-force cosine top-5 for query vec_id = 0: broadcast the single
     * query row, scan the corpus once, TakeOrderedAndProject the top-k
     * (per-partition heap + driver merge — no global sort). */
   def qAnnBrute(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(q))
-      .select(col("vec_id").as("nn_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .select(col("vec_id").as("nn_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
       .orderBy(col("cos").desc, col("nn_id").asc)
       .limit(5)
   }
@@ -57,12 +66,12 @@ object Similarity {
   def qNearestNeighbor(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
     val q = e.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nn_id"),
-        round(cosine(col("v"), col("qv")), 4).as("cos"))
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("nn_id"), col("cos"))
@@ -126,9 +135,10 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
       .filter(col("cos") >= 0.4)
   }
 
@@ -150,10 +160,10 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     cand
-      .join(e.select(col("vec_id").as("nn_id"), col("v")), Seq("nn_id"))
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("nn_id"), col("v"), col("nrm")), Seq("nn_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")), Seq("query_id"))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("v"), col("qv")), 4).as("cos"))
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
