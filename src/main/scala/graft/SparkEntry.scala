@@ -59,6 +59,7 @@ object SparkEntry {
     "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
     "ann_lsh"             -> (Similarity.qAnnLsh _),  // rows-only: approximate; recall tested vs nearest_neighbor
     "embedding_dedup"     -> (Similarity.qEmbeddingDedup _),
+    "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),

@@ -35,6 +35,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@3 = $recall over ${truth.size} queries")
   }
 
+  test("ann_ivf recall@3 >= 0.75 vs exact nearest neighbor (second scale path: IVF)") {
+    val truth = Similarity.qNearestNeighbor(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.qAnnIvf(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = truth.count { case (q, nn) => approx.getOrElse(q, Set.empty).contains(nn) }
+    val recall = hits.toDouble / truth.size
+    assert(recall >= 0.75, s"IVF recall@3 = $recall over ${truth.size} queries")
+  }
+
   test("minhash LSH candidates recover the exact ngram-Jaccard pair set at this scale") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
