@@ -65,6 +65,7 @@ object SparkEntry {
     "quality_score"       -> (TextOps.qQualityScore _),
     "token_count"         -> (TextOps.qTokenCount _),
     "fingerprint"         -> (TextOps.qFingerprint _),
+    "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>

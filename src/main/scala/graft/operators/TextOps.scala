@@ -69,6 +69,39 @@ object TextOps {
       size(array_distinct(words)).cast("long").as("uniq_tokens"))
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * plagiarism-detection classic): hash every word 4-gram (the rolling
+    * window), then keep the MINIMUM hash of each 8-gram window of hashes —
+    * a document pair sharing any sufficiently long run shares a selected
+    * fingerprint, and only ~1/window of the hashes survive. Built entirely
+    * from codegen'd pieces: posexplode words → window lead() for the
+    * k-gram → xxhash64 → sliding-window min → distinct. Output:
+    * (doc_id, fp) — the compact join key set for containment detection at
+    * corpus scale. */
+  val WinnowK = 4  // words per rolling k-gram
+  val WinnowW = 8  // window of consecutive k-gram hashes to min over
+
+  def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(documents(s, d))
+
+  /** Winnowing over any (doc_id, text) frame — see [[qWinnowFingerprint]]. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kgram = docs
+      .select(col("doc_id"), posexplode(normWords(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w") +: (1 until WinnowK).map(k => lead(col("w"), k).over(byPos)): _*)
+          .as("g"),
+        lead(col("w"), WinnowK - 1).over(byPos).as("wk"))
+      .filter(col("wk").isNotNull)
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+    kgram
+      .select(col("doc_id"),
+        min(col("h")).over(byPos.rowsBetween(0, WinnowW - 1)).as("fp"))
+      .distinct()
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus an
     * order-insensitive bag-of-words fingerprint (sorted distinct tokens).
     * md5 of UTF-8 bytes matches DuckDB's md5(varchar). */

@@ -85,6 +85,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(feats.forall(f => Set("image", "audio", "video").contains(f.media_type)))
   }
 
+  test("winnowing: docs sharing a long run share fingerprints; disjoint docs share none") {
+    import spark.implicits._
+    val run = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"zeta eta theta iota $run kappa"),
+      (3L, (1 to 60).map(i => s"other$i").mkString(" "))) // no overlap
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "40-word shared run must yield shared fingerprints")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    // selection is sparse: far fewer fingerprints than k-grams
+    assert(fp(3L).size < 60 - TextOps.WinnowK + 1)
+  }
+
   test("multimodal resize: dims clamp to the box, payload shrinks by pixel ratio, aspect kept") {
     val assets = Multimodal.mediaFromDocuments(spark, d)
     val resized = Multimodal.resize(assets, 320, 240).collect()
