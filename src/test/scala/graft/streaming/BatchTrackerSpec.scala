@@ -197,6 +197,30 @@ class BatchTrackerSpec extends AnyFunSuite {
     assert(out.filter(_.tag == Output.Notification).map(_.notification.get.status) == Seq(Failed))
   }
 
+  test("out-of-order control plane: sendCompleted before started still completes correctly") {
+    val st = freshState()
+    val out = run(tracker(), st,
+      PipelineEvent.of(notif(SendCompleted, Some(2)), 0), // arrives first (mgmt race)
+      PipelineEvent.of(rec("k1"), 1),
+      PipelineEvent.of(rec("k2"), 2))
+    assert(out.map(_.tag) == Seq(Output.Valid, Output.Valid))
+    assert(st.get.status == SendCompleted && st.get.validCount == 2)
+    assert(st.getTimeoutTimestampMs.isPresent) // timer armed at seeding
+  }
+
+  test("duplicate started notifications (mgmt retry) are idempotent — counts survive") {
+    val st = freshState()
+    val out = run(tracker(), st,
+      PipelineEvent.of(notif(Started), 0),
+      PipelineEvent.of(rec("k1"), 1), PipelineEvent.of(rec("k2"), 2),
+      PipelineEvent.of(notif(Started), 3), // retry
+      PipelineEvent.of(rec("k3"), 4),
+      PipelineEvent.of(notif(SendCompleted, Some(3)), 5))
+    assert(out.count(_.tag == Output.Valid) == 3)
+    assert(out.count(_.tag == Output.Notification) == 0) // no spurious failed
+    assert(st.get.validCount == 3 && st.get.status == SendCompleted)
+  }
+
   test("events are processed in seq order even if the iterator is shuffled") {
     val st = freshState()
     val out = run(tracker(known = Seq.empty), st,
