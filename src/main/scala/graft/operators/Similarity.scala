@@ -128,18 +128,23 @@ object Similarity {
     * per table for sharper pruning. */
   def qEmbeddingDedup(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
+    // vectors ride ALONG the bucket rows (|corpus|×L rows × ~0.5 KB — the
+    // only shuffle), so each bucket collision verifies its cosine inline
+    // in codegen and the ≥0.4 filter runs BEFORE the pair-distinct: the
+    // distinct shuffles only true near-dup rows instead of every collision
+    // (16M rows on this corpus — was the whole cost of the operator).
+    // A pair colliding in k tables computes k redundant dots; compute is
+    // ~100 ns codegen'd, a shuffled row is ~µs — the right trade at scale.
     val eb = lshBucketTable(e, bitsPerTable = 2)
-    val cand = eb.as("a").join(eb.as("b"),
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("v"), col("nrm"))
+    eb.as("a").join(eb.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .filter(col("cos") >= 0.4)
+      .distinct()
   }
 
   val IvfCells = 16
