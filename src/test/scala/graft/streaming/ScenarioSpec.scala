@@ -82,6 +82,24 @@ class ScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("parallelism (X2): 20 interleaved batches process concurrently across partitions, all isolated") {
+    runPipeline(completionDelayMs = 200L) { (input, results) =>
+      val batches = (1 to 20).map(i => s"px-batch-$i")
+      var seq = 0L
+      def next = { seq += 1; seq }
+      val evs = batches.map(b => PipelineEvent.of(notif(b, Started), next)) ++
+        (1 to 20).flatMap(k => batches.map(b => PipelineEvent.of(rec(k, b), next))) ++
+        batches.map(b => PipelineEvent.of(notif(b, SendCompleted, Some(20)), next))
+      input.addData(evs: _*)
+      val out = await(results)(r => notifs(r).count(_.status == Completed) == 20)
+      val done = notifs(out).filter(_.status == Completed)
+      assert(done.map(_.id).sorted == batches.sorted)
+      assert(done.forall(_.recordCount.contains(20)), s"counts leaked across keys: ${done.map(n => n.id -> n.recordCount)}")
+      assert(valids(out).size == 400)
+      assert(valids(out).groupBy(_.batchId.get).forall(_._2.size == 20))
+    }
+  }
+
   test("scenario 3: terminate mid-batch stops forwarding to the out topic") {
     runPipeline(completionDelayMs = 200L) { (input, results) =>
       val b = "spec-batch-3"
