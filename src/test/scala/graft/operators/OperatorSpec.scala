@@ -45,6 +45,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"IVF recall@3 = $recall over ${truth.size} queries")
   }
 
+  test("public vector API: cosine/l2 combinators agree with the fused dot/norm form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0))).toDF("a", "b")
+    val Array(cos, la, d) = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.l2(col("a")),
+      Similarity.dot(col("a"), col("b"))).head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(la == 3.0 && d == 8.0)
+    assert(cos == 8.0 / 9.0) // dot / (|a||b|), exact in doubles here
+  }
+
   test("minhash LSH candidates recover the exact ngram-Jaccard pair set at this scale") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
