@@ -30,6 +30,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop caches a query persisted for its own reuse so queries are
+      // timed independently and executor memory doesn't accumulate
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
