@@ -26,9 +26,19 @@ object Main {
       oauthUrl: Option[String] = None)
 
   /** Pure parse+validate, returns Left(errorMessage) on any violation so
-    * tests cover the whole matrix without spawning JVMs. */
-  def parse(args: Array[String]): Either[String, Config] = {
+    * tests cover the whole matrix without spawning JVMs. Accepts both
+    * `--flag value` and picocli-style `--flag=value` (the form the
+    * reference's own tests use). */
+  def parse(rawArgs: Array[String]): Either[String, Config] = {
     var c = Config()
+    // split --flag=value into (--flag, value); a bare token that is not a
+    // flag is an unmatched argument (picocli parity)
+    val args = rawArgs.flatMap { a =>
+      if (a.startsWith("-") && a.contains('=')) {
+        val Array(f, v) = a.split("=", 2)
+        Seq(f, v)
+      } else Seq(a)
+    }
     var i = 0
     while (i < args.length) {
       def value(flag: String): Either[String, String] =
@@ -47,7 +57,8 @@ object Main {
         case f @ ("-s" | "--client-secret") => value(f).map(v => c = c.copy(clientSecret = Some(v)))
         case f @ ("-a" | "--audience")      => value(f).map(v => c = c.copy(audience = Some(v)))
         case f @ ("-o" | "--oauth-url")     => value(f).map(v => c = c.copy(oauthUrl = Some(v)))
-        case other => Left(s"Unknown option: $other")
+        case other if other.startsWith("-") => Left(s"Unknown option: $other")
+        case other => Left(s"Unmatched argument at index $i: '$other'")
       }
       r match { case Left(e) => return Left(e); case Right(_) => () }
       i += 1
@@ -58,14 +69,19 @@ object Main {
   private def validate(c: Config): Either[String, Config] = {
     if (c.brokers.isEmpty) return Left("Missing required option: '--brokers=<brokers>'")
     if (c.input.isEmpty) return Left("Missing required option: '--input=<inputTopic>'")
-    val mgmtGiven = Seq(c.mgmtUrl, c.clientId, c.clientSecret, c.audience, c.oauthUrl)
-    val nMgmt = mgmtGiven.count(_.isDefined)
+    val mgmt = Seq(
+      "--mgmt-url=<mgmtUrl>" -> c.mgmtUrl,
+      "--client-id=<mgmtClientId>" -> c.clientId,
+      "--client-secret=<mgmtClientSecret>" -> c.clientSecret,
+      "--audience=<mgmtAudience>" -> c.audience,
+      "--oauth-url=<oauthServiceBaseUrl>" -> c.oauthUrl)
+    val nMgmt = mgmt.count(_._2.isDefined)
     if (c.standalone && nMgmt > 0)
       return Left("--standalone and the Management API options are mutually exclusive")
     if (!c.standalone && nMgmt == 0)
       return Left("Missing required argument (specify one of these): (--standalone | (-m=<mgmtUrl> -c=<mgmtClientId> -s=<mgmtClientSecret> -a=<mgmtAudience> -o=<oauthServiceBaseUrl>))")
-    if (!c.standalone && nMgmt < 5)
-      return Left("The Management API options -m, -c, -s, -a, -o must all be provided together")
+    if (!c.standalone && nMgmt < 5) // name the first missing one, like picocli
+      return Left(s"Missing required option: '${mgmt.find(_._2.isEmpty).get._1}'")
     Topics.validate(c.input).map(_ => c)
   }
 

@@ -19,11 +19,14 @@ final case class Topics(in: String) {
 }
 
 object Topics {
-  /** Parity with the reference's abort-before-start validation: topic must
+  /** Parity with the reference's abort-before-start validation (message
+    * shape from PassthroughStreamingJobTest.java:110-120): topic must
     * start with `ingest.` and end with `.in`. */
   def validate(in: String): Either[String, Topics] =
-    if (!in.startsWith("ingest.")) Left(s"The Input Topic name $in must start with 'ingest.'")
-    else if (!in.endsWith(".in")) Left(s"The Input Topic name $in must end with '.in'")
+    if (!in.startsWith("ingest."))
+      Left(s"""The Input Topic Name $in is invalid: It must start with "ingest."""")
+    else if (!in.endsWith(".in"))
+      Left(s"""The Input Topic Name $in is invalid: It must end with ".in"""")
     else Right(Topics(in))
 }
 

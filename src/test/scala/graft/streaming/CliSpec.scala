@@ -45,19 +45,47 @@ class CliSpec extends AnyFunSuite {
       "--standalone", "-m", "https://mgmt")).isLeft)
   }
 
-  test("partial mgmt group rejected (all five required together)") {
-    assert(Main.parse(Array("-b", "b:9093", "-i", "ingest.t.s.in",
-      "-m", "https://mgmt", "-c", "id")).isLeft)
+  // reference matrix (PassthroughStreamingJobTest.java:64-94): every
+  // missing mgmt option is named individually
+  val mgmtAll = Map("-m" -> "https://mgmt", "-c" -> "id", "-s" -> "sec",
+    "-a" -> "aud", "-o" -> "https://oauth")
+  val expectedName = Map(
+    "-m" -> "--mgmt-url=<mgmtUrl>", "-c" -> "--client-id=<mgmtClientId>",
+    "-s" -> "--client-secret=<mgmtClientSecret>", "-a" -> "--audience=<mgmtAudience>",
+    "-o" -> "--oauth-url=<oauthServiceBaseUrl>")
+  mgmtAll.keys.foreach { missing =>
+    test(s"missing mgmt option $missing is named in the error") {
+      val args = Array("-b", "b:9093", "-i", "ingest.t.s.in") ++
+        (mgmtAll - missing).flatMap { case (k, v) => Seq(k, v) }
+      val e = Main.parse(args).left.toOption.get
+      assert(e.contains("Missing required option") && e.contains(expectedName(missing)))
+    }
   }
 
-  test("topic must start with ingest.") {
-    assert(Main.parse(Array("-b", "b:9093", "-i", "bad.t.s.in", "--standalone"))
-      .left.exists(_.contains("must start with 'ingest.'")))
+  test("picocli-style --flag=value syntax accepted (the form the reference tests use)") {
+    val c = Main.parse(Array("--brokers=b1:9093,b2:9093",
+      "--input=ingest.t.s.in", "--standalone")).toOption.get
+    assert(c.brokers == Seq("b1:9093", "b2:9093") && c.input == "ingest.t.s.in")
   }
 
-  test("topic must end with .in") {
-    assert(Main.parse(Array("-b", "b:9093", "-i", "ingest.t.s.out", "--standalone"))
-      .left.exists(_.contains("must end with '.in'")))
+  test("bare non-flag token → Unmatched argument (invalid password parity)") {
+    val e = Main.parse(Array("-b", "b:9093", "-i", "ingest.t.s.in",
+      "3737464=FakePassword", "--standalone")).left.toOption.get
+    assert(e.contains("Unmatched argument at index") && e.contains("3737464=FakePassword"))
+  }
+
+  test("topic must start with ingest. (reference message shape)") {
+    val e = Main.parse(Array("-b", "b:9093",
+      "--input=ingest-monkey22-noPeriodSeparators", "--standalone")).left.toOption.get
+    assert(e.contains("The Input Topic Name ingest-monkey22-noPeriodSeparators is invalid"))
+    assert(e.contains("""It must start with "ingest.""""))
+  }
+
+  test("topic must end with .in (reference message shape)") {
+    val e = Main.parse(Array("-b", "b:9093",
+      "--input=ingest.monkey22-no-in-suffix", "--standalone")).left.toOption.get
+    assert(e.contains("The Input Topic Name ingest.monkey22-no-in-suffix is invalid"))
+    assert(e.contains("""It must end with ".in""""))
   }
 
   test("unknown option rejected") {
