@@ -48,6 +48,8 @@ object SparkEntry {
     "q19_array_fns"       -> (R.q19ArrayFns _),
     "q20_explode"         -> (R.q20Explode _),
     "q21_hourly_window"   -> (R.q21HourlyWindow _),
+    "q22_shipping_priority" -> (R.q22ShippingPriority _),
+    "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
     "dedup_exact"         -> (Dedup.qDedupExact _),
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
@@ -214,6 +216,33 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q22_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-15'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q23_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5($NORM) AS content_fp, min(doc_id) AS keep_id, count(*) AS dup_count

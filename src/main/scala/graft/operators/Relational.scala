@@ -244,6 +244,45 @@ object Relational {
         (col("pos0") + 1).as("pos"),
         col("val").cast("double").as("val"))
 
+  /** TPC-H Q3 twin: 3-way join (dim-broadcast customer, fact⋈fact
+    * orders⋈lineitem), selective filters on both fact sides, top-10 orders
+    * by revenue. Exercises Catalyst's join composition: the segment filter
+    * prunes customers BEFORE the broadcast, both date filters push to the
+    * scans, and the final top-k is TakeOrderedAndProject. */
+  def q22ShippingPriority(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-06-15").cast("timestamp"))
+      .join(orders(s, d).filter(col("o_orderdate") < lit("1998-06-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q5 twin: 6-table join — region→nation→customer broadcast chain
+    * onto the orders⋈lineitem⋈supplier fact spine, with the Q5 twist that
+    * the supplier must sit in the customer's nation. Local-supplier revenue
+    * per nation for one region-year. */
+  def q23LocalSupplierVolume(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
   /** Tumbling-window aggregation core shared by the batch (q21) and
     * streaming forms: hourly event counts per type over (ts, event_type,
     * value). */
