@@ -98,16 +98,22 @@ object ValidationJob {
       lookup: BatchLookup,
       completionDelayMs: Long,
       mgmt: Option[MgmtClient],
-      checkpointLocation: String): StreamingQuery = {
+      checkpointLocation: String,
+      maxOffsetsPerTrigger: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
 
     def source(topic: String): DataFrame = {
-      val base = spark.readStream.format("kafka")
+      val base0 = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers.mkString(","))
         .option("subscribe", topic)
         .option("includeHeaders", "true")
         .option("startingOffsets", "latest")
         .option("kafka.group.id", topics.consumerGroup)
+      // micro-batch admission control — the backpressure mechanism
+      // (SURVEY §4): bounds a batch after downtime/catch-up so state and
+      // sinks see a steady rate instead of one giant replay batch
+      val base = maxOffsetsPerTrigger
+        .fold(base0)(n => base0.option("maxOffsetsPerTrigger", n.toString))
       password.fold(base) { p =>
         base
           .option("kafka.security.protocol", "SASL_SSL")
