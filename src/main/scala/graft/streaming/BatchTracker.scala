@@ -36,7 +36,7 @@ import scala.util.{Failure, Success}
   *     and if the count now exceeds expected ⇒ `failed` (same spec).
   *  8. timeout fires: count == expected ⇒ emit `completed` with recordCount
   *     (kafka_record_validator.rb:51-54, delay lower bound :67-71);
-  *     count == 0 ⇒ emit NOTHING (reference NoOp,
+  *     count == 0 ⇒ emit NOTHING and EVICT state (reference NoOp,
   *     PassthroughStreamingJobIntTest.java:110-155);
   *     0 < count < expected ⇒ emit `failed` — the only unobserved edge in
   *     the reference (SURVEY §2.3 cl. 8); chosen and documented here.
@@ -47,30 +47,99 @@ import scala.util.{Failure, Success}
   * threshold ⇒ failed` (field carried per PassthroughJobTestHelper.java:72,
   * −1 disables per kafka_notification_builder.rb:14).
   *
-  * Scale notes: state is O(1) per batch (a notification + counters); the
-  * record path never leaves the executors; `BatchLookup` fires once per
-  * unknown batch, not per record (unknown-batch floods are the one
-  * per-record case — acceptable: they are a client error). Per-key serial
-  * processing bounds single-batch throughput; SURVEY §7.4 documents the
-  * salted two-level refinement if one batch must exceed a core.
+  * == Timer management (Spark-specific, load-bearing) ==
+  * Spark clears a key's stored processing-time timeout at the START of
+  * every `flatMapGroupsWithState` invocation for that key
+  * (GroupStateImpl initializes each call with NO_TIMESTAMP). So a record
+  * arriving while a batch sits in sendCompleted would silently cancel the
+  * completion-delay timer and strand the batch forever unless the timer is
+  * re-armed. [[armTimer]] therefore runs at the END of every non-timeout
+  * invocation: sendCompleted → re-arm the completion delay (the delay
+  * window restarts from the last arrival — the reference only asserts the
+  * LOWER bound `completed − sendCompleted ≥ delay`, kafka_record_validator
+  * .rb:67-71, so extending is safe); terminal states → arm the eviction
+  * TTL (below).
+  *
+  * == Monotonic state machine ==
+  * Notification-driven status moves only forward: started(0) →
+  * sendCompleted(1) → completed/failed/terminated(2). A duplicate or late
+  * notification of LOWER rank (e.g. a mgmt-retry `started` after
+  * `sendCompleted`) is ignored — previously it regressed the status and,
+  * combined with the timeout-clearing semantics above, dropped the armed
+  * completion timer. Equal-rank retries re-apply idempotently
+  * (`failedEmitted`/`completedEmitted` guards prevent duplicate
+  * notifications). A terminal notification with NO state (the job's own
+  * completed/failed echo read back from the notification topic after
+  * eviction, or after a restart with fresh state) is ignored rather than
+  * re-seeding state — the batch is finished; re-seeding would resurrect a
+  * state entry per echo.
+  *
+  * == State eviction (100 TB scale) ==
+  * Without eviction every batch that ever completes keeps its
+  * BatchProgress in the state store forever — unbounded growth on a
+  * months-long job. On reaching a terminal status the key's timeout is
+  * re-purposed as a TTL tombstone (`terminalTtlMs`, default 2× the
+  * completion delay): while the tombstone lives, late records still route
+  * to invalid with the exact per-status message (clause 5); when it fires,
+  * `state.remove()`. A record arriving AFTER eviction takes the clause-2
+  * state-miss path: in production the BatchLookup returns the completed
+  * batch from the Management API, the state re-seeds terminal (re-arming
+  * the TTL), and the record still routes to invalid — reference semantics
+  * (spec.rb:358-402) preserved with bounded state. In standalone mode (no
+  * external lookup) a post-TTL late record degrades to the unknown-batch
+  * message — still invalid, documented delta. The zero-record NoOp batch
+  * (clause 8) is evicted immediately at its timeout. Batches abandoned in
+  * `started` (never sendCompleted, no traffic) are the one unbounded
+  * remainder — they have no timer; bounding them needs an operator-level
+  * policy knob, not silent data loss, so it is left to deployment (noted
+  * in README).
+  *
+  * Scale notes: state is O(1) per batch (a notification + counters) and
+  * now O(active batches) overall, not O(all batches ever); the record path
+  * never leaves the executors; `BatchLookup` fires once per unknown batch,
+  * not per record (unknown-batch floods are the one per-record case —
+  * acceptable: they are a client error). Per-key serial processing bounds
+  * single-batch throughput; SURVEY §7.4 documents the salted two-level
+  * refinement if one batch must exceed a core.
   */
 class BatchTracker(
     validator: Validator,
     lookup: BatchLookup,
     tenantId: String,
-    completionDelayMs: Long)
+    completionDelayMs: Long,
+    terminalTtlMs: Long = -1L)
     extends Serializable {
 
   import BatchStatus._
+
+  /** TTL for terminal-state tombstones; default 2× the completion delay so
+    * the clause-5 late-arrival window comfortably outlives the delay. */
+  private val ttlMs: Long =
+    if (terminalTtlMs >= 0) terminalTtlMs else 2 * completionDelayMs
 
   val UnknownBatchMessage = "Bad Message - Unknown batchId"
   val CompletedBatchMessage = "Record received after batch completed"
   val TerminatedBatchMessage = "Record received after batch terminated"
   val FailedBatchMessage = "Record received after batch failed"
 
+  private def rank(status: String): Int = status match {
+    case Started       => 0
+    case SendCompleted => 1
+    case _             => 2 // completed / failed / terminated
+  }
+
   /** The flatMapGroupsWithState function. Events are re-sorted by `seq`
-    * inside a trigger so cross-source arrival races cannot reorder a
-    * notification behind the records that followed it. */
+    * inside a trigger (notifications before records on ties) so
+    * cross-source arrival races cannot reorder a notification behind the
+    * records that followed it. This is BEST-EFFORT, not a guarantee: `seq`
+    * is comparable across the two source topics only as far as its
+    * derivation allows (Kafka log timestamps in the production wiring —
+    * see ValidationJob.recordEvents), and Kafka itself offers no
+    * cross-topic order. Record-vs-record order within a batch is
+    * semantically irrelevant (each valid record increments the same
+    * counter and forwards verbatim), so only the notification/record
+    * interleaving benefits — and the monotonic state machine tolerates the
+    * residual races. */
   def trackBatch(
       batchId: String,
       events: Iterator[PipelineEvent],
@@ -78,37 +147,57 @@ class BatchTracker(
     val out = ArrayBuffer.empty[Output]
 
     if (state.hasTimedOut) {
-      onTimeout(state, out) // clause 8; Spark guarantees `events` is empty
+      onTimeout(state, out) // clause 8 / TTL expiry; `events` is empty
     } else {
-      events.toSeq.sortBy(_.seq).foreach { ev =>
+      events.toSeq.sortBy(ev => (ev.seq, ev.record.isDefined)).foreach { ev =>
         (ev.notification, ev.record) match {
           case (Some(n), _) => onNotification(n, state, out)
           case (_, Some(r)) => onRecord(r, batchId, state, out)
           case _            => ()
         }
       }
+      armTimer(state)
     }
     out.iterator
   }
 
+  /** End-of-invocation timer discipline — see "Timer management" above.
+    * Runs after every non-timeout invocation; the timeout path arms its
+    * own successor timer inline. */
+  private def armTimer(state: GroupState[BatchProgress]): Unit =
+    if (state.exists) {
+      state.get.status match {
+        case SendCompleted                     => state.setTimeoutDuration(completionDelayMs)
+        case Completed | Failed | Terminated   => state.setTimeoutDuration(ttlMs)
+        case _                                 => () // started: no timer
+      }
+    }
+
   private def onTimeout(state: GroupState[BatchProgress], out: ArrayBuffer[Output]): Unit = {
     val p = state.get
-    if (p.status == SendCompleted && !p.failedEmitted) {
-      val expected = p.expectedRecordCount.getOrElse(0)
-      if (p.validCount == expected) {
-        val done = p.notification.copy(
-          status = Completed,
-          expectedRecordCount = p.expectedRecordCount,
-          recordCount = Some(p.validCount.toInt))
-        out += Output.notification(done)
-        state.update(p.copy(status = Completed, notification = done, completedEmitted = true))
-      } else if (p.validCount == 0) {
-        // Reference NoOp: a batch that saw no records emits no count
-        // notification at all (PassthroughStreamingJobIntTest noSentRecords).
-        ()
-      } else {
-        emitFailed(p, state, out) // undercount: documented choice (cl. 8)
-      }
+    p.status match {
+      case SendCompleted if !p.failedEmitted =>
+        val expected = p.expectedRecordCount.getOrElse(0)
+        if (p.validCount == expected) {
+          val done = p.notification.copy(
+            status = Completed,
+            expectedRecordCount = p.expectedRecordCount,
+            recordCount = Some(p.validCount.toInt))
+          out += Output.notification(done)
+          state.update(p.copy(status = Completed, notification = done, completedEmitted = true))
+          state.setTimeoutDuration(ttlMs) // terminal → TTL tombstone
+        } else if (p.validCount == 0) {
+          // Reference NoOp: a batch that saw no records emits no count
+          // notification at all (PassthroughStreamingJobIntTest
+          // noSentRecords) — and its state is evicted right here.
+          state.remove()
+        } else {
+          emitFailed(p, state, out) // undercount: documented choice (cl. 8)
+          state.setTimeoutDuration(ttlMs)
+        }
+      case Completed | Failed | Terminated =>
+        state.remove() // TTL tombstone expired — eviction
+      case _ => () // defensive: no timer is ever armed in `started`
     }
   }
 
@@ -116,25 +205,35 @@ class BatchTracker(
       n: BatchNotification,
       state: GroupState[BatchProgress],
       out: ArrayBuffer[Output]): Unit = {
-    val p0 = state.getOption.getOrElse(
-      BatchProgress(n, n.status, 0L, 0L, n.expectedRecordCount,
-        failedEmitted = false, completedEmitted = false))
-    n.status match {
-      case Started =>
-        state.update(p0.copy(notification = n, status = Started))
-      case SendCompleted =>
-        val expected = n.expectedRecordCount.orElse(p0.expectedRecordCount)
-        val p = p0.copy(notification = n, status = SendCompleted, expectedRecordCount = expected)
-        state.update(p)
-        if (expected.exists(e => p.validCount > e)) {
-          emitFailed(p, state, out) // clause 6: already overcounted
-        } else {
-          state.setTimeoutDuration(completionDelayMs) // clause 8 arm
+    state.getOption match {
+      case None if rank(n.status) == 2 =>
+        // Terminal echo (our own completed/failed read back from the
+        // notification topic) after eviction or restart: the batch is
+        // done — do not resurrect state for it.
+        ()
+      case maybeP =>
+        val p0 = maybeP.getOrElse(
+          BatchProgress(n, n.status, 0L, 0L, n.expectedRecordCount,
+            failedEmitted = false, completedEmitted = false))
+        if (rank(n.status) < rank(p0.status)) {
+          // Monotonic: a late/duplicate lower-rank notification (e.g.
+          // mgmt-retry `started` after sendCompleted) is ignored.
+          ()
+        } else n.status match {
+          case Started =>
+            state.update(p0.copy(notification = n, status = Started))
+          case SendCompleted =>
+            val expected = n.expectedRecordCount.orElse(p0.expectedRecordCount)
+            val p = p0.copy(notification = n, status = SendCompleted, expectedRecordCount = expected)
+            state.update(p)
+            if (expected.exists(e => p.validCount > e)) {
+              emitFailed(p, state, out) // clause 6: already overcounted
+            } // else: completion timer armed by armTimer at invocation end
+          case Terminated =>
+            state.update(p0.copy(notification = n, status = Terminated)) // clause 9
+          case other => // completed/failed echoes for still-live state
+            state.update(p0.copy(notification = n, status = other))
         }
-      case Terminated =>
-        state.update(p0.copy(notification = n, status = Terminated)) // clause 9
-      case other => // completed/failed echoes from the control topic
-        state.update(p0.copy(notification = n, status = other))
     }
   }
 
@@ -151,7 +250,7 @@ class BatchTracker(
         case Success(n) =>
           state.update(BatchProgress(n, n.status, 0L, 0L, n.expectedRecordCount,
             failedEmitted = false, completedEmitted = false))
-          if (n.status == SendCompleted) state.setTimeoutDuration(completionDelayMs)
+        // timers (completion delay or terminal TTL) armed by armTimer
       }
     }
     val p = state.get

@@ -65,24 +65,31 @@ object ValidationJob {
   }
 
   /** Kafka record stream → PipelineEvent. Schema is the standard Kafka
-    * source shape with includeHeaders (FIXTURES A.2); `seq` = offset (per
-    * partition monotonic — cross-partition order is undefined in Kafka
-    * itself, exactly as in the reference). */
+    * source shape with includeHeaders (FIXTURES A.2). `seq` = the Kafka log
+    * timestamp in millis: records and notifications come from DIFFERENT
+    * topics, whose offsets are mutually incomparable, so the only
+    * cross-source ordering key Kafka offers is the broker timestamp. It is
+    * best-effort (ms granularity, producer clocks for create-time
+    * topics) — BatchTracker documents why that suffices: record-vs-record
+    * order is semantically irrelevant and the monotonic state machine
+    * absorbs residual notification races. */
   def recordEvents(df: DataFrame): Dataset[PipelineEvent] = {
     import df.sparkSession.implicits._
     df.select(col("headers"), col("key"), col("value"), col("topic"),
-        col("partition"), col("offset"))
-      .as[(Seq[HriHeader], Array[Byte], Array[Byte], String, Int, Long)]
-      .map { case (headers, key, value, topic, partition, offset) =>
-        PipelineEvent.of(HriRecord(headers, key, value, topic, partition, offset), offset)
+        col("partition"), col("offset"), unix_millis(col("timestamp")).as("seq"))
+      .as[(Seq[HriHeader], Array[Byte], Array[Byte], String, Int, Long, Long)]
+      .map { case (headers, key, value, topic, partition, offset, seq) =>
+        PipelineEvent.of(HriRecord(headers, key, value, topic, partition, offset), seq)
       }
   }
 
-  /** Kafka notification stream → PipelineEvent (JSON body, FIXTURES A.3). */
+  /** Kafka notification stream → PipelineEvent (JSON body, FIXTURES A.3).
+    * `seq` = log timestamp millis, same key space as [[recordEvents]]. */
   def notificationEvents(df: DataFrame): Dataset[PipelineEvent] = {
     import df.sparkSession.implicits._
-    df.select(col("value"), col("offset")).as[(Array[Byte], Long)]
-      .map { case (value, offset) => PipelineEvent.of(NotificationJson.parse(value), offset) }
+    df.select(col("value"), unix_millis(col("timestamp")).as("seq"))
+      .as[(Array[Byte], Long)]
+      .map { case (value, seq) => PipelineEvent.of(NotificationJson.parse(value), seq) }
   }
 
   /** Standalone/production shape: wire Kafka sources and sinks and start

@@ -229,6 +229,103 @@ class BatchTrackerSpec extends AnyFunSuite {
     assert(out.map(_.tag) == Seq(Output.Valid))
   }
 
+  // ---- timer re-arm discipline (Spark clears the stored timeout on every
+  // invocation for a key, so the tracker must re-arm at invocation end) ----
+
+  test("timer re-arm: a record arriving while sendCompleted re-arms the completion timer") {
+    val p = BatchProgress(notif(SendCompleted, Some(2)), SendCompleted, 1, 0, Some(2),
+      failedEmitted = false, completedEmitted = false)
+    val st = freshState(Some(p)) // fresh invocation: Spark has cleared the timer
+    val out = run(tracker(), st, PipelineEvent.of(rec("straggler"), 0))
+    assert(out.map(_.tag) == Seq(Output.Valid)) // within window: still forwards
+    assert(out.count(_.tag == Output.Notification) == 0) // count == expected, not over
+    assert(st.get.validCount == 2 && st.get.status == SendCompleted)
+    assert(st.getTimeoutTimestampMs.isPresent, "completion timer must be re-armed")
+  }
+
+  test("monotonic: duplicate started after sendCompleted is ignored and timer survives") {
+    val p = BatchProgress(notif(SendCompleted, Some(2)), SendCompleted, 1, 0, Some(2),
+      failedEmitted = false, completedEmitted = false)
+    val st = freshState(Some(p))
+    val out = run(tracker(), st, PipelineEvent.of(notif(Started), 0)) // mgmt retry, late
+    assert(out.isEmpty)
+    assert(st.get.status == SendCompleted, "status must not regress to started")
+    assert(st.get.expectedRecordCount.contains(2))
+    assert(st.getTimeoutTimestampMs.isPresent, "completion timer must be re-armed")
+  }
+
+  test("monotonic: sendCompleted echo after completed is ignored (no second completion cycle)") {
+    val done = BatchProgress(notif(Completed, Some(1)), Completed, 1, 0, Some(1),
+      failedEmitted = false, completedEmitted = true)
+    val st = freshState(Some(done))
+    val out = run(tracker(), st, PipelineEvent.of(notif(SendCompleted, Some(1)), 0))
+    assert(out.isEmpty)
+    assert(st.get.status == Completed)
+  }
+
+  test("monotonic: started after failed is ignored") {
+    val p = BatchProgress(notif(Failed, Some(1)), Failed, 2, 0, Some(1),
+      failedEmitted = true, completedEmitted = false)
+    val st = freshState(Some(p))
+    run(tracker(), st, PipelineEvent.of(notif(Started), 0))
+    assert(st.get.status == Failed)
+  }
+
+  // ---- state eviction (terminal TTL tombstones) ----
+
+  test("eviction: terminal state arms a TTL tombstone at invocation end") {
+    val completed = BatchProgress(notif(Completed, Some(1)), Completed, 1, 0, Some(1),
+      failedEmitted = false, completedEmitted = true)
+    val st = freshState(Some(completed))
+    run(tracker(), st, PipelineEvent.of(rec("late"), 0))
+    assert(st.getTimeoutTimestampMs.isPresent, "terminal state must carry a TTL")
+  }
+
+  test("eviction: TTL expiry on a terminal state removes it") {
+    val completed = BatchProgress(notif(Completed, Some(1)), Completed, 1, 0, Some(1),
+      failedEmitted = false, completedEmitted = true)
+    val st = freshState(Some(completed), timedOut = true)
+    val out = run(tracker(), st)
+    assert(out.isEmpty)
+    assert(!st.exists, "terminal state must be evicted at TTL expiry")
+  }
+
+  test("eviction: clause-8 completed arms the TTL in the same timeout invocation") {
+    val p = BatchProgress(notif(SendCompleted, Some(2)), SendCompleted, 2, 0, Some(2),
+      failedEmitted = false, completedEmitted = false)
+    val st = freshState(Some(p), timedOut = true)
+    run(tracker(), st)
+    assert(st.get.status == Completed)
+    assert(st.getTimeoutTimestampMs.isPresent, "completed state must carry a TTL")
+  }
+
+  test("eviction: zero-record NoOp timeout evicts state immediately") {
+    val p = BatchProgress(notif(SendCompleted, Some(1)), SendCompleted, 0, 0, Some(1),
+      failedEmitted = false, completedEmitted = false)
+    val st = freshState(Some(p), timedOut = true)
+    val out = run(tracker(), st)
+    assert(out.isEmpty)
+    assert(!st.exists, "zero-record batch state must be evicted, not parked")
+  }
+
+  test("eviction: late record after eviction re-seeds via lookup and routes invalid (clause 5 preserved)") {
+    // Production path: the Management API still knows the batch as completed.
+    val st = freshState() // state was evicted
+    val out = run(tracker(known = Seq(notif(Completed, Some(1)))), st,
+      PipelineEvent.of(rec("late"), 0))
+    assert(out.map(_.tag) == Seq(Output.Invalid))
+    assert(failureMessage(out.head) == "Record received after batch completed")
+    assert(st.get.status == Completed, "re-seeded terminal state")
+    assert(st.getTimeoutTimestampMs.isPresent, "re-seeded terminal state carries a TTL again")
+  }
+
+  test("eviction: terminal notification echo with no state does not resurrect state") {
+    val st = freshState()
+    val out = run(tracker(), st, PipelineEvent.of(notif(Completed, Some(1)), 0))
+    assert(out.isEmpty)
+    assert(!st.exists, "completed echo after eviction must not re-seed state")
+  }
+
   test("multi-batch isolation: tracker state is per-key (two states never mix)") {
     val t = tracker()
     val stA = freshState()

@@ -20,13 +20,13 @@ class KafkaShapeSpec extends AnyFunSuite {
       (Seq(HriHeader("batchId", "b-9".getBytes(UTF_8)),
         HriHeader("testUtf8あいうえおか", "あいうえおか".getBytes(UTF_8))),
         "k1".getBytes(UTF_8), "payload".getBytes(UTF_8),
-        "ingest.t.s.in", 3, 42L))
-      .toDF("headers", "key", "value", "topic", "partition", "offset")
+        "ingest.t.s.in", 3, 42L, new java.sql.Timestamp(1586314943000L)))
+      .toDF("headers", "key", "value", "topic", "partition", "offset", "timestamp")
     val evs = ValidationJob.recordEvents(df).collect()
     assert(evs.length == 1)
     val e = evs.head
-    assert(e.batchId == "b-9") // grouping key = batchId header
-    assert(e.seq == 42L)       // seq = offset
+    assert(e.batchId == "b-9")      // grouping key = batchId header
+    assert(e.seq == 1586314943000L) // seq = log timestamp millis (cross-topic comparable)
     val r = e.record.get
     assert(new String(r.key, UTF_8) == "k1")
     assert(new String(r.value, UTF_8) == "payload")
@@ -37,8 +37,9 @@ class KafkaShapeSpec extends AnyFunSuite {
 
   test("recordEvents: record with no batchId header groups under the empty key (→ 404 path)") {
     import spark.implicits._
-    val df = Seq((Seq.empty[HriHeader], "k".getBytes(UTF_8), "v".getBytes(UTF_8), "t", 0, 7L))
-      .toDF("headers", "key", "value", "topic", "partition", "offset")
+    val df = Seq((Seq.empty[HriHeader], "k".getBytes(UTF_8), "v".getBytes(UTF_8), "t", 0, 7L,
+        new java.sql.Timestamp(1586314943000L)))
+      .toDF("headers", "key", "value", "topic", "partition", "offset", "timestamp")
     val evs = ValidationJob.recordEvents(df).collect()
     assert(evs.head.batchId == "")
   }
@@ -50,11 +51,12 @@ class KafkaShapeSpec extends AnyFunSuite {
         |"status":"sendCompleted","startDate":"2020-04-08T03:02:23Z",
         |"endDate":"2020-04-11T16:02:44Z","expectedRecordCount":15,
         |"invalidThreshold":5,"metadata":{"a":1}}""".stripMargin
-    val df = Seq((wire.getBytes(UTF_8), 3L)).toDF("value", "offset")
+    val df = Seq((wire.getBytes(UTF_8), new java.sql.Timestamp(1586314900123L)))
+      .toDF("value", "timestamp")
     val evs = ValidationJob.notificationEvents(df).collect()
     assert(evs.length == 1)
     val n = evs.head.notification.get
-    assert(evs.head.batchId == "b-9" && evs.head.seq == 3L)
+    assert(evs.head.batchId == "b-9" && evs.head.seq == 1586314900123L)
     assert(n.status == BatchStatus.SendCompleted)
     assert(n.expectedRecordCount.contains(15) && n.invalidThreshold == 5)
     assert(n.metadata.contains("""{"a":1}"""))
