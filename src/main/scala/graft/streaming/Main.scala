@@ -85,6 +85,16 @@ object Main {
     Topics.validate(c.input).map(_ => c)
   }
 
+  /** Production mode looks unknown batches up in the Management API
+    * (reference getBatchId path, PassthroughStreamingJob.java:114-117);
+    * standalone mode has no external source of truth, so unknown batches
+    * 404 via the empty map (parity with the reference, where standalone is
+    * test-only). Factored out so CliSpec can pin the wiring. */
+  def lookupFor(c: Config): BatchLookup =
+    if (c.standalone) new MapBatchLookup(Seq.empty)
+    else new HttpBatchLookup(c.mgmtUrl.get, c.clientId.get,
+      c.clientSecret.get, c.audience.get, c.oauthUrl.get)
+
   def main(args: Array[String]): Unit = {
     parse(args) match {
       case Left(err) =>
@@ -100,10 +110,7 @@ object Main {
           if (c.standalone) None
           else Some(new HttpMgmtClient(c.mgmtUrl.get, c.clientId.get,
             c.clientSecret.get, c.audience.get, c.oauthUrl.get))
-        // Production BatchLookup would query the Management API; standalone
-        // mode has no external source of truth, so unknown batches 404
-        // (parity with the reference, where standalone is test-only).
-        val lookup: BatchLookup = new MapBatchLookup(Seq.empty)
+        val lookup: BatchLookup = lookupFor(c)
         val query = ValidationJob.startKafka(
           spark, topics, c.brokers, c.password, PassthroughValidator, lookup,
           c.batchCompletionDelayMs, mgmt,

@@ -47,10 +47,16 @@ object Topics {
   *
   * Scale: the record path shuffles ONCE, on batchId, into the stateful
   * operator; the notification stream is negligible traffic on the same
-  * shuffle. State is O(1) per batch. Checkpointing gives exactly-once state
-  * transitions; the Kafka sink is at-least-once — record identity
-  * (topic, partition, offset) makes downstream dedup idempotent, and the
-  * README documents the delta from Flink's transactional sink honestly.
+  * shuffle. State is O(active batches) (terminal state is TTL-evicted —
+  * see BatchTracker). Delivery: checkpointing gives exactly-once STATE
+  * transitions; the Kafka sink is at-least-once, hardened two ways —
+  * (1) the [[EpochCommitLog]] skips whole-epoch foreachBatch replays (the
+  * common duplicate case: failure lands between sink write and checkpoint
+  * commit), proven by RecoverySpec's injected mid-epoch crash; (2) records
+  * carry deterministic identity (topic, partition, offset) so the residual
+  * partial-epoch replay stays idempotent for downstream dedup. The delta
+  * vs the reference's transactional Flink sink is exactly that residual
+  * window, documented here rather than papered over.
   */
 object ValidationJob {
 
@@ -136,14 +142,64 @@ object ValidationJob {
     val tracker = new BatchTracker(validator, lookup, topics.tenant, completionDelayMs)
     val outputs = pipeline(events, tracker)
 
+    // Epoch-id dedup (X1): Spark re-runs the last foreachBatch epoch after
+    // a failure that struck between sink write and checkpoint commit. The
+    // commit log below records the highest fully-written epoch, so the
+    // replayed epoch is skipped instead of double-produced — closing the
+    // common duplicate case of the at-least-once Kafka sink (the reference's
+    // HA chaos bar, high_availability_spec.rb:101-181). The residual window
+    // — a crash in the middle of writeOutputs itself — replays a partially
+    // written epoch; deterministic record identity (topic, partition,
+    // offset) keeps that replay idempotent for downstream dedup, and the
+    // delta is documented in the scaladoc above.
     outputs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: Dataset[Output], _: Long) =>
-        writeOutputs(batch, topics, brokers, password, mgmt)
+      .foreachBatch { (batch: Dataset[Output], epochId: Long) =>
+        val commitDir = s"$checkpointLocation/sink-commits"
+        if (epochId > EpochCommitLog.lastCommitted(batch.sparkSession, commitDir)) {
+          writeOutputs(batch, topics, brokers, password, mgmt)
+          EpochCommitLog.commit(batch.sparkSession, commitDir, epochId)
+        } else {
+          // Replay of an already-written epoch: drain every partition (Spark
+          // 4 validates that foreachBatch commits all state stores) but
+          // write nothing — this skip IS the dedup.
+          batch.foreach(_ => ())
+        }
       }
       .start()
+  }
+
+  /** Sink-side epoch commit log for foreachBatch idempotence (X1). Driver-
+    * only, single-writer; lives next to the query checkpoint and speaks the
+    * Hadoop FileSystem API so local paths and HDFS/object-store checkpoints
+    * both work. Stores the highest fully-written epoch id; a write is
+    * temp-file + rename so a crash mid-commit leaves the previous value. */
+  private[streaming] object EpochCommitLog {
+    import org.apache.hadoop.fs.Path
+
+    def lastCommitted(spark: SparkSession, dir: String): Long = {
+      val latest = new Path(dir, "latest")
+      val fs = latest.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(latest)) -1L
+      else {
+        val in = fs.open(latest)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }
+
+    def commit(spark: SparkSession, dir: String, epochId: Long): Unit = {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new Path(dir, s"latest.tmp-$epochId")
+      val latest = new Path(dir, "latest")
+      val out = fs.create(tmp, true)
+      try out.write(epochId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(latest)) fs.delete(latest, false)
+      fs.rename(tmp, latest)
+    }
   }
 
   /** One micro-batch epoch feeds all three sinks (+ optional K4 writeback)
