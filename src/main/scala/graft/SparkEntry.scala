@@ -48,6 +48,7 @@ object SparkEntry {
     "q19_array_fns"       -> (R.q19ArrayFns _),
     "q20_explode"         -> (R.q20Explode _),
     "q21_hourly_window"   -> (R.q21HourlyWindow _),
+    "q24_map_fns"         -> (R.q24MapFns _),
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
@@ -216,6 +217,16 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q24_map_fns" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  event_type AS type_val,
+        |  CAST(user_id AS VARCHAR) AS uid_val,
+        |  strftime(ts, '%Y-%m-%d') AS day_val
+        |FROM events""".stripMargin,
 
     "q22_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -14,14 +14,19 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects at analysis time. Read it as a raw long (legacy nanosAsLong)
-    * and truncate to microseconds with INTEGER division (`div`) — a double
-    * division would lose precision above 2^53 ns and drift the truncation
-    * by a few microseconds vs the DuckDB oracle. Oracle SQL reads nanos
-    * natively, so any query emitting `ts`-derived values must truncate at
-    * or above microsecond granularity on both sides. */
+    * rejects at analysis time. Read it as a raw long (legacy nanosAsLong —
+    * the SESSION must be built with `spark.sql.legacy.parquet.nanosAsLong=
+    * true`; Bench/Verify/PlanDump and the test fixture all set it, and this
+    * loader no longer mutates session conf as a side effect) and truncate
+    * to microseconds with INTEGER division (`div`) — a double division
+    * would lose precision above 2^53 ns and drift the truncation by a few
+    * microseconds vs the DuckDB oracle. Oracle SQL reads nanos natively, so
+    * any query emitting `ts`-derived values must truncate at or above
+    * microsecond granularity on both sides. */
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     import org.apache.spark.sql.functions._
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

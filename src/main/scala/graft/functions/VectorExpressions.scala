@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -58,6 +58,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positionwise agreement count over two array<long> columns — the MinHash
+  * signature-similarity kernel. The HOF spelling
+  * `size(filter(zip_with(a, b, _ === _), identity))` pays TWO interpreted
+  * lambdas per element per candidate pair; candidate counts grow with the
+  * corpus, so at scale the estimate stage becomes the bottleneck (the
+  * round-2 verdict's finding). This expression is the same compare loop as
+  * generated Java inside whole-stage codegen.
+  *
+  * Precondition: dense long arrays, no null elements (MinHash signatures
+  * are fixed 64-slot arrays); mismatched lengths compare the common
+  * prefix. */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_agree_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product over two array<double> columns. Accumulates
     * left-to-right — identical fold order to the DuckDB oracle's
@@ -65,4 +113,9 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Codegen'd positionwise equality count over two array<long> columns. */
+  def agreeCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      ArrayAgreeCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

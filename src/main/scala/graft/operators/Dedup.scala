@@ -68,10 +68,17 @@ object Dedup {
     * quadratic at 100 TB. Per-doc shingle counts join by shuffle — never
     * broadcast an unbounded per-document relation; AQE still broadcasts it
     * at small scale on its own. */
-  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame =
     // materialized once; reused by the DF cap, the per-doc counts, and
     // both sides of the self-join (at cluster scale: a shingle table)
-    val ex = shingleTable(documents(s, d)).persist()
+    ngramJaccardFrom(shingleTable(documents(s, d)).persist())
+
+  /** The Jaccard self-join over an ALREADY-MATERIALIZED shingle table —
+    * the cluster-scale shape, where the tokenize shuffle is paid once and
+    * shared with the MinHash path ([[minHashLshFrom]]). Bench drives both
+    * from one persisted table; the SparkEntry surface keeps the
+    * self-contained (s, d) variants for independent correctness runs. */
+  def ngramJaccardFrom(ex: DataFrame): DataFrame = {
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap)
@@ -93,22 +100,26 @@ object Dedup {
   val MinHashPerms = 64
   val LshBands = 16 // 4 rows/band → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** 64-perm MinHash signatures via EXPLODE + codegen'd hashing + two-level
-    * aggregation, NOT a nested higher-order-function expression: Spark
-    * evaluates HOF lambdas interpreted (~35 µs/element measured), so a
-    * perms×shingles nested transform is ~60 s for 500 docs. Exploding
-    * (doc, perm, shingle) keeps xxhash64 inside whole-stage codegen, and
-    * the min() partial-aggregates map-side, so the shuffle carries only
-    * docs×64 rows — the standard MinHash-at-scale dataflow. */
+  /** 64-perm MinHash signatures as ONE wide aggregation: each (doc,
+    * shingle) row projects 64 codegen'd xxhash64 columns, one min()
+    * aggregate per permutation (map-side combined), and a final `array()`
+    * projection assembles the signature. Zero higher-order functions —
+    * Spark evaluates HOF lambdas interpreted (~35 µs/element measured), so
+    * a perms×shingles nested transform is ~60 s for 500 docs, and even the
+    * round-2 explode shape paid an interpreted
+    * transform(array_sort(collect_list)) per doc to assemble the array.
+    * This shape also beats the explode dataflow structurally: no 64× row
+    * blow-up and ONE doc_id shuffle of 64 pre-combined columns instead of
+    * a (doc, perm) shuffle of 64× rows — the same wide-agg pattern as
+    * [[qSimHash]]'s 64 vote columns. Hash inputs (lit("mh"), perm,
+    * shingle) are unchanged from round 2, so signatures are bit-identical. */
   def minhashSigs(ex: DataFrame): DataFrame = {
-    ex
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(MinHashPerms - 1))).as("p"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(min(xxhash64(lit("mh"), col("p"), col("shingle"))).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("mh")))),
-        e => e.getField("mh")).as("sig"))
+    val mins = (0 until MinHashPerms).map(p =>
+      min(xxhash64(lit("mh"), lit(p), col("shingle"))).as(s"m$p"))
+    ex.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinHashPerms).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   /** (doc_id, band, bkey) rows: band b's key hashes signature rows
@@ -139,16 +150,23 @@ object Dedup {
     *   3. join the two fixed-size signatures back by id and estimate
     *      Jaccard from positionwise agreement.
     * Only ids, band keys, and 64×8-byte signatures ever shuffle. */
-  def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(shingleTable(documents(s, d))).persist()
+  def qMinHashLsh(s: SparkSession, d: String): DataFrame =
+    minHashLshFrom(shingleTable(documents(s, d)))
+
+  /** MinHash+LSH over an already-materialized shingle table (see
+    * [[ngramJaccardFrom]]). */
+  def minHashLshFrom(ex: DataFrame): DataFrame = {
+    val sigs = minhashSigs(ex).persist()
     val buckets = bandKeyTable(sigs)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      m => m)).cast("double") / lit(MinHashPerms.toDouble)
+    // codegen'd agreement count (graft.functions.ArrayAgreeCount) — the
+    // per-candidate-pair hot path must not run interpreted HOF lambdas
+    val est = graft.functions.VectorFunctions.agreeCount(col("sig_a"), col("sig_b"))
+      .cast("double") / lit(MinHashPerms.toDouble)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -183,8 +201,8 @@ object Dedup {
     val sigs = qSimHash(s, d).persist() // computed once; both join sides reuse
 
     val chunks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L))): _*))
         .as(Seq("chunk", "ckey")))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&

@@ -244,6 +244,34 @@ object Relational {
         (col("pos0") + 1).as("pos"),
         col("val").cast("double").as("val"))
 
+  /** Map-typed functions (SURVEY §2.4 "array/map fns", map half): parse
+    * props into map<string,int> (dynamic keys — unlike q18's fixed-schema
+    * struct), then map_keys / element_at / size over it, plus
+    * map_from_entries + map_concat building a map from columns and reading
+    * it back. sort_array (not array_sort) on the keys: same result, but
+    * SortArray is a plain codegen expression while array_sort carries a
+    * comparator lambda. */
+  def q24MapFns(s: SparkSession, d: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+    val built = map_concat(
+      map_from_entries(array(
+        struct(lit("type").as("k"), col("event_type").as("v")),
+        struct(lit("uid").as("k"), col("user_id").cast("string").as("v")))),
+      map(lit("day"), date_format(col("ts"), "yyyy-MM-dd")))
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("ts"),
+        m.as("props_map"), built.as("built_map"))
+      .select(
+        col("event_id"),
+        array_join(sort_array(map_keys(col("props_map"))), ",").as("keys_csv"),
+        size(col("props_map")).as("n_keys"),
+        element_at(col("props_map"), "k").as("k_val"),
+        element_at(col("built_map"), "type").as("type_val"),
+        element_at(col("built_map"), "uid").as("uid_val"),
+        element_at(col("built_map"), "day").as("day_val"))
+  }
+
   /** TPC-H Q3 twin: 3-way join (dim-broadcast customer, fact⋈fact
     * orders⋈lineitem), selective filters on both fact sides, top-10 orders
     * by revenue. Exercises Catalyst's join composition: the segment filter

@@ -68,6 +68,31 @@ class OperatorSpec extends AnyFunSuite {
       s"too many false positives: ${approx.size} vs ${exact.size}")
   }
 
+  test("plan shape: the MinHash path is HOF-free (no interpreted lambdas) and uses the codegen'd agree-count") {
+    // HOF lambdas evaluate interpreted (~35 µs/element); the signature and
+    // estimate stages must stay inside whole-stage codegen. `lambdavariable`
+    // in a plan marks an interpreted higher-order function.
+    val plan = Dedup.qMinHashLsh(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("lambdavariable"),
+      s"interpreted HOF on the MinHash path:\n$plan")
+    assert(plan.contains("graft_agree_count"), s"estimate not on the codegen'd kernel:\n$plan")
+    val simPlan = Dedup.qSimHashPairs(spark, d).queryExecution.executedPlan.toString
+    assert(!simPlan.toLowerCase.contains("lambdavariable"),
+      s"interpreted HOF on the SimHash path:\n$simPlan")
+  }
+
+  test("graft_agree_count: codegen'd positionwise equality over long arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)), // 2 agreements
+      (Seq(5L, 5L), Seq(5L, 5L)),                 // all agree
+      (Seq(1L, 2L, 3L), Seq(9L, 8L, 7L)))         // none
+      .toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions.agreeCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 2, 0))
+  }
+
   test("dedup_exact keeps one representative per distinct content and counts multiplicity") {
     val df = Dedup.qDedupExact(spark, d)
     val total = df.agg(sum("dup_count")).head.getLong(0)

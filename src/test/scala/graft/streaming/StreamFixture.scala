@@ -18,6 +18,7 @@ object StreamFixture {
       .appName("graft-streaming-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
