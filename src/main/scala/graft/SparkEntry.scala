@@ -49,6 +49,8 @@ object SparkEntry {
     "q20_explode"         -> (R.q20Explode _),
     "q21_hourly_window"   -> (R.q21HourlyWindow _),
     "q24_map_fns"         -> (R.q24MapFns _),
+    "q25_sliding_window"  -> (R.q25SlidingWindow _),
+    "q26_session_window"  -> (R.q26SessionWindow _),
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
@@ -227,6 +229,35 @@ object SparkEntry {
         |  CAST(user_id AS VARCHAR) AS uid_val,
         |  strftime(ts, '%Y-%m-%d') AS day_val
         |FROM events""".stripMargin,
+
+    "q25_sliding_window" ->
+      """WITH e AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts, event_type, "value"
+        |           FROM events),
+        |g AS (SELECT event_type, "value",
+        |        make_timestamp((epoch_ns(ts)//1000//1000000//1800)*1800*1000000) AS w0
+        |      FROM events),
+        |w AS (SELECT event_type, "value", w0 AS ws FROM g
+        |      UNION ALL
+        |      SELECT event_type, "value", w0 - INTERVAL 30 MINUTE FROM g)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q26_session_window" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "value"
+        |           FROM events),
+        |m AS (SELECT user_id, ts, "value",
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, ts, "value",
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q22_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -333,4 +333,48 @@ object Relational {
     * StreamingWindowSpec. */
   def hourlyWindowStream(streamingEvents: DataFrame): DataFrame =
     hourlyWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
+
+  /** Sliding-window core shared by the batch (q25) and streaming forms:
+    * 1-hour windows sliding every 30 minutes, so each event lands in
+    * exactly duration/slide = 2 overlapping windows. Spark assigns windows
+    * on the epoch-aligned 30-minute grid; the oracle reproduces that grid
+    * with integer arithmetic on microseconds (same truncation as the
+    * loader) and a 2-way UNION ALL. */
+  def slidingWindowAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), vsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding event-time windows over the bounded events table. */
+  def q25SlidingWindow(s: SparkSession, d: String): DataFrame =
+    slidingWindowAgg(events(s, d))
+
+  /** Streaming form of q25 (watermarked, append-mode-safe). */
+  def slidingWindowStream(streamingEvents: DataFrame): DataFrame =
+    slidingWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
+
+  /** Session-window core shared by the batch (q26) and streaming forms:
+    * per-user sessions that close after a 10-minute event gap. Spark
+    * splits when the gap is >= the duration (strictly-less merges); the
+    * oracle's gaps-and-islands SQL uses `< INTERVAL 10 MINUTE` to match,
+    * and both sides truncate ts to microseconds so boundary comparisons
+    * see identical values. session_start is emitted at full microsecond
+    * precision — it is the row identity for a (user, session). */
+  def sessionWindowAgg(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        vsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+
+  /** Session windows (10-minute inactivity gap) per user. */
+  def q26SessionWindow(s: SparkSession, d: String): DataFrame =
+    sessionWindowAgg(events(s, d))
+
+  /** Streaming form of q26: session windows need a watermark in append
+    * mode — a session is emitted once the watermark passes its close. */
+  def sessionWindowStream(streamingEvents: DataFrame): DataFrame =
+    sessionWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
 }

@@ -154,6 +154,26 @@ class ScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("undercount at timeout: fewer records than expected when the delay expires → failed (documented choice)") {
+    // The one edge the reference's specs never exercise (SURVEY §2.3 cl. 8):
+    // sendCompleted(expected=5) but only 3 records ever arrive. This
+    // pipeline emits `failed` with the actual recordCount when the
+    // completion delay expires — pinned here so the decision is held by a
+    // test, not a comment.
+    runPipeline(completionDelayMs = 200L) { (input, results) =>
+      val b = "spec-batch-undercount"
+      val evs = PipelineEvent.of(notif(b, Started), 0) +:
+        (1 to 3).map(i => PipelineEvent.of(rec(i, b), i.toLong)) :+
+        PipelineEvent.of(notif(b, SendCompleted, Some(5)), 4)
+      input.addData(evs: _*)
+      val out = await(results)(r => notifs(r).exists(_.status == Failed))
+      assert(valids(out).size == 3) // the records that did arrive still forwarded
+      val failed = notifs(out).filter(_.status == Failed)
+      assert(failed.map(_.recordCount) == Seq(Some(3)))
+      assert(failed.head.expectedRecordCount.contains(5))
+    }
+  }
+
   test("scenario 7: records after completed go to invalid; batch stays completed") {
     runPipeline(completionDelayMs = 200L) { (input, results) =>
       val b = "spec-batch-7"

@@ -11,33 +11,40 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
 
-/** Streaming q21: the watermarked hourly-window aggregation emits, in
-  * append mode, exactly the windows the batch form computes over the same
-  * bounded replay (VERDICT r01 next-step 10). Uses the driver-provided
-  * events table at sf0.001 as the replay source. */
+/** Streaming window forms (q21 tumbling, q25 sliding, q26 session): each
+  * watermarked streaming aggregation emits, in append mode, exactly what
+  * its batch form computes over the same bounded replay (VERDICT r01
+  * next-step 10). Uses the driver-provided events table at sf0.001 as the
+  * replay source. The sentinel row far past the data pushes the watermark
+  * beyond every real window/session so append mode finalizes them all; the
+  * sentinel's own window stays open and is never emitted, so it is
+  * excluded from the batch side too. */
 class StreamingWindowSpec extends AnyFunSuite {
 
-  test("streaming hourly window agrees with the batch form on a bounded replay") {
+  private val SentinelType = "sentinel"
+
+  /** Replays events through `stream`, then compares the emitted rows with
+    * `batch` applied to the same bounded input (sentinel excluded). */
+  private def assertStreamMatchesBatch(
+      batch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      stream: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      dropSentinel: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val spark = StreamFixture.spark
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
     val rows = graft.Tables.events(spark, "/root/testdata/sf0.001")
-      .select($"ts", $"event_type", $"value")
-      .as[(Timestamp, String, Double)]
+      .select($"ts", $"event_type", $"value", $"user_id")
+      .as[(Timestamp, String, Double, Long)]
       .collect()
       .toSeq
     assert(rows.nonEmpty)
 
-    // Sentinel far past the data pushes the watermark beyond every real
-    // window so append mode finalizes them all; its own window stays open
-    // and is never emitted.
     val maxTs = rows.map(_._1.getTime).max
-    val sentinel = (new Timestamp(maxTs + 7 * 24 * 3600 * 1000L), "sentinel", 0.0)
+    val sentinel = (new Timestamp(maxTs + 7 * 24 * 3600 * 1000L), SentinelType, 0.0, -1L)
 
-    val input = MemoryStream[(Timestamp, String, Double)]
-    val streamed = Relational.hourlyWindowStream(
-      input.toDF().toDF("ts", "event_type", "value"))
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamed = stream(input.toDF().toDF("ts", "event_type", "value", "user_id"))
     val name = "win_" + UUID.randomUUID().toString.replace("-", "")
     val query = streamed.writeStream
       .outputMode("append")
@@ -54,15 +61,33 @@ class StreamingWindowSpec extends AnyFunSuite {
       input.addData(sentinel)
       query.processAllAvailable()
 
-      val batch = Relational.hourlyWindowAgg(
-          rows.toDF("ts", "event_type", "value"))
+      val expected = batch(rows.toDF("ts", "event_type", "value", "user_id"))
         .collect().map(canon).toSet
-      val stream = spark.table(name).collect().map(canon).toSet
-      assert(stream == batch,
-        s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+      val got = dropSentinel(spark.table(name)).collect().map(canon).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
     } finally query.stop()
   }
 
-  private def canon(r: Row): (String, String, Long, Double) =
-    (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+  private def canon(r: Row): Seq[Any] = r.toSeq
+
+  test("streaming hourly window agrees with the batch form on a bounded replay") {
+    assertStreamMatchesBatch(
+      Relational.hourlyWindowAgg, Relational.hourlyWindowStream, identity)
+  }
+
+  test("streaming sliding window (1h / 30min) agrees with the batch form") {
+    assertStreamMatchesBatch(
+      Relational.slidingWindowAgg, Relational.slidingWindowStream, identity)
+  }
+
+  test("streaming session window (10min gap) agrees with the batch form") {
+    import org.apache.spark.sql.functions.col
+    // the sentinel user (-1) opens a session that never closes; drop it from
+    // the batch side the same way append mode never emits it
+    assertStreamMatchesBatch(
+      df => Relational.sessionWindowAgg(df).filter(col("user_id") =!= -1L),
+      Relational.sessionWindowStream,
+      df => df.filter(col("user_id") =!= -1L))
+  }
 }
