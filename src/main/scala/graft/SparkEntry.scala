@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Dedup, Multimodal, Relational => R, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational => R, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,12 +51,14 @@ object SparkEntry {
     "q24_map_fns"         -> (R.q24MapFns _),
     "q25_sliding_window"  -> (R.q25SlidingWindow _),
     "q26_session_window"  -> (R.q26SessionWindow _),
+    "q27_asof_join"       -> (R.qAsofJoin _),
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
     "dedup_exact"         -> (Dedup.qDedupExact _),
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
+    "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
     "simhash_pairs"       -> (Dedup.qSimHashPairs _), // rows-only: xxhash64 not in DuckDB
     // ---- LLM-pipeline: similarity search ----
@@ -80,6 +82,8 @@ object SparkEntry {
         .drop("content")), // metadata slice; payload bytes are opaque
     "media_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
+    // ---- LLM-pipeline: end-to-end curation composition ----
+    "training_mix"        -> (Pipeline.qTrainingMix _),
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -92,6 +96,32 @@ object SparkEntry {
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)])"
   private def l2(a: String) =
     s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN $a]))"
+
+  /** Word-3-gram inverted-index CTE chain shared by ngram_jaccard and
+    * dedup_clusters (must mirror Dedup.shingleTable + the DF cap). */
+  private val NGRAM_CTES =
+    s"""w AS (SELECT doc_id, $WORDS AS words FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2])
+       |                        FOR i IN range(1, len(words) - 1)]) AS sh
+       |       FROM w WHERE len(words) >= 3),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+       |ex2 AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+
+  /** Script-range language heuristic shared by lang_id and training_mix
+    * (must mirror TextOps.langIdExpr). */
+  private val LANG_CASE =
+    raw"""CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+         |     WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+         |     WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+         |     WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+         |     WHEN regexp_matches(text, '^[\x00-\x7f]*$$') THEN 'en'
+         |     ELSE 'other' END""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (HLL,
@@ -291,22 +321,66 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "ngram_jaccard" ->
-      s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
-         |sh AS (SELECT doc_id,
-         |         list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2])
-         |                        FOR i IN range(1, len(words) - 1)]) AS sh
-         |       FROM w WHERE len(words) >= 3),
-         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-         |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
-         |ex2 AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
-         |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
+      s"""WITH $NGRAM_CTES
          |SELECT doc_a, doc_b,
          |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
          |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $NGRAM_CTES,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM bi),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT bi.b, reach.r FROM bi JOIN reach ON bi.a = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT id AS doc_id, cluster_id, cluster_size
+         |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+
+    "q27_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |             event_type, "value" FROM events),
+        |m AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER w AS prev_click_ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN "value" END IGNORE NULLS)
+        |      OVER w AS prev_click_val
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_click_ts,
+        |  CAST(prev_click_val AS DOUBLE) AS prev_click_value
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
+
+    "training_mix" ->
+      s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),
+         |sq AS (SELECT doc_id,
+         |    round(least(len(words) / 100.0, 1.0) *
+         |      (1.0 - CAST(len([w FOR w IN words
+         |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |        / len(words)), 4) AS quality,
+         |    len(words) AS ws_tokens
+         |  FROM t),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
+         |lang AS (SELECT doc_id, $LANG_CASE AS pred_lang FROM documents)
+         |SELECT d.doc_id, pred_lang, quality, ws_tokens,
+         |  substr(md5(text), 1, 2) AS sample_bucket
+         |FROM documents d
+         |JOIN keep USING (doc_id) JOIN lang USING (doc_id) JOIN sq USING (doc_id)
+         |WHERE quality >= 0.05
+         |  AND substr(md5(text), 1, 2) <
+         |    CASE WHEN pred_lang = 'en' THEN '80'
+         |         WHEN pred_lang = 'ru' THEN 'c0' ELSE 'zz' END""".stripMargin,
 
     "ann_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -97,6 +97,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 3).as("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the exact Jaccard
+    * pair graph, with the canonical representative (min doc_id) as the
+    * cluster id — the step a real dedup pass runs after pair generation,
+    * because duplicates arrive as chains (A~B, B~C) that pairwise keep/drop
+    * rules handle inconsistently. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterPairs(qNgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components by iterative min-label propagation — the
+    * standard Spark CC dataflow (no GraphX dependency): each round, every
+    * vertex takes the min label among itself and its neighbors; converges
+    * in O(graph diameter) rounds, and near-dup components are short chains
+    * (diameter ≪ 20; the cap is a safety rail, and real pipelines cap
+    * exactly this way).
+    *
+    * Scale shape: edges persist once (both directions); each round is ONE
+    * shuffle join on vertex id over (id, label) pairs — never the
+    * documents. The driver only counts label changes per round (a scalar
+    * per iteration — iteration control is inherently driver-side; the data
+    * path stays distributed). */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val candidate = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      val changes = candidate.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = candidate
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   val MinHashPerms = 64
   val LshBands = 16 // 4 rows/band → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 

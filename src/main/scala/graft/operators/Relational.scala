@@ -377,4 +377,31 @@ object Relational {
     * mode — a session is emitted once the watermark passes its close. */
   def sessionWindowStream(streamingEvents: DataFrame): DataFrame =
     sessionWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
+
+  /** As-of join (q27): for each 'purchase' event, the most recent strictly
+    * prior 'click' by the same user. Spark has no ASOF JOIN operator; the
+    * brief's preference order says compose existing ops first — and the
+    * union + `last(..., ignoreNulls)` row-window IS the right composition:
+    * both sides shuffle ONCE on user_id into one sort, versus a range join
+    * that explodes to per-pair comparisons. Deterministic total order via
+    * the unique event_id tie-breaker; timestamps compared and emitted at
+    * microsecond precision on both engines. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("click_val", when(col("event_type") === "click", col("value")))
+      .withColumn("prev_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("prev_click_val", last(col("click_val"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("prev_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prev_click_ts"),
+        col("prev_click_val").cast("double").as("prev_click_value"))
+  }
 }

@@ -93,6 +93,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq(2, 2, 0))
   }
 
+  test("clusterPairs: chains collapse to one component with the min id as canonical") {
+    import spark.implicits._
+    // two chains (1-2-3-4 via transitive pairs, 10-11) and no cross edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("training_mix: sampling is content-keyed and the kept set is closed under the declared rules") {
+    val mix = graft.operators.Pipeline.qTrainingMix(spark, d).collect()
+    assert(mix.nonEmpty)
+    mix.foreach { r =>
+      val (lang, bucket) = (r.getString(1), r.getString(4))
+      val cap = lang match { case "en" => "80"; case "ru" => "c0"; case _ => "zz" }
+      assert(bucket < cap, s"row outside its language's sample bucket: $r")
+      assert(r.getDouble(2) >= 0.05) // quality floor
+    }
+    // deterministic: a second run yields the identical set
+    val again = graft.operators.Pipeline.qTrainingMix(spark, d).collect()
+    assert(mix.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("dedup_exact keeps one representative per distinct content and counts multiplicity") {
     val df = Dedup.qDedupExact(spark, d)
     val total = df.agg(sum("dup_count")).head.getLong(0)
