@@ -52,6 +52,9 @@ object SparkEntry {
     "q25_sliding_window"  -> (R.q25SlidingWindow _),
     "q26_session_window"  -> (R.q26SessionWindow _),
     "q27_asof_join"       -> (R.qAsofJoin _),
+    "q28_percentiles"     -> (R.q28Percentiles _),
+    "q29_grouping_sets"   -> (R.q29GroupingSets _),
+    "q30_pivot"           -> (R.q30Pivot _),
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
@@ -361,6 +364,38 @@ object SparkEntry {
         |  strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_click_ts,
         |  CAST(prev_click_val AS DOUBLE) AS prev_click_value
         |FROM m WHERE event_type = 'purchase'""".stripMargin,
+
+    "q28_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont("value", 0.5), 6) AS p50,
+        |  round(quantile_cont("value", 0.95), 6) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """WITH t AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, order_year,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(order_year) AS INT) AS g_year,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM t GROUP BY GROUPING SETS ((n_name), (order_year), ())""".stripMargin,
+
+    "q30_pivot" ->
+      """WITH t AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name,
+        |  CAST(sum(CASE WHEN order_year = 1996
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS y1996,
+        |  CAST(sum(CASE WHEN order_year = 1997
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS y1997,
+        |  CAST(sum(CASE WHEN order_year = 1998
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS y1998
+        |FROM t GROUP BY n_name""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

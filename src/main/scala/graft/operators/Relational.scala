@@ -378,6 +378,69 @@ object Relational {
   def sessionWindowStream(streamingEvents: DataFrame): DataFrame =
     sessionWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
 
+  /** Exact percentiles (q28): median and p95 of event value per type.
+    * Spark's `percentile` and DuckDB's `quantile_cont` both do linear
+    * interpolation on the sorted values; rounding to 6 decimals absorbs
+    * the last-ulp arithmetic differences. (percentile_approx is the scale
+    * path — see q09's HLL precedent for why approx sketches are
+    * engine-specific and get twinned, not oracled.) */
+  def q28Percentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+        count(lit(1)).as("n"))
+
+  /** Grouping sets (q29) — the general form rollup/cube specialize; driven
+    * through the SQL surface (GROUPING SETS has no DataFrame verb), which
+    * also exercises spark.sql end-to-end. The 3 sets are per-nation,
+    * per-year, and grand total; grouping() disambiguates real NULLs from
+    * subtotal rows. */
+  def q29GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val view = "gs_orders_" + java.lang.Long.toHexString(System.identityHashCode(this).toLong)
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
+        col("o_totalprice"))
+      .createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT n_name, order_year,
+         |  CAST(grouping(n_name) AS INT) AS g_nation,
+         |  CAST(grouping(order_year) AS INT) AS g_year,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM $view
+         |GROUP BY GROUPING SETS ((n_name), (order_year), ())""".stripMargin)
+  }
+
+  /** Pivot (q30): revenue by nation pivoted over order years — wide-table
+    * reshaping, the BI staple. Explicit pivot values keep the plan a single
+    * pass (no distinct-values pre-query) and pin the output schema. */
+  def q30Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
+        col("o_totalprice"))
+      .groupBy(col("n_name"))
+      .pivot("order_year", Seq(1996, 1997, 1998))
+      .agg(dsum(col("o_totalprice")))
+      .select(col("n_name"), col("1996").as("y1996"),
+        col("1997").as("y1997"), col("1998").as("y1998"))
+
+  /** Streaming exact dedup: drop re-deliveries of the same event_id that
+    * arrive within the watermark horizon — the streaming twin of
+    * dedup_exact, and exactly the operator an at-least-once ingest (like
+    * this library's own Kafka sink story) composes downstream to get
+    * effective exactly-once. Dedup state is BOUNDED: ids older than the
+    * watermark are evicted, so state holds one key per event inside the
+    * horizon, not per event ever seen. */
+  def dedupStream(streamingEvents: DataFrame): DataFrame =
+    streamingEvents
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** As-of join (q27): for each 'purchase' event, the most recent strictly
     * prior 'click' by the same user. Spark has no ASOF JOIN operator; the
     * brief's preference order says compose existing ops first — and the

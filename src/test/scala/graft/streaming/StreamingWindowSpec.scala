@@ -81,6 +81,38 @@ class StreamingWindowSpec extends AnyFunSuite {
       Relational.slidingWindowAgg, Relational.slidingWindowStream, identity)
   }
 
+  test("streaming dedup drops watermark-window re-deliveries: each event_id survives once") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = new Timestamp(1700000000000L)
+    def at(sec: Int) = new Timestamp(base.getTime + sec * 1000L)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = Relational.dedupStream(input.toDF().toDF("event_id", "ts", "value"))
+    val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val query = deduped.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      // ids 1-5, with 1 and 3 re-delivered in the same trigger...
+      input.addData(Seq(
+        (1L, at(0), 1.0), (2L, at(1), 2.0), (1L, at(0), 1.0),
+        (3L, at(2), 3.0), (3L, at(2), 3.0), (4L, at(3), 4.0), (5L, at(4), 5.0)): _*)
+      query.processAllAvailable()
+      // ...and 2/4 re-delivered in a later trigger, still inside the horizon
+      input.addData((2L, at(1), 2.0), (4L, at(3), 4.0), (6L, at(5), 6.0))
+      query.processAllAvailable()
+
+      val ids = spark.table(name).select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == (1L to 6L), s"duplicates or losses: ${ids.sorted}")
+    } finally query.stop()
+  }
+
   test("streaming session window (10min gap) agrees with the batch form") {
     import org.apache.spark.sql.functions.col
     // the sentinel user (-1) opens a session that never closes; drop it from
