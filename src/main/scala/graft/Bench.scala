@@ -61,12 +61,17 @@ object Bench {
         "ngram_jaccard" -> time {
           operators.Dedup.ngramJaccardFrom(shingles).queryExecution.toRdd.count() },
         "minhash_lsh" -> time {
-          operators.Dedup.minHashLshFrom(shingles).queryExecution.toRdd.count() })
+          operators.Dedup.minHashLshFrom(shingles).queryExecution.toRdd.count() },
+        "dedup_clusters" -> time {
+          operators.Dedup.clusterPairs(
+            operators.Dedup.ngramJaccardFrom(shingles).select("doc_a", "doc_b"))
+            .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
+      val shared = Set("ngram_jaccard", "minhash_lsh", "dedup_clusters")
       val rest = SparkEntry.queries.toSeq
-        .filterNot { case (name, _) => name == "ngram_jaccard" || name == "minhash_lsh" }
+        .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>
           val sec = time { fn(spark, sfDir).queryExecution.toRdd.count() }
           spark.catalog.clearCache()
