@@ -76,6 +76,7 @@ object SparkEntry {
     "token_count"         -> (TextOps.qTokenCount _),
     "fingerprint"         -> (TextOps.qFingerprint _),
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
+    "q31_tfidf"           -> (TextOps.qTfIdf _),
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -477,6 +478,20 @@ object SparkEntry {
       s"""SELECT doc_id, md5($NORM) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($WORDS)), ' ')) AS bow_fp
          |FROM documents""".stripMargin,
+
+    "q31_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT w, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, w AS term,
+         |         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+         |       FROM tf JOIN df USING (w) CROSS JOIN n)
+         |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

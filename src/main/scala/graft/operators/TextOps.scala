@@ -102,6 +102,35 @@ object TextOps {
       .distinct()
   }
 
+  /** TF-IDF top terms (q31): the 3 most characteristic terms per document
+    * by smoothed tf·idf. The classic relevance/keyword-extraction kernel:
+    * one tokenize explode, a (doc, term) count, a term document-frequency
+    * count, and a broadcast of the single-row corpus size — then a per-doc
+    * top-k window. Scores are ROUNDED BEFORE RANKING (and tie-broken by
+    * term) so the rank order is identical across engines regardless of
+    * last-ulp `ln` differences. Scale: the explode is the standard
+    * tokenize shuffle; df is a term-keyed partial-agg'd count; only the
+    * 1-row corpus count crosses the driver. */
+  def qTfIdf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = documents(s, d)
+      .select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+    val tf = tokens.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("tfidf"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus an
     * order-insensitive bag-of-words fingerprint (sorted distinct tokens).
     * md5 of UTF-8 bytes matches DuckDB's md5(varchar). */
