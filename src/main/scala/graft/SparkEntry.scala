@@ -55,6 +55,7 @@ object SparkEntry {
     "q28_percentiles"     -> (R.q28Percentiles _),
     "q29_grouping_sets"   -> (R.q29GroupingSets _),
     "q30_pivot"           -> (R.q30Pivot _),
+    "q32_scalar_subquery" -> (R.q32ScalarSubquery _),
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
@@ -397,6 +398,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN order_year = 1998
         |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS y1998
         |FROM t GROUP BY n_name""".stripMargin,
+
+    "q32_scalar_subquery" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

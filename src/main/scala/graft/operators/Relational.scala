@@ -441,6 +441,22 @@ object Relational {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Scalar + correlated subqueries (q32), driven through the SQL surface:
+    * customers above the global average balance (uncorrelated scalar
+    * subquery → Catalyst plans one broadcast scalar), each with their
+    * order count (correlated scalar subquery → de-correlated into an
+    * outer-joined aggregate, not a per-row probe). */
+  def q32ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("ssq_customer")
+    orders(s, d).createOrReplaceTempView("ssq_orders")
+    s.sql(
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  (SELECT count(*) FROM ssq_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM ssq_customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM ssq_customer)""".stripMargin)
+  }
+
   /** As-of join (q27): for each 'purchase' event, the most recent strictly
     * prior 'click' by the same user. Spark has no ASOF JOIN operator; the
     * brief's preference order says compose existing ops first — and the

@@ -74,6 +74,27 @@ class ModelSpec extends AnyFunSuite {
     })
   }
 
+  val genTricky: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '\r', 'あ', 'Б', '᛫', ' ')))
+    .map(_.mkString)
+
+  test("property: notification JSON round-trips arbitrary unicode/escape-heavy field content") {
+    check(Prop.forAll(genTricky, genTricky, Gen.option(Gen.choose(0, 1000000))) {
+      (name, dt, exp) =>
+        val n = BatchNotification("id", name, "started", dt,
+          "2020-01-01T00:00:00Z", "2020-01-02T00:00:00Z", exp, "ingest.t.s.in")
+        NotificationJson.parse(NotificationJson.render(n).getBytes(UTF_8)) == n
+    })
+  }
+
+  test("property: asInvalid messages with quotes/newlines stay parseable JSON with the exact text") {
+    check(Prop.forAll(genTricky) { msg =>
+      val r = HriRecord(Seq.empty, null, "x".getBytes(UTF_8), "t", 0, 0L)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.asInvalid(msg).value)
+      node.path("failure").asText == msg
+    })
+  }
+
   test("batchId helper reads the UTF-8 batchId header; None when absent") {
     val r = HriRecord(Seq(HriHeader("batchId", "batch-42".getBytes(UTF_8))),
       null, Array[Byte](), "t", 0, 0L)
