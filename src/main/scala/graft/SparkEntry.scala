@@ -56,6 +56,8 @@ object SparkEntry {
     "q29_grouping_sets"   -> (R.q29GroupingSets _),
     "q30_pivot"           -> (R.q30Pivot _),
     "q32_scalar_subquery" -> (R.q32ScalarSubquery _),
+    "q33_outer_join"      -> (R.q33OuterJoin _),
+    "q34_full_outer"      -> (R.q34FullOuter _),
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
@@ -405,6 +407,23 @@ object SparkEntry {
         |   WHERE o.o_custkey = c.c_custkey) AS n_orders
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+
+    "q33_outer_join" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total,
+        |  NULLIF(count(o_orderkey), 0) AS n_or_null
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+
+    "q34_full_outer" ->
+      """WITH b AS (SELECT user_id, count(*) AS n_buys FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |  coalesce(n_buys, 0) AS n_buys,
+        |  coalesce(n_clicks, 0) AS n_clicks
+        |FROM b FULL OUTER JOIN c ON b.user_id = c.user_id""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

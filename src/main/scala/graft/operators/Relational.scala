@@ -441,6 +441,35 @@ object Relational {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Left outer join + null-handling scalars (q33): every customer with
+    * their order count and total — order-less customers survive the join
+    * with count 0 and a coalesced zero total; nullif demonstrates the
+    * inverse mapping. Completes the join family (inner/semi/anti/outer). */
+  def q33OuterJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total"),
+        nullif(col("n_orders"), lit(0)).as("n_or_null"))
+
+  /** Full outer join (q34): per-user purchase and click counts merged so
+    * users present on either side survive with coalesced zeros. */
+  def q34FullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("buy_uid")).agg(count(lit(1)).as("n_buys"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("click_uid")).agg(count(lit(1)).as("n_clicks"))
+    buys.join(clicks, col("buy_uid") === col("click_uid"), "full_outer")
+      .select(
+        coalesce(col("buy_uid"), col("click_uid")).as("user_id"),
+        coalesce(col("n_buys"), lit(0L)).as("n_buys"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
   /** Scalar + correlated subqueries (q32), driven through the SQL surface:
     * customers above the global average balance (uncorrelated scalar
     * subquery → Catalyst plans one broadcast scalar), each with their
