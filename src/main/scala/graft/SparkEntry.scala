@@ -58,6 +58,9 @@ object SparkEntry {
     "q32_scalar_subquery" -> (R.q32ScalarSubquery _),
     "q33_outer_join"      -> (R.q33OuterJoin _),
     "q34_full_outer"      -> (R.q34FullOuter _),
+    "q35_window_suite"    -> (R.q35WindowSuite _),
+    "q36_date_fns"        -> (R.q36DateFns _),
+    "q37_approx_percentile" -> (R.q37ApproxPercentile _), // rows-only: sketch engine-specific; bound test in OperatorSpec
     "q22_shipping_priority" -> (R.q22ShippingPriority _),
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
@@ -424,6 +427,26 @@ object SparkEntry {
         |  coalesce(n_buys, 0) AS n_buys,
         |  coalesce(n_clicks, 0) AS n_clicks
         |FROM b FULL OUTER JOIN c ON b.user_id = c.user_id""".stripMargin,
+
+    "q35_window_suite" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(lag(o_totalprice, 1) OVER w AS DOUBLE) AS next_cheaper,
+        |  CAST(lead(o_totalprice, 1) OVER w AS DOUBLE) AS next_pricier,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  first_value(o_orderkey) OVER w AS top_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q36_date_fns" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS ship_by,
+        |  CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

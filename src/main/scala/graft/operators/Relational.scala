@@ -470,6 +470,50 @@ object Relational {
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
   }
 
+  /** Window-function suite (q35): lag/lead, ntile, percent_rank, and
+    * first_value in one pass over each customer's orders — the analytic
+    * functions q12/q13's rank/running-sum pair doesn't cover. One
+    * partition read serves all five (single Sort + Window in the plan);
+    * the (o_totalprice DESC, o_orderkey) order is total, so every engine
+    * ranks identically. */
+  def q35WindowSuite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice").cast("double").as("total"),
+      lag(col("o_totalprice"), 1).over(w).cast("double").as("next_cheaper"),
+      lead(col("o_totalprice"), 1).over(w).cast("double").as("next_pricier"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      first_value(col("o_orderkey")).over(w).as("top_order"))
+  }
+
+  /** Date arithmetic (q36): interval add, day difference, month-end, and
+    * day-of-week bucketing over order dates — emitted as formatted strings
+    * and ints so both engines compare exactly. */
+  def q36DateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("ship_by"),
+      datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      (dayofweek(col("o_orderdate")) - 1).as("dow"), // 0 = Sunday, both engines
+      quarter(col("o_orderdate")).as("qtr"))
+
+  /** Approximate percentiles (q37, rows-only): the sketch-based scale path
+    * for q28's exact percentiles — at 100 TB an exact percentile needs a
+    * full sort per group; percentile_approx streams one bounded sketch.
+    * Engine-specific sketch ⇒ no oracle; OperatorSpec bounds it against
+    * the exact answer instead (same pattern as q09's HLL). */
+  def q37ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 6).as("p50_approx"),
+        round(percentile_approx(col("value"), lit(0.95), lit(10000)), 6).as("p95_approx"))
+
   /** Scalar + correlated subqueries (q32), driven through the SQL surface:
     * customers above the global average balance (uncorrelated scalar
     * subquery → Catalyst plans one broadcast scalar), each with their

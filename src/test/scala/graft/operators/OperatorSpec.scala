@@ -25,6 +25,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q37 approx percentiles land within a rank-tolerance band of the exact distribution") {
+    // percentile_approx guarantees RANK accuracy, not value accuracy — in a
+    // sparse tail a tiny rank error is a visible value step. So the bound is
+    // rank-based: the approx p50/p95 must lie within the exact [p45, p55] /
+    // [p93, p97] value band per group.
+    val bands = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.45)").as("lo50"), expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.93)").as("lo95"), expr("percentile(value, 0.97)").as("hi95"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val approx = Relational.q37ApproxPercentile(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(bands.keySet == approx.keySet)
+    bands.foreach { case (k, (lo50, hi50, lo95, hi95)) =>
+      val (a50, a95) = approx(k)
+      assert(a50 >= lo50 && a50 <= hi50, s"$k p50 $a50 outside [$lo50, $hi50]")
+      assert(a95 >= lo95 && a95 <= hi95, s"$k p95 $a95 outside [$lo95, $hi95]")
+    }
+  }
+
   test("ann_lsh recall@3 >= 0.8 vs exact nearest neighbor (VERDICT r01 #6)") {
     val truth = Similarity.qNearestNeighbor(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
