@@ -52,6 +52,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(canon(back) == canon(docs))
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet generations (scale: long-lived corpora)") {
+    // A 100 TB corpus is written over months; later generations grow
+    // columns. mergeSchema must surface the union schema with nulls for
+    // the old generation — and unionByName(allowMissingColumns) is the
+    // in-query equivalent.
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/docs"
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2 = docs.select(col("doc_id"), col("text"), col("lang"),
+      org.apache.spark.sql.functions.length(col("text")).as("n_chars"))
+    v1.write.parquet(s"$dir/gen=1")
+    v2.write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "n_chars", "gen"))
+    val n = docs.count()
+    assert(merged.count() == 2 * n)
+    assert(merged.filter(col("gen") === 1 && col("lang").isNull).count() == n)
+    assert(merged.filter(col("gen") === 2 && col("lang").isNotNull).count() == n)
+
+    val unioned = v1.unionByName(v2, allowMissingColumns = true)
+    assert(unioned.columns.toSet == Set("doc_id", "text", "lang", "n_chars"))
+    assert(unioned.count() == 2 * n)
+  }
+
   test("partitioned parquet write prunes partitions on read (scale: partition pruning)") {
     val dir = Files.createTempDirectory("graft-part").toString + "/docs"
     docs.write.partitionBy("lang").parquet(dir)
