@@ -68,6 +68,7 @@ object SparkEntry {
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
+    "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
     "simhash_pairs"       -> (Dedup.qSimHashPairs _), // rows-only: xxhash64 not in DuckDB
     // ---- LLM-pipeline: similarity search ----
@@ -83,6 +84,7 @@ object SparkEntry {
     "fingerprint"         -> (TextOps.qFingerprint _),
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
+    "q39_array_setops"    -> (TextOps.qArraySetOps _),
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -528,6 +530,28 @@ object SparkEntry {
       s"""SELECT doc_id, md5($NORM) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($WORDS)), ' ')) AS bow_fp
          |FROM documents""".stripMargin,
+
+    "q38_edit_distance" ->
+      s"""WITH $NGRAM_CTES,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |nd AS (SELECT doc_id, $NORM AS norm FROM documents)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(a.norm, b.norm) AS INT) AS edit_dist,
+         |  round(1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE) /
+         |    greatest(length(a.norm), length(b.norm)), 4) AS edit_sim
+         |FROM pairs JOIN nd a ON doc_a = a.doc_id JOIN nd b ON doc_b = b.doc_id""".stripMargin,
+
+    "q39_array_setops" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($WORDS) AS toks FROM documents),
+         |s AS (SELECT ['the','a','of','and','to','in','is','it'] AS stop)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_sort(list_intersect(toks, stop)), ','), '') AS stop_csv,
+         |  CAST(len(list_filter(toks, x -> NOT list_contains(stop, x))) AS INT) AS n_nonstop,
+         |  CAST(len(list_distinct(toks || stop)) AS INT) AS n_union
+         |FROM t, s""".stripMargin,
 
     "q31_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),

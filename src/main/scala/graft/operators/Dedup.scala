@@ -157,6 +157,22 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Edit-distance verification (q38) over the near-dup CANDIDATE pairs —
+    * the final fuzzy filter of a dedup cascade. Levenshtein is O(len²) per
+    * pair, so at any scale it runs only on the pair list the cheap stages
+    * produced (here: the exact Jaccard pairs), never all-pairs; the two
+    * text payloads join back by id. */
+  def qEditDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), normText(col("text")).as("norm"))
+    qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na"), col("nb")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("na"), col("nb")).cast("double") /
+          greatest(length(col("na")), length(col("nb"))).cast("double"), 4).as("edit_sim"))
+  }
+
   val MinHashPerms = 64
   val LshBands = 16 // 4 rows/band → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 

@@ -131,6 +131,20 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Array set operations (q39): each document's distinct tokens
+    * intersected/excepted/unioned against a fixed stopword vocabulary —
+    * the set-algebra companions to q19/q20's positional array functions.
+    * All outputs sorted or counted so both engines agree exactly. */
+  def qArraySetOps(s: SparkSession, d: String): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
+    val toks = array_distinct(normWords(col("text")))
+    documents(s, d).select(
+      col("doc_id"),
+      array_join(sort_array(array_intersect(toks, stop)), ",").as("stop_csv"),
+      size(array_except(toks, stop)).as("n_nonstop"),
+      size(array_union(toks, stop)).as("n_union"))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus an
     * order-insensitive bag-of-words fingerprint (sorted distinct tokens).
     * md5 of UTF-8 bytes matches DuckDB's md5(varchar). */
