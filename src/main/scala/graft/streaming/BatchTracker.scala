@@ -89,10 +89,15 @@ import scala.util.{Failure, Success}
   * external lookup) a post-TTL late record degrades to the unknown-batch
   * message — still invalid, documented delta. The zero-record NoOp batch
   * (clause 8) is evicted immediately at its timeout. Batches abandoned in
-  * `started` (never sendCompleted, no traffic) are the one unbounded
-  * remainder — they have no timer; bounding them needs an operator-level
-  * policy knob, not silent data loss, so it is left to deployment (noted
-  * in README).
+  * `started` (never sendCompleted, no traffic) are bounded by the
+  * `startedTtlMs` knob: −1 (default) preserves reference semantics — a
+  * started batch waits forever for its sendCompleted; ≥0 arms an
+  * inactivity timer in `started` (re-armed on every arrival, so only a
+  * batch with NO traffic for the full TTL expires) that evicts the state
+  * row WITHOUT emitting any notification — the client vanished, and
+  * fabricating a `failed` would invent a lifecycle transition the
+  * reference never produces. A post-eviction record takes the clause-2
+  * state-miss path like any other unknown/evicted batch.
   *
   * Scale notes: state is O(1) per batch (a notification + counters) and
   * now O(active batches) overall, not O(all batches ever); the record path
@@ -107,7 +112,8 @@ class BatchTracker(
     lookup: BatchLookup,
     tenantId: String,
     completionDelayMs: Long,
-    terminalTtlMs: Long = -1L)
+    terminalTtlMs: Long = -1L,
+    startedTtlMs: Long = -1L)
     extends Serializable {
 
   import BatchStatus._
@@ -169,7 +175,8 @@ class BatchTracker(
       state.get.status match {
         case SendCompleted                     => state.setTimeoutDuration(completionDelayMs)
         case Completed | Failed | Terminated   => state.setTimeoutDuration(ttlMs)
-        case _                                 => () // started: no timer
+        case Started if startedTtlMs >= 0      => state.setTimeoutDuration(startedTtlMs)
+        case _                                 => () // started, knob off: no timer
       }
     }
 
@@ -197,7 +204,9 @@ class BatchTracker(
         }
       case Completed | Failed | Terminated =>
         state.remove() // TTL tombstone expired — eviction
-      case _ => () // defensive: no timer is ever armed in `started`
+      case Started if startedTtlMs >= 0 =>
+        state.remove() // abandoned in `started`: evict, emit nothing
+      case _ => () // defensive: no timer is armed in `started` with the knob off
     }
   }
 

@@ -49,14 +49,21 @@ object Topics {
   * operator; the notification stream is negligible traffic on the same
   * shuffle. State is O(active batches) (terminal state is TTL-evicted —
   * see BatchTracker). Delivery: checkpointing gives exactly-once STATE
-  * transitions; the Kafka sink is at-least-once, hardened two ways —
+  * transitions; the Kafka sink is at-least-once, hardened three ways —
   * (1) the [[EpochCommitLog]] skips whole-epoch foreachBatch replays (the
   * common duplicate case: failure lands between sink write and checkpoint
-  * commit), proven by RecoverySpec's injected mid-epoch crash; (2) records
-  * carry deterministic identity (topic, partition, offset) so the residual
-  * partial-epoch replay stays idempotent for downstream dedup. The delta
-  * vs the reference's transactional Flink sink is exactly that residual
-  * window, documented here rather than papered over.
+  * commit), proven by RecoverySpec's injected mid-epoch crash; (2) each of
+  * the four sink steps (K1 valid / K2 invalid / K3 notification / K4 mgmt
+  * writeback) commits its own step marker, so a crash INSIDE writeOutputs
+  * replays only the steps that had not finished — proven by RecoverySpec's
+  * crash between K1 and K2 asserting zero duplicates per topic; (3) records
+  * carry deterministic identity (topic, partition, offset) so the last
+  * residual window — a crash in the middle of ONE topic's write, which no
+  * file-marker protocol can make atomic without a transactional Kafka
+  * producer (kafka-clients is not on this classpath) — stays idempotent
+  * for downstream dedup. That single-step window is the remaining delta vs
+  * the reference's transactional Flink sink, documented rather than
+  * papered over.
   */
 object ValidationJob {
 
@@ -147,11 +154,12 @@ object ValidationJob {
     // commit log below records the highest fully-written epoch, so the
     // replayed epoch is skipped instead of double-produced — closing the
     // common duplicate case of the at-least-once Kafka sink (the reference's
-    // HA chaos bar, high_availability_spec.rb:101-181). The residual window
-    // — a crash in the middle of writeOutputs itself — replays a partially
-    // written epoch; deterministic record identity (topic, partition,
-    // offset) keeps that replay idempotent for downstream dedup, and the
-    // delta is documented in the scaladoc above.
+    // HA chaos bar, high_availability_spec.rb:101-181). A crash INSIDE
+    // writeOutputs replays only the unfinished steps via the per-step
+    // markers (see writeOutputs); the only remaining window is a crash in
+    // the middle of a single topic's write, documented in the scaladoc
+    // above.
+    val sink = new KafkaOutputSink(brokers, password)
     outputs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
@@ -159,7 +167,7 @@ object ValidationJob {
       .foreachBatch { (batch: Dataset[Output], epochId: Long) =>
         val commitDir = s"$checkpointLocation/sink-commits"
         if (epochId > EpochCommitLog.lastCommitted(batch.sparkSession, commitDir)) {
-          writeOutputs(batch, topics, brokers, password, mgmt)
+          writeOutputs(batch, topics, sink, mgmt, epochId, commitDir)
           EpochCommitLog.commit(batch.sparkSession, commitDir, epochId)
         } else {
           // Replay of an already-written epoch: drain every partition (Spark
@@ -171,11 +179,54 @@ object ValidationJob {
       .start()
   }
 
+  /** Physical sink boundary for one topic's rows within an epoch. The
+    * DataFrame always has the Kafka writer shape: `key binary`,
+    * `value binary`, `headers array<struct<key:string,value:binary>>`
+    * (headers column optional for notifications). Production writes Kafka;
+    * tests inject an in-memory sink so the epoch/step commit protocol is
+    * provable without a broker. */
+  private[streaming] trait OutputSink extends Serializable {
+    def write(df: DataFrame, topic: String): Unit
+  }
+
+  /** The production sink: Spark's Kafka batch writer, one `save()` per
+    * topic per epoch (at-least-once within the step — see the class
+    * scaladoc for why that residual is irreducible without a transactional
+    * producer on the classpath). */
+  private[streaming] final class KafkaOutputSink(
+      brokers: Seq[String], password: Option[String]) extends OutputSink {
+    def write(df: DataFrame, topic: String): Unit = {
+      val w = df.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers.mkString(","))
+        .option("topic", topic)
+        .option("includeHeaders", "true")
+      password.fold(w) { p =>
+        w.option("kafka.security.protocol", "SASL_SSL")
+          .option("kafka.sasl.mechanism", "PLAIN")
+          .option("kafka.sasl.jaas.config",
+            "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+              s"""username="token" password="$p";""")
+      }.save()
+    }
+  }
+
   /** Sink-side epoch commit log for foreachBatch idempotence (X1). Driver-
     * only, single-writer; lives next to the query checkpoint and speaks the
     * Hadoop FileSystem API so local paths and HDFS/object-store checkpoints
-    * both work. Stores the highest fully-written epoch id; a write is
-    * temp-file + rename so a crash mid-commit leaves the previous value. */
+    * both work. Two granularities:
+    *
+    *  - `latest` stores the highest FULLY-written epoch id (all four sink
+    *    steps done) — a replayed epoch at or below it is skipped whole;
+    *  - `steps-<epoch>/<step>` markers record each completed sink step
+    *    within the in-flight epoch, so a crash between steps replays only
+    *    the unfinished ones (zero duplicates per topic as long as each
+    *    step's own write completed — proven by RecoverySpec).
+    *
+    * Every write is temp-file + rename so a crash mid-commit leaves the
+    * previous value; `commit` removes the epoch's step dir afterwards (the
+    * markers are subsumed by `latest`, and epoch ids never repeat within
+    * one checkpoint lineage, so stale markers can never mask a future
+    * epoch's steps). */
   private[streaming] object EpochCommitLog {
     import org.apache.hadoop.fs.Path
 
@@ -199,50 +250,75 @@ object ValidationJob {
       finally out.close()
       if (fs.exists(latest)) fs.delete(latest, false)
       fs.rename(tmp, latest)
+      fs.delete(new Path(dir, s"steps-$epochId"), true) // subsumed by `latest`
+    }
+
+    def stepDone(spark: SparkSession, dir: String, epochId: Long, step: String): Boolean = {
+      val marker = new Path(dir, s"steps-$epochId/$step")
+      marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
+    }
+
+    def markStep(spark: SparkSession, dir: String, epochId: Long, step: String): Unit = {
+      val stepsDir = new Path(dir, s"steps-$epochId")
+      val fs = stepsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new Path(stepsDir, s"$step.tmp")
+      fs.create(tmp, true).close() // existence is the signal
+      fs.rename(tmp, new Path(stepsDir, step))
     }
   }
 
+  /** The Kafka-writer projection of one tag's records, entirely in column
+    * space: a `where` + nested-field `select` that Catalyst resolves to
+    * struct-field extraction over the operator's serialized rows — no
+    * DeserializeToObject, no per-row `Output` object allocation (the old
+    * typed `filter(_.tag==t).map(...)` deserialized every output row twice,
+    * once per record sink — real money on the 100 TB record path).
+    * RecoverySpec asserts the plan stays object-free. */
+  private[streaming] def recordFrame(batch: Dataset[Output], tag: String): DataFrame =
+    batch.where(col("tag") === lit(tag))
+      .select(col("record.key").as("key"), col("record.value").as("value"),
+        col("record.headers").as("headers"))
+
   /** One micro-batch epoch feeds all three sinks (+ optional K4 writeback)
-    * so per-batch outputs stay ordered per key relative to each other. */
+    * so per-batch outputs stay ordered per key relative to each other.
+    * Each step is guarded by an [[EpochCommitLog]] marker: on a replay of a
+    * partially-written epoch, finished steps are skipped and unfinished
+    * ones run — so a crash anywhere BETWEEN steps produces zero duplicate
+    * rows on any topic. */
   private[streaming] def writeOutputs(
       batch: Dataset[Output],
       topics: Topics,
-      brokers: Seq[String],
-      password: Option[String],
-      mgmt: Option[MgmtClient]): Unit = {
-    import batch.sparkSession.implicits._
+      sink: OutputSink,
+      mgmt: Option[MgmtClient],
+      epochId: Long,
+      commitDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
     val cached = batch.persist()
     try {
-      def kafkaWrite(df: DataFrame, topic: String): Unit = {
-        val w = df.write.format("kafka")
-          .option("kafka.bootstrap.servers", brokers.mkString(","))
-          .option("topic", topic)
-          .option("includeHeaders", "true")
-        password.fold(w) { p =>
-          w.option("kafka.security.protocol", "SASL_SSL")
-            .option("kafka.sasl.mechanism", "PLAIN")
-            .option("kafka.sasl.jaas.config",
-              "org.apache.kafka.common.security.plain.PlainLoginModule required " +
-                s"""username="token" password="$p";""")
-        }.save()
+      def step(name: String)(body: => Unit): Unit =
+        if (!EpochCommitLog.stepDone(spark, commitDir, epochId, name)) {
+          body
+          EpochCommitLog.markStep(spark, commitDir, epochId, name)
+        }
+
+      step("k1")(sink.write(recordFrame(cached, Output.Valid), topics.out))
+      step("k2")(sink.write(recordFrame(cached, Output.Invalid), topics.invalid))
+
+      // Notifications are driver-rendered JSON (Jackson) — a handful of
+      // lifecycle transitions per epoch, so the collect is bounded by design.
+      val notifications = cached.where(col("tag") === lit(Output.Notification))
+        .select("notification.*").as[BatchNotification]
+        .collect().map(n => (n.id, NotificationJson.render(n)))
+      step("k3") {
+        if (notifications.nonEmpty) {
+          val nDf = notifications.toSeq.toDF("key", "value")
+            .select(col("key").cast("binary"), col("value").cast("binary"))
+          sink.write(nDf, topics.notification) // K3
+        }
       }
-
-      def recordFrame(tag: String): DataFrame = cached
-        .filter(_.tag == tag)
-        .map(o => (o.record.get.key, o.record.get.value, o.record.get.headers))
-        .toDF("key", "value", "headers")
-
-      kafkaWrite(recordFrame(Output.Valid), topics.out)     // K1
-      kafkaWrite(recordFrame(Output.Invalid), topics.invalid) // K2
-
-      val notifications = cached.filter(_.tag == Output.Notification)
-        .map(o => (o.notification.get.id, NotificationJson.render(o.notification.get)))
-        .collect() // tiny: lifecycle transitions only, a handful per batch
-      if (notifications.nonEmpty) {
-        val nDf = notifications.toSeq.toDF("key", "value")
-          .select(col("key").cast("binary"), col("value").cast("binary"))
-        kafkaWrite(nDf, topics.notification) // K3
-        mgmt.foreach { client =>             // K4 (production mode only)
+      step("k4") {
+        mgmt.foreach { client => // K4 (production mode only); PUT is idempotent
           notifications.foreach { case (id, json) =>
             client.putStatus(topics.tenant, id, json)
           }

