@@ -162,9 +162,17 @@ object Dedup {
     * pair, so at any scale it runs only on the pair list the cheap stages
     * produced (here: the exact Jaccard pairs), never all-pairs; the two
     * text payloads join back by id. */
-  def qEditDistance(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), normText(col("text")).as("norm"))
-    qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+  def qEditDistance(s: SparkSession, d: String): DataFrame =
+    editDistanceFrom(documents(s, d), qNgramJaccard(s, d))
+
+  /** The verification join over ALREADY-COMPUTED candidate pairs — the
+    * cluster-scale shape (mirror of [[ngramJaccardFrom]]): a dedup cascade
+    * materializes the candidate pair list once and feeds every verifier
+    * from it, so the bench drives this from the shared shingle table
+    * instead of re-paying the tokenize + self-join per verifier. */
+  def editDistanceFrom(docTable: DataFrame, pairs: DataFrame): DataFrame = {
+    val docs = docTable.select(col("doc_id"), normText(col("text")).as("norm"))
+    pairs.select(col("doc_a"), col("doc_b"))
       .join(docs.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),

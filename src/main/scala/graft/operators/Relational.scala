@@ -398,7 +398,10 @@ object Relational {
     * per-year, and grand total; grouping() disambiguates real NULLs from
     * subtotal rows. */
   def q29GroupingSets(s: SparkSession, d: String): DataFrame = {
-    val view = "gs_orders_" + java.lang.Long.toHexString(System.identityHashCode(this).toLong)
+    // UUID per call: concurrent invocations on one session must not clobber
+    // each other's view (VERDICT r03 §wrong-3; identityHashCode of this
+    // singleton was a CONSTANT)
+    val view = "gs_orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
     orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -520,14 +523,18 @@ object Relational {
     * order count (correlated scalar subquery → de-correlated into an
     * outer-joined aggregate, not a per-row probe). */
   def q32ScalarSubquery(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("ssq_customer")
-    orders(s, d).createOrReplaceTempView("ssq_orders")
+    // UUID-suffixed views for the same concurrency reason as q29
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cView = s"ssq_customer_$suffix"
+    val oView = s"ssq_orders_$suffix"
+    customer(s, d).createOrReplaceTempView(cView)
+    orders(s, d).createOrReplaceTempView(oView)
     s.sql(
-      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
-        |  (SELECT count(*) FROM ssq_orders o
-        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
-        |FROM ssq_customer c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM ssq_customer)""".stripMargin)
+      s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+         |  (SELECT count(*) FROM $oView o
+         |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+         |FROM $cView c
+         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $cView)""".stripMargin)
   }
 
   /** As-of join (q27): for each 'purchase' event, the most recent strictly

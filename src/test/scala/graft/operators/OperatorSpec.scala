@@ -231,4 +231,29 @@ class OperatorSpec extends AnyFunSuite {
     val plan = Relational.q14TopK(spark, d).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
+
+  test("SQL-surface queries are concurrency-safe on one session (UUID temp views)") {
+    // VERDICT r03 §wrong-3: fixed view names meant two concurrent q29/q32
+    // invocations clobbered each other's temp view. Interleave the view
+    // registrations (build both lazily, THEN collect both) and run a pair
+    // in parallel threads; both must still match a serial run.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val serial29 = Relational.q29GroupingSets(spark, d).collect().toSet
+    val serial32 = Relational.q32ScalarSubquery(spark, d).collect().toSet
+    // interleaved registration: a's view is registered, then b's — with
+    // fixed names b's registration would shadow a's before a collects
+    val a = Relational.q29GroupingSets(spark, d)
+    val b = Relational.q29GroupingSets(spark, d)
+    assert(a.collect().toSet == serial29 && b.collect().toSet == serial29)
+    val futures = Seq(
+      Future(Relational.q29GroupingSets(spark, d).collect().toSet),
+      Future(Relational.q32ScalarSubquery(spark, d).collect().toSet),
+      Future(Relational.q29GroupingSets(spark, d).collect().toSet),
+      Future(Relational.q32ScalarSubquery(spark, d).collect().toSet))
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results(0) == serial29 && results(2) == serial29)
+    assert(results(1) == serial32 && results(3) == serial32)
+  }
 }
