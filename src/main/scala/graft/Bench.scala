@@ -56,22 +56,21 @@ object Bench {
       // shuffle to whichever consumer ran second.
       val shingles =
         operators.Dedup.shingleTable(Tables.documents(spark, sfDir)).persist()
+      // The candidate PAIRS are materialized once too (timed as the
+      // ngram_jaccard entry) and shared by the clusterer and the edit-
+      // distance verifier — a dedup cascade computes its pair list once
+      // (VERDICT r03 §wrong-2: q38 used to re-bill the whole self-join).
+      val pairs = operators.Dedup.ngramJaccardFrom(shingles).persist()
       val shinglePipeline = Seq(
         "shingle_table" -> time { shingles.queryExecution.toRdd.count() },
-        "ngram_jaccard" -> time {
-          operators.Dedup.ngramJaccardFrom(shingles).queryExecution.toRdd.count() },
+        "ngram_jaccard" -> time { pairs.queryExecution.toRdd.count() },
         "minhash_lsh" -> time {
           operators.Dedup.minHashLshFrom(shingles).queryExecution.toRdd.count() },
         "dedup_clusters" -> time {
-          operators.Dedup.clusterPairs(
-            operators.Dedup.ngramJaccardFrom(shingles).select("doc_a", "doc_b"))
+          operators.Dedup.clusterPairs(pairs.select("doc_a", "doc_b"))
             .queryExecution.toRdd.count() },
-        // q38 verifies the SAME candidate pairs — a cascade materializes
-        // them once, so the bench must not re-bill the tokenize+self-join
-        // to the verifier (VERDICT r03 §wrong-2)
         "q38_edit_distance" -> time {
-          operators.Dedup.editDistanceFrom(Tables.documents(spark, sfDir),
-            operators.Dedup.ngramJaccardFrom(shingles))
+          operators.Dedup.editDistanceFrom(Tables.documents(spark, sfDir), pairs)
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so

@@ -113,7 +113,12 @@ class BatchTracker(
     tenantId: String,
     completionDelayMs: Long,
     terminalTtlMs: Long = -1L,
-    startedTtlMs: Long = -1L)
+    startedTtlMs: Long = -1L,
+    /** false = lifecycle-only mode for the salted two-level pipeline
+      * (SaltedPipeline): the state machine runs unchanged on record STUBS
+      * and emits notifications, but record outputs are suppressed — the
+      * salt stage already routed the payloads. */
+    emitRecordOutputs: Boolean = true)
     extends Serializable {
 
   import BatchStatus._
@@ -251,10 +256,15 @@ class BatchTracker(
       batchId: String,
       state: GroupState[BatchProgress],
       out: ArrayBuffer[Output]): Unit = {
+    // In lifecycle-only mode (salted pipeline) the record outputs are
+    // suppressed — the salt stage already routed the payloads — but every
+    // state transition below runs identically.
+    def emitRecord(o: => Output): Unit = if (emitRecordOutputs) out += o
+
     if (!state.exists) {
       lookup.getBatchId(tenantId, batchId) match { // clause 2
         case Failure(_) =>
-          out += Output.invalid(r.asInvalid(UnknownBatchMessage))
+          emitRecord(Output.invalid(r.asInvalid(UnknownBatchMessage)))
           return
         case Success(n) =>
           state.update(BatchProgress(n, n.status, 0L, 0L, n.expectedRecordCount,
@@ -265,17 +275,17 @@ class BatchTracker(
     val p = state.get
     p.status match {
       case Completed =>
-        out += Output.invalid(r.asInvalid(CompletedBatchMessage)) // clause 5
+        emitRecord(Output.invalid(r.asInvalid(CompletedBatchMessage))) // clause 5
       case Terminated =>
-        out += Output.invalid(r.asInvalid(TerminatedBatchMessage)) // clause 4
+        emitRecord(Output.invalid(r.asInvalid(TerminatedBatchMessage))) // clause 4
       case Failed =>
-        out += Output.invalid(r.asInvalid(FailedBatchMessage))
+        emitRecord(Output.invalid(r.asInvalid(FailedBatchMessage)))
       case _ => // started or sendCompleted: clauses 3 and 7
         validator.isValid(r) match {
           case (true, _) =>
             val p1 = p.copy(validCount = p.validCount + 1)
             state.update(p1)
-            out += Output.valid(r)
+            emitRecord(Output.valid(r))
             if (p1.status == SendCompleted &&
                 p1.expectedRecordCount.exists(e => p1.validCount > e)) {
               emitFailed(p1, state, out) // clause 7 (record still forwarded)
@@ -283,7 +293,7 @@ class BatchTracker(
           case (false, msg) =>
             val p1 = p.copy(invalidCount = p.invalidCount + 1)
             state.update(p1)
-            out += Output.invalid(r.asInvalid(msg.getOrElse("Invalid record")))
+            emitRecord(Output.invalid(r.asInvalid(msg.getOrElse("Invalid record"))))
             if (p1.notification.invalidThreshold >= 0 &&
                 p1.invalidCount > p1.notification.invalidThreshold) {
               emitFailed(p1, state, out) // O9
