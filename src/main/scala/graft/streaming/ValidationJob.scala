@@ -119,7 +119,11 @@ object ValidationJob {
       completionDelayMs: Long,
       mgmt: Option[MgmtClient],
       checkpointLocation: String,
-      maxOffsetsPerTrigger: Option[Long] = None): StreamingQuery = {
+      maxOffsetsPerTrigger: Option[Long] = None,
+      /** >1 enables the salted two-level pipeline (hot-batch parallelism;
+        * see [[SaltedPipeline]] for the trade and the A/B probe protocol —
+        * measure with the deployment's real validator before enabling). */
+      salts: Int = 1): StreamingQuery = {
     import spark.implicits._
 
     def source(topic: String): DataFrame = {
@@ -146,8 +150,14 @@ object ValidationJob {
 
     val events = recordEvents(source(topics.in))
       .union(notificationEvents(source(topics.notification)))
-    val tracker = new BatchTracker(validator, lookup, topics.tenant, completionDelayMs)
-    val outputs = pipeline(events, tracker)
+    val outputs =
+      if (salts > 1)
+        SaltedPipeline.pipeline(events, validator, lookup, topics.tenant,
+          completionDelayMs, salts)
+      else {
+        val tracker = new BatchTracker(validator, lookup, topics.tenant, completionDelayMs)
+        pipeline(events, tracker)
+      }
 
     // Epoch-id dedup (X1): Spark re-runs the last foreachBatch epoch after
     // a failure that struck between sink write and checkpoint commit. The

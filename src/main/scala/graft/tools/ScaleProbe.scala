@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe (VERDICT r03 next-#6, adapted: the driver provides
+  * no sf1 testdata and /root/testdata is read-only, so the probe
+  * manufactures a K× replica of sf0.1 under target/ and measures each
+  * headline query family at 1× vs K× to estimate its scaling exponent).
+  *
+  * Replication is PERTURBED so the workload stays representative instead
+  * of degenerate:
+  *  - documents: every word of a copy is prefixed with the copy tag, so a
+  *    copy shares NO shingles with its original — near-dup density stays
+  *    the per-copy rate instead of every doc gaining K-1 twins (which
+  *    would blow the pair graph up quadratically and measure a different
+  *    problem);
+  *  - embeddings: each copy gets a fresh deterministic pseudo-random
+  *    vector (xxhash64-derived), preserving the near-uniform geometry the
+  *    real table has;
+  *  - lineitem/orders/customer: keys offset by copy × (max key + 1) so
+  *    join fan-outs stay 1:1 and group counts scale linearly;
+  *  - events: user_id offset per copy (window/session partitions scale in
+  *    count, not in per-key depth), event_id offset to stay unique.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [workDir] [K]
+  * Prints one JSON line: {"metric":"scale_probe","k":K,
+  * "queries":{name:{"t1":sec,"tk":sec,"ratio":r}},...}. Perfect linear
+  * scaling on a fixed-size cluster ⇒ ratio ≈ K; ratio ≫ K flags a
+  * super-linear operator (the thing this probe exists to catch).
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("target/scaleprobe")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val kxDir = s"$workDir/sfx$k"
+    generate(spark, sfDir, kxDir, k)
+
+    // 1× pass reads a re-write of the base tables from the same storage
+    // (so parquet encoding/layout is identical between the two passes).
+    val x1Dir = s"$workDir/sfx1"
+    generate(spark, sfDir, x1Dir, 1)
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    import graft.operators.{Dedup, Similarity, TextOps, Relational, Pipeline}
+    val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q07_agg_tpch_q1" -> Relational.q07AggTpchQ1 _,
+      "q03_join_broadcast" -> Relational.q03JoinBroadcast _,
+      "q04_join_shuffle" -> Relational.q04JoinShuffle _,
+      "q13_window_running" -> Relational.q13WindowRunning _,
+      "q26_session_window" -> Relational.q26SessionWindow _,
+      "ngram_jaccard" -> Dedup.qNgramJaccard _,
+      "minhash_lsh" -> Dedup.qMinHashLsh _,
+      "dedup_exact" -> Dedup.qDedupExact _,
+      "embedding_dedup" -> Similarity.qEmbeddingDedup _,
+      "ann_brute" -> Similarity.qAnnBrute _,
+      "q31_tfidf" -> TextOps.qTfIdf _,
+      "training_mix" -> Pipeline.qTrainingMix _)
+
+    val rows = families.map { case (name, fn) =>
+      val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }
+      spark.catalog.clearCache()
+      val tk = time { fn(spark, kxDir).queryExecution.toRdd.count() }
+      spark.catalog.clearCache()
+      val ratio = if (t1 > 0) tk / t1 else -1.0
+      System.err.println(f"[scale] $name%-22s 1x=$t1%7.2fs ${k}x=$tk%7.2fs ratio=$ratio%5.1f")
+      name -> (t1, tk, ratio)
+    }
+    val qs = rows.map { case (n, (t1, tk, r)) =>
+      f"""\"$n\":{\"t1\":$t1%.3f,\"tk\":$tk%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","k":$k,"base":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+
+  /** Writes perturbed K× replicas of the probe tables to `out`. */
+  def generate(spark: SparkSession, sfDir: String, out: String, k: Int): Unit = {
+    import graft.Tables
+    import spark.implicits._
+    val copies = spark.range(k).select(col("id").cast("int").as("c"))
+
+    def replicated(df: DataFrame): DataFrame = df.crossJoin(copies)
+
+    // documents: per-copy word prefix → zero cross-copy shingle overlap
+    replicated(Tables.documents(spark, sfDir))
+      .select(
+        (col("doc_id") * k + col("c")).as("doc_id"),
+        when(col("c") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("c"), col("c"), lit("$1"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: fresh deterministic vector per copy (near-uniform, like
+    // the source table); copy 0 keeps the original vectors
+    replicated(Tables.embeddings(spark, sfDir))
+      .select(
+        (col("vec_id") * k + col("c")).as("vec_id"),
+        when(col("c") === 0, col("embedding")).otherwise(
+          expr("transform(sequence(0, size(embedding)-1), " +
+            "i -> cast((pmod(xxhash64(vec_id, c, i), 2000) - 1000) / 1000.0 as float))"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val loff = Tables.lineitem(spark, sfDir).agg(max("l_orderkey")).as[Long].head() + 1
+    replicated(Tables.lineitem(spark, sfDir))
+      .withColumn("l_orderkey", col("l_orderkey") + col("c") * loff)
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val coff = Tables.customer(spark, sfDir).agg(max("c_custkey")).as[Long].head() + 1
+    replicated(Tables.orders(spark, sfDir))
+      .withColumn("o_orderkey", col("o_orderkey") + col("c") * loff)
+      .withColumn("o_custkey", col("o_custkey") + col("c") * coff)
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    replicated(Tables.customer(spark, sfDir))
+      .withColumn("c_custkey", col("c_custkey") + col("c") * coff)
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // events: raw read (ts stays a nanos long on disk — rewrite verbatim)
+    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val eoff = eventsRaw.agg(max("event_id")).as[Long].head() + 1
+    val uoff = eventsRaw.agg(max("user_id")).as[Long].head() + 1
+    replicated(eventsRaw)
+      .withColumn("event_id", col("event_id") + col("c") * eoff)
+      .withColumn("user_id", col("user_id") + col("c") * uoff)
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // small dims referenced by the join families: copy verbatim
+    for (t <- Seq("nation", "region", "supplier", "part"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+  }
+}
