@@ -72,7 +72,12 @@ class EvictionSpec extends AnyFunSuite {
       .map(_.head.numRowsTotal).getOrElse(-1L)
 
   test("a record in a later trigger during the completion window does not strand the batch") {
-    runQuery(completionDelayMs = 300L, terminalTtlMs = 60000L) { (input, results, _) =>
+    // The delay must outlast the gap between the sendCompleted trigger (which
+    // arms the timer) and the straggler record's trigger — on a loaded box a
+    // 25 ms-interval trigger can take 500+ ms, so 300 ms raced and flaked
+    // (the undercount timer fired before the straggler was processed). 3 s
+    // keeps the scenario identical and removes the scheduling race.
+    runQuery(completionDelayMs = 3000L, terminalTtlMs = 60000L) { (input, results, _) =>
       val b = "rearm-batch"
       input.addData(
         PipelineEvent.of(notif(b, Started), 0),
