@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational => R, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Pipeline, Relational => R, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,6 +85,11 @@ object SparkEntry {
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
+    // ---- LLM-pipeline: corpus curation ----
+    "repetition_signals"  -> (Curation.qRepetitionSignals _),
+    "contamination"       -> (Curation.qContamination _),
+    "pii_scrub"           -> (Curation.qPiiScrub _),
+    "segment_dedup"       -> (Curation.qSegmentDedup _),
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -530,6 +535,71 @@ object SparkEntry {
       s"""SELECT doc_id, md5($NORM) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($WORDS)), ' ')) AS bow_fp
          |FROM documents""".stripMargin,
+
+    "repetition_signals" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
+         |base AS (SELECT doc_id, len(l) AS n_words, len(list_distinct(l)) AS n_uniq FROM w),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g FROM w),
+         |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |topb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bgc GROUP BY 1)
+         |SELECT b.doc_id, n_words,
+         |  round(1.0 - CAST(n_uniq AS DOUBLE) / n_words, 6) AS dup_word_frac,
+         |  coalesce(top_bigram_count, 0) AS top_bigram_count,
+         |  round(CAST(coalesce(top_bigram_count, 0) AS DOUBLE) / (n_words - 1), 6) AS top_bigram_frac,
+         |  (round(1.0 - CAST(n_uniq AS DOUBLE) / n_words, 6) > ${Curation.DupWordFracMax}
+         |    OR round(CAST(coalesce(top_bigram_count, 0) AS DOUBLE) / (n_words - 1), 6) > ${Curation.TopBigramFracMax})
+         |    AS repetitive
+         |FROM base b LEFT JOIN topb t ON b.doc_id = t.doc_id""".stripMargin,
+
+    "contamination" ->
+      s"""WITH w AS (SELECT doc_id, source, $WORDS AS l FROM documents),
+         |g AS (SELECT doc_id, source,
+         |  unnest(list_transform(range(1, len(l) - ${Curation.ContamK - 2}),
+         |    i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4]))) AS g FROM w),
+         |bench AS (SELECT DISTINCT g FROM g WHERE source = '${Curation.BenchmarkSource}'),
+         |dg AS (SELECT DISTINCT doc_id, g FROM g WHERE source <> '${Curation.BenchmarkSource}'),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+         |hit AS (SELECT doc_id, count(*) AS n_contaminated FROM dg JOIN bench USING (g) GROUP BY 1)
+         |SELECT t.doc_id, n_grams,
+         |  coalesce(n_contaminated, 0) AS n_contaminated,
+         |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6) AS contamination_frac,
+         |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6) >= ${Curation.ContamFracMin}
+         |    AS contaminated
+         |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |    || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+           |    || '.0.1 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(raw, '${Curation.EmailRe}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(raw, '${Curation.Ipv4Re}')) AS INT) AS n_ips,
+           |  CAST(len(regexp_extract_all(raw, '${Curation.PhoneRe}')) AS INT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(raw,
+           |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+           |    '${Curation.Ipv4Re}', '<IP>', 'g'),
+           |    '${Curation.PhoneRe}', '<PHONE>', 'g') AS clean_text,
+           |  length(regexp_replace(regexp_replace(regexp_replace(raw,
+           |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+           |    '${Curation.Ipv4Re}', '<IP>', 'g'),
+           |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS clean_len
+           |FROM r""".stripMargin,
+
+    "segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
+         |seg AS (SELECT doc_id, s.s AS seg,
+         |    array_to_string(l[(s.s * ${Curation.SegWords} + 1):(s.s * ${Curation.SegWords} + ${Curation.SegWords})], ' ') AS seg_text
+         |  FROM w, LATERAL (SELECT unnest(range(0,
+         |    CAST(ceil(len(l) / ${Curation.SegWords}.0) AS BIGINT))) AS s) s),
+         |mark AS (SELECT doc_id, seg, seg_text,
+         |    row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) = 1 AS kept
+         |  FROM seg)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
+         |FROM mark GROUP BY doc_id""".stripMargin,
 
     "q38_edit_distance" ->
       s"""WITH $NGRAM_CTES,

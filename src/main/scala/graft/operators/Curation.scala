@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: repetition quality signals (the Gopher-style
+  * "is this document degenerate" filters), benchmark-contamination
+  * detection (n-gram overlap vs a held-out evaluation set), PII scrubbing
+  * (regex redaction of emails / IPv4s / phone numbers), and cross-document
+  * duplicated-segment removal (the RefinedWeb-style substring-granularity
+  * dedup that exact/MinHash doc-level dedup cannot express).
+  *
+  * All four are DuckDB-oracle-checked end to end (see SparkEntry.oracleSql)
+  * and built from codegen'd primitives: posexplode + window lead for
+  * n-grams (never interpreted HOF lambdas on the hot path — the only HOF is
+  * segment reassembly over ~tens of elements per document), hash-partition
+  * shuffles keyed on doc_id / n-gram only.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // Repetition signals (Gopher-style quality filters)
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition signals: duplicate-word fraction and the
+    * share of word bigrams taken by the single most frequent bigram — the
+    * two cheapest "degenerate document" detectors (boilerplate, keyword
+    * stuffing, generation loops). A document is flagged `repetitive` when
+    * either signal crosses its threshold.
+    *
+    * Scale: one tokenize explode (the same shuffle shape the dedup cascade
+    * already pays), one (doc_id, bigram) partial-agg count, one per-doc
+    * max — all map-side combinable, nothing quadratic, no driver data.
+    */
+  val DupWordFracMax = 0.7
+  val TopBigramFracMax = 0.1
+
+  def qRepetitionSignals(s: SparkSession, d: String): DataFrame =
+    repetitionSignals(documents(s, d))
+
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("w")).as("n_uniq"))
+    val topBigram = toks
+      .select(col("doc_id"), col("w"), lead(col("w"), 1).over(byPos).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_count"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_words").cast("double"), 6)
+          .as("dup_word_frac"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        round(coalesce(col("top_bigram_count"), lit(0L)).cast("double") /
+          (col("n_words") - 1).cast("double"), 6).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > DupWordFracMax || col("top_bigram_frac") > TopBigramFracMax)
+  }
+
+  // ---------------------------------------------------------------------
+  // Benchmark contamination (n-gram overlap vs a held-out set)
+  // ---------------------------------------------------------------------
+
+  /** Contamination check: for every corpus document, the fraction of its
+    * distinct word 5-grams that also occur in the benchmark set (here: the
+    * `src0` slice of `documents`, standing in for an eval suite). The
+    * standard pre-training hygiene step — training documents overlapping
+    * the benchmark above the threshold must be dropped or flagged.
+    *
+    * Scale: the benchmark n-gram set is small by construction (eval suites
+    * are MBs, corpora are TBs) so it BROADCASTS — the corpus side never
+    * shuffles for the membership test (left-semi against the broadcast),
+    * only the per-doc count agg moves doc_id-keyed rows. The n-gram window
+    * is the winnow/shingle pattern: posexplode + lead, all codegen.
+    */
+  val ContamK = 5
+  val BenchmarkSource = "src0"
+  val ContamFracMin = 0.5
+
+  def qContamination(s: SparkSession, d: String): DataFrame =
+    contaminationFrom(documents(s, d))
+
+  def contaminationFrom(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("source"),
+      posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ",
+          col("w") +: (1 until ContamK).map(k => lead(col("w"), k).over(byPos)): _*).as("g"),
+        lead(col("w"), ContamK - 1).over(byPos).as("wk"))
+      .filter(col("wk").isNotNull)
+      .select(col("doc_id"), col("source"), col("g"))
+    val benchGrams = grams.filter(col("source") === BenchmarkSource).select("g").distinct()
+    val docGrams = grams.filter(col("source") =!= BenchmarkSource)
+      .select("doc_id", "g").distinct()
+    val total = docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    total.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("contamination_frac"))
+      .withColumn("contaminated", col("contamination_frac") >= ContamFracMin)
+  }
+
+  // ---------------------------------------------------------------------
+  // PII scrubbing (regex redaction)
+  // ---------------------------------------------------------------------
+
+  /** Regex patterns shared with the DuckDB oracle — deliberately RE2-safe
+    * (character classes, bounded repetition, \b; no lookaround or
+    * backreferences) so Java regex (Spark) and RE2 (DuckDB) agree glyph for
+    * glyph. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{4}\b"""
+
+  /** Count + redact emails, IPv4 addresses and phone-shaped numbers.
+    * Replacement order matters and is fixed: emails first (their local
+    * parts contain digits and dots that the IPv4 pattern could otherwise
+    * chew on), then IPv4, then phones. Pure per-row codegen'd regex work —
+    * zero shuffle, scales with input splits like the TextOps family. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Plain-string twin of [[scrub]] for unit tests — same patterns, same
+    * engine (Spark's regexp_replace compiles java.util.regex too). */
+  def scrubText(text: String): String =
+    text.replaceAll(EmailRe, "<EMAIL>")
+      .replaceAll(Ipv4Re, "<IP>")
+      .replaceAll(PhoneRe, "<PHONE>")
+
+  /** The synthetic corpus contains no PII glyphs at all (no digits, no @),
+    * so redaction over the raw table would be an untestable no-op. The
+    * query therefore INJECTS deterministic doc_id-derived PII (email + IP +
+    * phone per document, built identically in the oracle SQL) and then
+    * scrubs it — the oracle genuinely checks that every injected marker is
+    * found, counted and replaced. CurationSpec covers the crafted edge
+    * cases (multiple PII per doc, PII-free text, adjacency). */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0.1 call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    documents(s, d)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("raw"), lit(Ipv4Re)).as("n_ips"),
+        regexp_count(col("raw"), lit(PhoneRe)).as("n_phones"),
+        scrub(col("raw")).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Cross-document duplicated-segment removal
+  // ---------------------------------------------------------------------
+
+  /** Words per segment: documents are re-chunked into consecutive
+    * SegWords-word segments (last partial segment kept). */
+  val SegWords = 10
+
+  /** Substring-granularity dedup: every document is split into consecutive
+    * [[SegWords]]-word segments; a segment whose exact text already
+    * occurred earlier in the corpus (first occurrence = smallest
+    * (doc_id, seg) — deterministic) is dropped, and each document is
+    * reassembled from its kept segments. Catches boilerplate shared across
+    * documents that doc-level dedup can't touch (doc A survives, doc B
+    * keeps only its novel spans).
+    *
+    * Scale notes: segment assembly is ONE doc_id-keyed shuffle using
+    * SegWords max(when(pos%k)) agg columns (the MinHash wide-agg trick —
+    * no per-row lambdas, no collect_list of whole documents); the
+    * first-occurrence pass shuffles (segment-hash → min owner) like
+    * dedup_exact; reassembly is one more doc_id shuffle whose HOF runs on
+    * tens of elements per document (bounded by doc length / SegWords, not
+    * corpus size). Nothing quadratic, no driver data.
+    */
+  def qSegmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedup(documents(s, d))
+
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+    // (doc, segment) rows: pos%SegWords pivots the segment's words into
+    // SegWords agg columns; concat_ws skips the NULLs of a short tail.
+    val segs = toks
+      .groupBy(col("doc_id"), floor(col("pos") / SegWords).cast("long").as("seg"))
+      .agg(concat_ws(" ",
+        (0 until SegWords).map(k => max(when(col("pos") % SegWords === k, col("w")))): _*)
+        .as("seg_text"))
+    val byFirst = Window.partitionBy(col("seg_text")).orderBy(col("doc_id"), col("seg"))
+    val marked = segs.withColumn("kept", row_number().over(byFirst) === 1)
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("kept"), struct(col("seg"), col("seg_text"))))),
+          x => x.getField("seg_text")),
+        " ").as("clean_text"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamFixture.spark
+
+/** Crafted-data specs for the corpus-curation operators. The DuckDB oracle
+  * (driver-side, sf0.01) is the primary gate for all four queries; these
+  * cover the semantics the oracle exercises only incidentally: exact
+  * redaction behavior, keep-first segment policy, threshold flags, and the
+  * planted-copy contamination case. */
+class CurationSpec extends AnyFunSuite {
+
+  val d = "/root/testdata/sf0.001"
+
+  def docsDf(rows: (Long, String, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toSeq.toDF("doc_id", "text", "source")
+  }
+
+  // ------------------------------------------------------------------ PII
+
+  test("pii scrub redacts emails, IPv4s and phones and leaves clean text alone") {
+    assert(Curation.scrubText("mail bob.smith+x@corp.example.org now") == "mail <EMAIL> now")
+    assert(Curation.scrubText("from 192.168.0.1 and 10.2.3.4.") == "from <IP> and <IP>.")
+    assert(Curation.scrubText("call 555-0142 or 800-9999") == "call <PHONE> or <PHONE>")
+    assert(Curation.scrubText("a@b.co 1.2.3.4 555-1234") == "<EMAIL> <IP> <PHONE>")
+    // email local parts with digits/dots must not leave IP fragments behind
+    assert(Curation.scrubText("u.1.2.3@ex.io") == "<EMAIL>")
+    val clean = "no personal data in this sentence at all"
+    assert(Curation.scrubText(clean) == clean)
+    // Version-like strings over-redact (the first four octet groups match;
+    // \b can't see the trailing ".5" and RE2 — the oracle engine — has no
+    // lookahead). Conservative over-redaction is the documented trade.
+    assert(Curation.scrubText("1.2.3.4.5") == "<IP>.5")
+  }
+
+  test("qPiiScrub finds exactly the injected PII per document") {
+    val out = Curation.qPiiScrub(spark, d)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: expected 1 email, got ${r.getInt(1)}")
+      assert(r.getInt(2) == 1)
+      assert(r.getInt(3) == 1)
+      val t = r.getString(4)
+      assert(t.contains("<EMAIL>") && t.contains("<IP>") && t.contains("<PHONE>"))
+      assert(!t.matches(".*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"))
+    }
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  test("repetition signals flag degenerate documents and pass diverse ones") {
+    // The diverse doc needs enough bigrams that its top one sits below the
+    // 10% threshold — 31 distinct words → 30 distinct bigrams, top = 1/30.
+    val diverse = (1 to 31).map(i => s"word$i").mkString(" ")
+    val docs = docsDf(
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "s"),
+      (2L, diverse, "s"))
+    val out = Curation.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val rep = out(1L) // 10 words, 1 distinct; every bigram is "spam spam"
+    assert(rep.getLong(1) == 10)
+    assert(rep.getDouble(2) == 0.9) // 1 - 1/10
+    assert(rep.getLong(3) == 9)
+    assert(rep.getDouble(4) == 1.0) // 9/9
+    assert(rep.getBoolean(5))
+
+    val ok = out(2L) // 31 distinct words, 30 distinct bigrams
+    assert(ok.getDouble(2) == 0.0)
+    assert(ok.getLong(3) == 1)
+    assert(!ok.getBoolean(5))
+  }
+
+  // -------------------------------------------------------- segment dedup
+
+  test("segment dedup drops later exact occurrences and reassembles in order") {
+    val seg1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val seg2 = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val seg3 = (1 to 10).map(i => s"gamma$i").mkString(" ")
+    val docs = docsDf(
+      (1L, s"$seg1 $seg2", "s"),   // both novel → fully kept
+      (2L, s"$seg1 $seg3", "s"),   // seg1 already owned by doc 1 → dropped
+      (3L, s"$seg2 $seg2", "s"))   // cross-doc dup + within-doc dup → empty
+    val out = Curation.segmentDedup(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    assert(out(1L) == ((2L, 0L, s"$seg1 $seg2")))
+    assert(out(2L) == ((2L, 1L, seg3)))
+    assert(out(3L) == ((2L, 2L, ""))) // fully duplicated → empty, not null
+  }
+
+  test("segment dedup keeps a short tail segment and pads nothing") {
+    val seg1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = docsDf((1L, s"$seg1 tail one two", "s"))
+    val Array(r) = Curation.segmentDedup(docs).collect()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 0)
+    assert(r.getString(3) == s"$seg1 tail one two")
+  }
+
+  // -------------------------------------------------------- contamination
+
+  test("a planted copy of a benchmark document scores contamination 1.0") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = docsDf(
+      (1L, bench, Curation.BenchmarkSource),
+      (2L, bench, "web"),                                     // exact copy
+      (3L, s"prefix words here then $bench", "web"),          // contains it
+      (4L, "nothing shared with the benchmark set here okay truly", "web"))
+    val out = Curation.contaminationFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(!out.contains(1L)) // benchmark side is excluded from the report
+    assert(out(2L).getDouble(3) == 1.0 && out(2L).getBoolean(4))
+    assert(out(3L).getDouble(3) > 0.0 && out(3L).getDouble(3) < 1.0)
+    assert(out(4L).getLong(2) == 0 && !out(4L).getBoolean(4))
+  }
+
+  test("contamination's benchmark membership test is a broadcast semi-join") {
+    // The corpus side must never shuffle for the membership test — eval
+    // suites are MBs, corpora are TBs; a shuffled semi-join would move the
+    // whole corpus n-gram table. Plan-asserted so it can't silently rot.
+    val plan = Curation.qContamination(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark semi-join not broadcast:\n$plan")
+  }
+
+  test("curation plans stay in column space — no object deserialization") {
+    Seq(
+      Curation.qRepetitionSignals(spark, d),
+      Curation.qContamination(spark, d),
+      Curation.qPiiScrub(spark, d),
+      Curation.qSegmentDedup(spark, d)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("DeserializeToObject"), s"object boundary in:\n$plan")
+    }
+  }
+
+  test("contamination on the real corpus is sane and flags the planted near-dups only") {
+    val out = Curation.qContamination(spark, d)
+      .agg(count(lit(1)), sum(when(col("contaminated"), 1).otherwise(0)),
+        min("contamination_frac"), max("contamination_frac"))
+      .collect().head
+    val (n, flagged) = (out.getLong(0), out.getLong(1))
+    assert(n > 0)
+    assert(out.getDouble(2) >= 0.0 && out.getDouble(3) <= 1.0)
+    // word-soup 5-grams collide rarely by chance; only planted dups of src0
+    // documents can cross the 0.5 threshold, and most docs aren't dups
+    assert(flagged < n / 2, s"$flagged of $n flagged — threshold degenerate")
+  }
+}
