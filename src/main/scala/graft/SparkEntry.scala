@@ -76,6 +76,7 @@ object SparkEntry {
     "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
     "ann_lsh"             -> (Similarity.qAnnLsh _),  // rows-only: approximate; recall tested vs nearest_neighbor
     "embedding_dedup"     -> (Similarity.qEmbeddingDedup _),
+    "embedding_dedup_blocked" -> (Similarity.qEmbeddingDedupBlocked _), // rows-only: approximate by design (IVF blocking); recall + subset asserted in OperatorSpec
     "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),

@@ -128,10 +128,7 @@ class BatchTracker(
   private val ttlMs: Long =
     if (terminalTtlMs >= 0) terminalTtlMs else 2 * completionDelayMs
 
-  val UnknownBatchMessage = "Bad Message - Unknown batchId"
-  val CompletedBatchMessage = "Record received after batch completed"
-  val TerminatedBatchMessage = "Record received after batch terminated"
-  val FailedBatchMessage = "Record received after batch failed"
+  import BatchTracker._
 
   private def rank(status: String): Int = status match {
     case Started       => 0
@@ -314,4 +311,14 @@ class BatchTracker(
       out += Output.notification(failed)
       state.update(p.copy(status = Failed, notification = failed, failedEmitted = true))
     }
+}
+
+/** The reference's exact invalid-record wire messages
+  * (kafka_record_validator.rb) — shared by the single-level tracker and
+  * the salted router so the two pipelines can never drift apart. */
+object BatchTracker {
+  val UnknownBatchMessage = "Bad Message - Unknown batchId"
+  val CompletedBatchMessage = "Record received after batch completed"
+  val TerminatedBatchMessage = "Record received after batch terminated"
+  val FailedBatchMessage = "Record received after batch failed"
 }

@@ -139,7 +139,7 @@ object SaltedPipeline {
       if (!state.exists) {
         lookup.getBatchId(tenantId, batchId) match {
           case Failure(_) =>
-            out += Output.invalid(r.asInvalid("Bad Message - Unknown batchId"))
+            out += Output.invalid(r.asInvalid(BatchTracker.UnknownBatchMessage))
             return
           case Success(n) =>
             state.update(BatchProgress(n, n.status, 0L, 0L, n.expectedRecordCount,
@@ -147,9 +147,9 @@ object SaltedPipeline {
         }
       }
       state.get.status match {
-        case Completed  => out += Output.invalid(r.asInvalid("Record received after batch completed"))
-        case Terminated => out += Output.invalid(r.asInvalid("Record received after batch terminated"))
-        case Failed     => out += Output.invalid(r.asInvalid("Record received after batch failed"))
+        case Completed  => out += Output.invalid(r.asInvalid(BatchTracker.CompletedBatchMessage))
+        case Terminated => out += Output.invalid(r.asInvalid(BatchTracker.TerminatedBatchMessage))
+        case Failed     => out += Output.invalid(r.asInvalid(BatchTracker.FailedBatchMessage))
         case _ =>
           validator.isValid(r) match {
             case (true, _)    => out += Output.valid(r)

@@ -58,7 +58,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    import graft.operators.{Dedup, Similarity, TextOps, Relational, Pipeline}
+    import graft.operators.{Curation, Dedup, Similarity, TextOps, Relational, Pipeline}
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q07_agg_tpch_q1" -> Relational.q07AggTpchQ1 _,
       "q03_join_broadcast" -> Relational.q03JoinBroadcast _,
@@ -69,9 +69,14 @@ object ScaleProbe {
       "minhash_lsh" -> Dedup.qMinHashLsh _,
       "dedup_exact" -> Dedup.qDedupExact _,
       "embedding_dedup" -> Similarity.qEmbeddingDedup _,
+      "embedding_dedup_blocked" -> Similarity.qEmbeddingDedupBlocked _,
       "ann_brute" -> Similarity.qAnnBrute _,
       "q31_tfidf" -> TextOps.qTfIdf _,
-      "training_mix" -> Pipeline.qTrainingMix _)
+      "training_mix" -> Pipeline.qTrainingMix _,
+      "repetition_signals" -> Curation.qRepetitionSignals _,
+      "contamination" -> Curation.qContamination _,
+      "segment_dedup" -> Curation.qSegmentDedup _,
+      "pii_scrub" -> Curation.qPiiScrub _)
 
     val rows = families.map { case (name, fn) =>
       val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }

@@ -68,6 +68,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"IVF recall@3 = $recall over ${truth.size} queries")
   }
 
+  test("blocked embedding dedup recovers the exact near-dup pair set with bounded work") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.qEmbeddingDedup(spark, d))
+    val blocked = pairs(Similarity.qEmbeddingDedupBlocked(spark, d))
+    // the blocked variant verifies with the same exact cosine, so it can
+    // only MISS pairs (cell non-collision), never invent them
+    assert(blocked.subsetOf(exact), s"false positives: ${blocked -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else blocked.size.toDouble / exact.size
+    info(s"blocked recall = $recall (${blocked.size}/${exact.size})")
+    assert(recall >= 0.8, s"blocked recall = $recall over ${exact.size} true pairs")
+  }
+
   test("public vector API: cosine/l2 combinators agree with the fused dot/norm form") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0))).toDF("a", "b")
