@@ -91,6 +91,8 @@ object SparkEntry {
     "contamination"       -> (Curation.qContamination _),
     "pii_scrub"           -> (Curation.qPiiScrub _),
     "segment_dedup"       -> (Curation.qSegmentDedup _),
+    "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
+    "sequence_pack"       -> (Curation.qSequencePack _),
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -587,6 +589,29 @@ object SparkEntry {
            |    '${Curation.Ipv4Re}', '<IP>', 'g'),
            |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS clean_len
            |FROM r""".stripMargin,
+
+    "unigram_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |vocab AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln(CAST(cw AS DOUBLE) / t)), 6) AS avg_surprisal
+         |FROM tok JOIN vocab USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+
+    "sequence_pack" ->
+      s"""WITH sized AS (SELECT doc_id,
+         |    substr(md5($NORM), 1, 2) AS bucket,
+         |    len($WORDS) AS n_tokens
+         |  FROM documents),
+         |packed AS (SELECT doc_id, bucket, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+         |  FROM sized)
+         |SELECT doc_id, bucket, n_tokens,
+         |  cum_excl // ${Curation.PackBudget} AS bin,
+         |  cum_excl % ${Curation.PackBudget} AS bin_offset
+         |FROM packed""".stripMargin,
 
     "segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),

@@ -174,6 +174,78 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Unigram surprisal (perplexity-proxy quality signal)
+  // ---------------------------------------------------------------------
+
+  /** Per-document mean unigram surprisal −E[ln p(w)] under the corpus's
+    * own unigram distribution — the cheapest perplexity proxy (a real LM
+    * needs external weights; the unigram model is the deterministic,
+    * oracle-checkable core). Low surprisal ⇒ the document is made of
+    * corpus-typical words (boilerplate); high ⇒ rare-word soup (OCR junk,
+    * code in a prose corpus). The classic two-sided quality filter cut.
+    *
+    * Scale: one tokenize explode, one term-keyed count (map-side
+    * combinable — the vocabulary table, ~millions of rows at 100 TB, is a
+    * standard shuffle join back onto tokens; Zipf makes the hot terms
+    * AQE-splittable), the 1-row total broadcasts. Scores are rounded
+    * before output so last-ulp ln/avg differences across engines and
+    * partition orders cannot flip the hash.
+    */
+  def qUnigramSurprisal(s: SparkSession, d: String): DataFrame =
+    unigramSurprisal(documents(s, d))
+
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    toks.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cw").cast("double") / col("t").cast("double"))), 6)
+          .as("avg_surprisal"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Sequence packing (pretraining sample packing)
+  // ---------------------------------------------------------------------
+
+  /** Tokens per packed training sequence. */
+  val PackBudget = 2048L
+
+  /** Sequence packing: lay documents head-to-tail into fixed
+    * [[PackBudget]]-token bins — the pretraining batch-assembly kernel
+    * (documents straddling a boundary are split at training time; the
+    * operator's contract is the deterministic placement, not the split).
+    *
+    * A single global cumulative sum would serialize the corpus through
+    * one partition, so packing is sharded the way real pipelines shard it
+    * per worker: documents hash (md5 prefix — portable to the oracle) into
+    * 256 independent packing streams, each stream packs by cumulative
+    * token count in doc_id order. One window shuffle keyed by bucket;
+    * every stream is O(corpus/256) and streams scale with the corpus.
+    */
+  def qSequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePack(documents(s, d))
+
+  def sequencePack(docs: DataFrame): DataFrame = {
+    val byBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col("doc_id"),
+        substring(md5(TextOps.normText(col("text")).cast("binary")), 1, 2).as("bucket"),
+        size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(byBucket), lit(0L)))
+      .select(
+        col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"cum_excl div $PackBudget").as("bin"),
+        (col("cum_excl") % PackBudget).as("bin_offset"))
+  }
+
+  // ---------------------------------------------------------------------
   // Cross-document duplicated-segment removal
   // ---------------------------------------------------------------------
 

@@ -102,6 +102,38 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getString(3) == s"$seg1 tail one two")
   }
 
+  // ----------------------------------------------------------- surprisal
+
+  test("unigram surprisal matches the hand-computed corpus distribution") {
+    // corpus: a×6, b×2 over 8 tokens → p(a)=3/4, p(b)=1/4
+    val docs = docsDf((1L, "a a a a", "s"), (2L, "b b a a", "s"))
+    val out = Curation.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, r6(-math.log(0.75)))))
+    assert(out(2L) == ((4L, r6((-2 * math.log(0.25) - 2 * math.log(0.75)) / 4))))
+    // the rare-word doc is strictly more surprising
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  // -------------------------------------------------------------- packing
+
+  test("sequence packing: bins and offsets follow the cumulative recurrence per bucket") {
+    val rows = Curation.qSequencePack(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, bucketRows) =>
+      var cum = 0L
+      bucketRows.sortBy(_._2).foreach { case (_, docId, n, bin, off) =>
+        assert(bin == cum / Curation.PackBudget, s"doc $docId bin")
+        assert(off == cum % Curation.PackBudget, s"doc $docId offset")
+        cum += n
+      }
+    }
+    // every document must be placed exactly once
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
+
   // -------------------------------------------------------- contamination
 
   test("a planted copy of a benchmark document scores contamination 1.0") {
