@@ -92,6 +92,7 @@ object SparkEntry {
     "pii_scrub"           -> (Curation.qPiiScrub _),
     "segment_dedup"       -> (Curation.qSegmentDedup _),
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
+    "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "sequence_pack"       -> (Curation.qSequencePack _),
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
@@ -104,6 +105,7 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
+    "domain_mix"          -> (Pipeline.qDomainMix _),
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -478,6 +480,21 @@ object SparkEntry {
          |    CASE WHEN pred_lang = 'en' THEN '80'
          |         WHEN pred_lang = 'ru' THEN 'c0' ELSE 'zz' END""".stripMargin,
 
+    "domain_mix" ->
+      s"""WITH pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n_source) AS n_total,
+         |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
+         |cut AS (SELECT source, n_source,
+         |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
+         |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob
+         |  FROM pd CROSS JOIN tot)
+         |SELECT d.doc_id, d.source, c.n_source,
+         |  round(c.keep_prob, 6) AS keep_prob,
+         |  '0' || substr(md5(d.text), 1, 4) AS bucket,
+         |  ('0' || substr(md5(d.text), 1, 4)) <
+         |    printf('%05x', CAST(floor(c.keep_prob * 65536) AS BIGINT)) AS kept
+         |FROM documents d JOIN cut c USING (source)""".stripMargin,
+
     "ann_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -598,6 +615,29 @@ object SparkEntry {
          |  round(avg(-ln(CAST(cw AS DOUBLE) / t)), 6) AS avg_surprisal
          |FROM tok JOIN vocab USING (w) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+
+    "bigram_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
+         |tok AS (SELECT doc_id, unnest(l) AS w FROM w),
+         |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM tok),
+         |bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |sc AS (SELECT bg.doc_id,
+         |    -ln(${Curation.BigramLambda} * (CAST(c2.c2 AS DOUBLE) / u1.c)
+         |      + ${Curation.UnigramLambda} * (CAST(u2.c AS DOUBLE) / t)) AS s
+         |  FROM bg JOIN c2 USING (w1, w2)
+         |  JOIN c1 u1 ON bg.w1 = u1.w
+         |  JOIN c1 u2 ON bg.w2 = u2.w
+         |  CROSS JOIN tot),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    round(avg(s), 6) AS avg_surprisal
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_bigrams, avg_surprisal,
+         |  CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM agg""".stripMargin,
 
     "sequence_pack" ->
       s"""WITH sized AS (SELECT doc_id,

@@ -209,6 +209,66 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Interpolated bigram LM surprisal + perplexity buckets (CCNet-style)
+  // ---------------------------------------------------------------------
+
+  /** Interpolation weights for the bigram LM. Both constants are spelled
+    * as literals in Spark AND the oracle SQL — `1 - 0.7` in doubles is
+    * 0.30000000000000004, which would diverge from a written `0.3`. */
+  val BigramLambda = 0.7
+  val UnigramLambda = 0.3
+
+  /** Per-document mean surprisal under a λ-interpolated corpus bigram LM:
+    * s(w₁w₂) = −ln(λ·c₂(w₁,w₂)/c₁(w₁) + (1−λ)·c₁(w₂)/T) — the KenLM-style
+    * quality score one step up from [[unigramSurprisal]] (MLE bigram backed
+    * off to unigram; real pipelines swap in externally-trained weights, the
+    * corpus-MLE core is the deterministic, oracle-checkable part). Each
+    * document then lands in a CCNet-style head/middle/tail tercile of the
+    * corpus perplexity distribution (ntile 3 over the rounded score with a
+    * doc_id tiebreak — deterministic).
+    *
+    * Scale: one tokenize explode; bigram counts are (w₁,w₂)-keyed partial
+    * aggs (map-side combinable, Zipf hot keys AQE-splittable); occurrences
+    * join counts by bigram / unigram keys — standard shuffle joins; the
+    * 1-row total broadcasts. The tercile is the one inherently global step
+    * (a rank over per-doc scores — rows = documents, not tokens); at
+    * 100 TB the same cut is taken from approx-percentile cutoffs instead
+    * of an exact global rank, trading tie-edge documents only.
+    */
+  def qBigramSurprisal(s: SparkSession, d: String): DataFrame =
+    bigramSurprisal(documents(s, d))
+
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+    val c1 = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks
+      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(byPos).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.select(col("w").as("w1"), col("c").as("c1w")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c").as("c1u")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(
+          lit(BigramLambda) * (col("c2").cast("double") / col("c1w").cast("double"))
+            + lit(UnigramLambda) * (col("c1u").cast("double") / col("t").cast("double"))))
+          .as("s"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("s")), 6).as("avg_surprisal"))
+      .withColumn("tercile",
+        ntile(3).over(Window.orderBy(col("avg_surprisal"), col("doc_id"))))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_surprisal"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  // ---------------------------------------------------------------------
   // Sequence packing (pretraining sample packing)
   // ---------------------------------------------------------------------
 

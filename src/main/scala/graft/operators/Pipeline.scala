@@ -29,6 +29,61 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Temperature for [[qDomainMix]]: sampling weight ∝ share^α. α = 0.5 is
+    * implemented as sqrt — unlike pow, sqrt is IEEE correctly-rounded in
+    * both the JVM and C libm, so Spark and the DuckDB oracle compute
+    * bit-identical cutoffs and the keep decision hash-matches exactly. */
+  val MixTargetFrac = 0.5
+
+  /** Domain-mixture sampling — the multi-corpus reweighting step of a
+    * pretraining data recipe: sources are resampled toward temperature-
+    * flattened shares (weight ∝ share^0.5), so over-represented domains are
+    * downsampled and rare domains keep everything, with the total kept
+    * volume targeted at [[MixTargetFrac]] of the corpus.
+    *
+    * For domain d with n_d of N documents: q_d = sqrt(n_d) / Σ_e sqrt(n_e)
+    * (the share^α normalization — the N^α factor cancels), and each
+    * document keeps with p_d = min(1, q_d · M / n_d), M = ⌊N/2⌋.
+    *
+    * The keep decision is CONTENT-KEYED and portable (the training_mix
+    * recipe, widened from a fixed to a computed threshold): the first 4 hex
+    * chars of md5(text) are a uniform 16-bit bucket; keep iff
+    * '0'||bucket < the 5-digit hex of ⌊p_d·65536⌋ — a pure string compare
+    * both engines evaluate identically (p_d = 1 yields '10000', above every
+    * bucket). Content-keyed sampling survives re-partitioning, re-runs and
+    * scale-out — the resumability property that matters at 100 TB.
+    *
+    * Scale: the per-domain count table is DOMAINS rows — broadcast; the
+    * corpus side is one scan with per-row projections, zero data shuffle.
+    */
+  def qDomainMix(s: SparkSession, d: String): DataFrame =
+    domainMix(documents(s, d))
+
+  def domainMix(docs: DataFrame): DataFrame = {
+    val perDomain = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val totals = perDomain.agg(
+      sum(col("n_source")).as("n_total"),
+      sum(sqrt(col("n_source").cast("double"))).as("sum_w"))
+    val cutoffs = perDomain.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_source"),
+        least(
+          lit(1.0),
+          sqrt(col("n_source").cast("double")) / col("sum_w")
+            * floor(col("n_total") / 2).cast("double")
+            / col("n_source").cast("double")).as("keep_prob"))
+      .withColumn("cut_hex",
+        lpad(lower(hex(floor(col("keep_prob") * 65536).cast("long"))), 5, "0"))
+    docs.select(col("doc_id"), col("source"),
+        concat(lit("0"), substring(md5(col("text").cast("binary")), 1, 4)).as("bucket"))
+      .join(broadcast(cutoffs), Seq("source"))
+      .select(
+        col("doc_id"), col("source"), col("n_source"),
+        round(col("keep_prob"), 6).as("keep_prob"),
+        col("bucket"),
+        (col("bucket") < col("cut_hex")).as("kept"))
+  }
+
   def qTrainingMix(s: SparkSession, d: String): DataFrame = {
     val keep = Dedup.qDedupExact(s, d).select(col("keep_id").as("doc_id"))
     val lang = TextOps.qLangId(s, d).select(col("doc_id"), col("pred_lang"))

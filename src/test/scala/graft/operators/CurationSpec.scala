@@ -116,6 +116,49 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  // ----------------------------------------------------- bigram surprisal
+
+  test("bigram surprisal: interpolated LM score and terciles match hand computation") {
+    // tokens: a*3 b*2 c*1 (T=6); bigrams: (a,b)*2, (a,c)*1; c1(a)=3
+    val docs = docsDf((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s"))
+    val out = Curation.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sAB = r6(-math.log(0.7 * (2.0 / 3.0) + 0.3 * (2.0 / 6.0)))
+    val sAC = r6(-math.log(0.7 * (1.0 / 3.0) + 0.3 * (1.0 / 6.0)))
+    assert(out(1L) == ((1L, sAB, "head")))
+    assert(out(2L) == ((1L, sAB, "middle"))) // tie broken by doc_id
+    assert(out(3L) == ((1L, sAC, "tail")))
+    assert(sAC > sAB) // the rarer continuation is more surprising
+  }
+
+  // ----------------------------------------------------------- domain mix
+
+  test("domain mix: rare domains keep everything, hot domains downsample to temperature share") {
+    // 90 docs of src_a vs 10 of src_b; with alpha=0.5, q_a = 3/4, M = 50:
+    // p_a = 0.75*50/90 (~0.417), p_b = min(1, 0.25*50/10) = 1.0
+    val docs = Pipeline.domainMix(docsDf(
+      (0L until 90L).map(i => (i, s"alpha doc number $i with unique text", "src_a")) ++
+        (90L until 100L).map(i => (i, s"beta doc number $i", "src_b")): _*))
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(3), r.getBoolean(5)))
+    val (a, b) = rows.partition(_._2 == "src_a")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pA = r6(math.sqrt(90.0) / (math.sqrt(90.0) + math.sqrt(10.0)) * 50.0 / 90.0)
+    assert(a.forall(_._3 == pA))
+    assert(b.forall(r => r._3 == 1.0 && r._4)) // rare domain keeps all
+    // the hot domain really is thinned, and not to zero
+    val keptA = a.count(_._4)
+    assert(keptA > 0 && keptA < 90, s"keptA=$keptA")
+  }
+
+  test("domain mix keep decision is content-keyed: same text, same verdict under repartition") {
+    val mix = Pipeline.qDomainMix(spark, d)
+    val again = Pipeline.domainMix(
+      graft.Tables.documents(spark, d).repartition(7, col("source")))
+    assert(mix.select("doc_id", "kept").except(again.select("doc_id", "kept")).isEmpty)
+  }
+
   // -------------------------------------------------------------- packing
 
   test("sequence packing: bins and offsets follow the cumulative recurrence per bucket") {
