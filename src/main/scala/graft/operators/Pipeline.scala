@@ -84,6 +84,60 @@ object Pipeline {
         (col("bucket") < col("cut_hex")).as("kept"))
   }
 
+  /** Quality floor shared with [[qTrainingMix]]. */
+  val CurateQualityMin = 0.05
+
+  /** The full curation pass — every per-document gate of this library
+    * composed into one decision table, the way a production corpus run
+    * actually stacks them:
+    *
+    *   keep = exact-dedup representative
+    *        ∧ ¬repetitive (Gopher repetition signals)
+    *        ∧ ¬benchmark-contaminated (5-gram overlap; the benchmark slice
+    *          itself — absent from the contamination table — is excluded)
+    *        ∧ quality ≥ [[CurateQualityMin]]
+    *        ∧ perplexity tercile ≠ tail (CCNet-style bigram-LM cut;
+    *          documents too short to score a bigram are excluded)
+    *        ∧ domain-mix sampled (temperature reweighting)
+    *
+    * Whole-composition DuckDB-oracled (the individually-oracled gates, and
+    * the exact boolean algebra joining them — left joins with coalesce
+    * defaults where a gate's table is sparse). Every signal rides ONE
+    * doc_id-keyed join pipeline; gate tables are per-document aggregates,
+    * so at 100 TB each join side is |corpus| rows of a few columns — the
+    * shuffle shape of the dedup keep-table join repeated, not a new shape.
+    */
+  def qCorpusCurate(s: SparkSession, d: String): DataFrame = {
+    val keepRep = Dedup.qDedupExact(s, d)
+      .select(col("keep_id").as("doc_id"), lit(true).as("dedup_rep"))
+    val rep = Curation.qRepetitionSignals(s, d).select(col("doc_id"), col("repetitive"))
+    val con = Curation.qContamination(s, d).select(col("doc_id"), col("contaminated"))
+    val qual = TextOps.qQualityScore(s, d).select(col("doc_id"), col("quality"))
+    val ppl = Curation.qBigramSurprisal(s, d)
+      .select(col("doc_id"), col("avg_surprisal"), col("ppl_bucket"))
+    val mix = Pipeline.qDomainMix(s, d).select(col("doc_id"), col("kept").as("mix_kept"))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(keepRep, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .join(con, Seq("doc_id"), "left") // benchmark docs have no contamination row
+      .join(qual, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"), "left") // <2-token docs score no bigram
+      .join(mix, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("source"),
+        coalesce(col("dedup_rep"), lit(false)).as("dedup_rep"),
+        col("repetitive"),
+        coalesce(col("contaminated"), lit(true)).as("contaminated"),
+        col("quality"),
+        col("avg_surprisal"),
+        coalesce(col("ppl_bucket"), lit("tail")).as("ppl_bucket"),
+        col("mix_kept"))
+      .withColumn("keep",
+        col("dedup_rep") && !col("repetitive") && !col("contaminated") &&
+          col("quality") >= CurateQualityMin &&
+          col("ppl_bucket") =!= "tail" && col("mix_kept"))
+  }
+
   def qTrainingMix(s: SparkSession, d: String): DataFrame = {
     val keep = Dedup.qDedupExact(s, d).select(col("keep_id").as("doc_id"))
     val lang = TextOps.qLangId(s, d).select(col("doc_id"), col("pred_lang"))

@@ -284,6 +284,164 @@ object Similarity {
       .distinct()
   }
 
+  /** Coarse cells probed per vector in the two-level quantizer — boundary
+    * vectors consult the fine cells of their 3 nearest coarse regions
+    * (2 measured recall 0.71 on this near-isotropic worst case; 3 restores
+    * parity with the single-level path at ~N·√K assignment work since the
+    * fine-probe count — and so pair volume — is unchanged). */
+  val CoarseProbes = 3
+
+  /** Two-level (coarse→fine) IVF quantizer for blocked embedding dedup —
+    * the piece [[embeddingDedupBlocked]]'s scaladoc documented but did not
+    * build. Single-level auto-K has two legs that grow with the corpus:
+    * assignment is N·K brute-force centroid distances (K = N/[[TargetCellSize]]
+    * ⇒ N²/c dots), and [[ivfCentroids]] COLLECTS the K×64 matrix — the
+    * driver-side residency the single-level scaladoc called bounded stops
+    * being bounded once K scales with N.
+    *
+    * The fix is the standard hierarchical quantizer: C = ⌈√K⌉ coarse
+    * centroids (seed + one distributed Lloyd step — the only collected
+    * matrix, O(√K)×64); each coarse cell then holds F_c = ⌈n_c·K/N⌉ FINE
+    * SEEDS (proportional to its population — see [[twoLevelAssignments]]
+    * for why fixed allocation fails), the cell's first F_c member vectors
+    * by vec_id, Lloyd-refined once, kept DISTRIBUTED as a DataFrame, never
+    * collected. A vector probes its [[CoarseProbes]] nearest coarse cells,
+    * meets only those cells' fine centroids through a broadcast join, and
+    * lands in its `probes` nearest (coarse, fine) cells. Assignment work
+    * drops from N·K to ~N·(C + [[CoarseProbes]]·K/C) ≈ N·√K dots, every
+    * one a codegen'd [[graft.functions.DotProduct]]; driver residency
+    * drops from K×64 to √K×64. Pair generation and the exact-cosine
+    * verify are unchanged from [[embeddingDedupBlocked]], so results
+    * remain a SUBSET of the exact pair set (asserted in OperatorSpec,
+    * with a recall floor — measured 0.80 at sf0.001).
+    *
+    * Measured on the 10× probe (50k vectors, K=1250): 21.0 s vs
+    * single-level's 21.2 s — parity at the crossover point, with scaling
+    * ratio 5.1 vs 13.4 (1×→10×, same JVM): past ~50k vectors the removed
+    * N·K leg dominates and two-level pulls ahead, which is exactly the
+    * regime (K unCollectable, N·K unaffordable) it exists for.
+    *
+    * Determinism: coarse seeds/Lloyd mirror [[ivfCentroids]]; fine seeds
+    * are row_number() by vec_id within the PRIMARY (nearest) coarse cell;
+    * every window orders on (dist, coarse, fine) with full tiebreaks.
+    */
+  def qEmbeddingDedupTwoLevel(s: SparkSession, d: String): DataFrame =
+    embeddingDedupTwoLevel(withVec(s, d))
+
+  /** The assignment table of the two-level quantizer: `probes` rows
+    * (vec_id, coarse, fine) per vector. Public so occupancy/balance can be
+    * inspected directly — cell-size skew is THE failure mode of blocked
+    * pair generation (pair volume is Σ|cell|²).
+    *
+    * Fine cells are allocated PROPORTIONALLY: coarse cell with n_c members
+    * gets F_c = ⌈n_c·K/N⌉ fine seeds, so expected fine-cell size is
+    * N·P/K everywhere regardless of how uneven the coarse Voronoi regions
+    * are (a fixed F = K/C per coarse cell measured Σ|cell|² ≈ 5× the
+    * balanced value on the 10× probe — the populous coarse regions formed
+    * giant fine cells and pair generation went quadratic in them).
+    */
+  def twoLevelAssignments(
+      e: DataFrame,
+      cells: Int = -1,
+      probes: Int = BlockProbes,
+      coarseProbes: Int = CoarseProbes): DataFrame = {
+    val n = e.count()
+    val k =
+      if (cells > 0) cells
+      else math.max(BlockCells, (n / TargetCellSize).toInt)
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // The input vectors feed ~6 subtrees (centroid build, both assignment
+    // levels, the Lloyd step, pair verification) across several actions —
+    // persist once, like the shared shingle table in the text-dedup family.
+    val eP = e.persist()
+    val coarse = ivfCentroids(eP, c)
+    val coarseAssigned = cellDistances(eP, coarse)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rk") <= coarseProbes)
+      .select(col("vec_id"), col("cell").as("coarse"), col("rk"))
+      .persist() // narrow (vec_id, coarse, rk), read by both levels below
+    val primary = coarseAssigned.filter(col("rk") === 1).drop("rk")
+    val quota = primary.groupBy("coarse").agg(count(lit(1)).as("n_c"))
+      .select(col("coarse"),
+        ceil(col("n_c") * k / n).cast("int").as("f_c"))
+    val fineSeeds = primary
+      .join(eP, Seq("vec_id"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("coarse")).orderBy(col("vec_id"))))
+      .join(broadcast(quota), Seq("coarse"))
+      .filter(col("srk") <= col("f_c"))
+      .select(col("coarse"), col("srk").as("fine"),
+        col("v").as("fv"), (col("nrm") * col("nrm")).as("fnrm2"))
+    // one distributed Lloyd step on the fine level (the same refinement
+    // ivfCentroids gives the single-level path, but as a DataFrame — no
+    // collect): members pick their nearest seed within their primary
+    // coarse cell, fine centroids become per-(coarse, fine, dim) means.
+    // The seed/centroid tables are K rows — broadcast, so the corpus side
+    // of each assignment join never shuffles; windows see only narrow
+    // (vec_id, coarse, fine, dist) rows, never vector payloads. The
+    // transform() HOF rebuilding the centroid array is interpreted but
+    // runs on K centroid rows, not N vectors — off the hot path.
+    val members = primary
+      .join(eP, Seq("vec_id"))
+      .join(broadcast(fineSeeds), Seq("coarse"))
+      .select(col("vec_id"), col("coarse"), col("fine"),
+        (col("nrm") * col("nrm")
+          - lit(2.0) * dot(col("v"), col("fv")) + col("fnrm2")).as("dist"))
+      .withColumn("frk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("coarse"), col("fine"))))
+      .filter(col("frk") === 1)
+      .join(eP, Seq("vec_id")) // vector payload joins back AFTER the window
+      .select(col("coarse"), col("fine"), col("v"))
+    val fineCentroids = members
+      .select(col("coarse"), col("fine"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("coarse", "fine", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("coarse", "fine")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("coarse"), col("fine"),
+        transform(col("dm"), x => x.getField("m")).as("fv"))
+      .withColumn("fnrm2", dot(col("fv"), col("fv")))
+      .persist()
+    val assigned = coarseAssigned.drop("rk")
+      .join(eP, Seq("vec_id"))
+      .join(broadcast(fineCentroids), Seq("coarse"))
+      .select(col("vec_id"), col("coarse"), col("fine"),
+        (col("nrm") * col("nrm")
+          - lit(2.0) * dot(col("v"), col("fv")) + col("fnrm2")).as("dist"))
+      .withColumn("frk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("coarse"), col("fine"))))
+      .filter(col("frk") <= probes)
+      .select(col("vec_id"), col("coarse"), col("fine"))
+    assigned
+  }
+
+  def embeddingDedupTwoLevel(
+      e: DataFrame,
+      threshold: Double = 0.4,
+      cells: Int = -1, // -1 = auto-K, same law as embeddingDedupBlocked
+      probes: Int = BlockProbes,
+      coarseProbes: Int = CoarseProbes): DataFrame = {
+    val assigned = twoLevelAssignments(e, cells, probes, coarseProbes)
+    // vectors ride the cell rows so each within-cell collision verifies
+    // inline — the same shuffle-vs-compute trade as the single-level path.
+    // Persisted: the self-join below would otherwise execute the whole
+    // assignment cascade twice (exchange reuse does not span the
+    // asymmetric filter pushdowns the pair condition induces). `e` hits
+    // the cache registered inside twoLevelAssignments (same plan).
+    val eb = assigned.join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("coarse"), col("fine"), col("v"), col("nrm"))
+      .persist()
+    eb.as("a").join(eb.as("b"),
+        col("a.coarse") === col("b.coarse") && col("a.fine") === col("b.fine") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** LSH-bucketed ANN, top-3 per query: candidates = corpus vectors sharing
     * ≥1 (table, bucket) cell with the query; each surviving id-pair is
     * scored by exact cosine once (DISTINCT before scoring). Approximate —

@@ -70,13 +70,18 @@ object ScaleProbe {
       "dedup_exact" -> Dedup.qDedupExact _,
       "embedding_dedup" -> Similarity.qEmbeddingDedup _,
       "embedding_dedup_blocked" -> Similarity.qEmbeddingDedupBlocked _,
+      "embedding_dedup_2level" -> Similarity.qEmbeddingDedupTwoLevel _,
       "ann_brute" -> Similarity.qAnnBrute _,
       "q31_tfidf" -> TextOps.qTfIdf _,
       "training_mix" -> Pipeline.qTrainingMix _,
       "repetition_signals" -> Curation.qRepetitionSignals _,
       "contamination" -> Curation.qContamination _,
       "segment_dedup" -> Curation.qSegmentDedup _,
-      "pii_scrub" -> Curation.qPiiScrub _)
+      "pii_scrub" -> Curation.qPiiScrub _,
+      "unigram_surprisal" -> Curation.qUnigramSurprisal _,
+      "bigram_surprisal" -> Curation.qBigramSurprisal _,
+      "sequence_pack" -> Curation.qSequencePack _,
+      "domain_mix" -> Pipeline.qDomainMix _)
 
     val rows = families.map { case (name, fn) =>
       val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }

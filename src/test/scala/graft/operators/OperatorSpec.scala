@@ -81,6 +81,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"blocked recall = $recall over ${exact.size} true pairs")
   }
 
+  test("two-level quantizer dedup stays a subset of exact with comparable recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.qEmbeddingDedup(spark, d))
+    val twoLevel = pairs(Similarity.qEmbeddingDedupTwoLevel(spark, d))
+    assert(twoLevel.subsetOf(exact), s"false positives: ${twoLevel -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else twoLevel.size.toDouble / exact.size
+    info(s"two-level recall = $recall (${twoLevel.size}/${exact.size})")
+    assert(recall >= 0.75, s"two-level recall = $recall over ${exact.size} true pairs")
+  }
+
   test("public vector API: cosine/l2 combinators agree with the fused dot/norm form") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0))).toDF("a", "b")
@@ -152,6 +163,32 @@ class OperatorSpec extends AnyFunSuite {
     // deterministic: a second run yields the identical set
     val again = graft.operators.Pipeline.qTrainingMix(spark, d).collect()
     assert(mix.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("corpus_curate: the keep verdict is exactly the conjunction of its component gates") {
+    val cur = Pipeline.qCorpusCurate(spark, d).collect()
+    assert(cur.nonEmpty)
+    val reps = Dedup.qDedupExact(spark, d).collect().map(_.getAs[Long]("keep_id")).toSet
+    val rep = Curation.qRepetitionSignals(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("repetitive")).toMap
+    val con = Curation.qContamination(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    val qual = TextOps.qQualityScore(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val ppl = Curation.qBigramSurprisal(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    val mix = Pipeline.qDomainMix(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    var kept = 0
+    cur.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = reps.contains(id) && !rep(id) && !con.getOrElse(id, true) &&
+        qual(id) >= Pipeline.CurateQualityMin &&
+        ppl.getOrElse(id, "tail") != "tail" && mix(id)
+      assert(r.getAs[Boolean]("keep") == expect, s"doc $id")
+      if (expect) kept += 1
+    }
+    assert(kept > 0 && kept < cur.length) // the pass filters, and keeps something
   }
 
   test("dedup_exact keeps one representative per distinct content and counts multiplicity") {
