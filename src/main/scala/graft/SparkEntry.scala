@@ -94,6 +94,7 @@ object SparkEntry {
     "segment_dedup"       -> (Curation.qSegmentDedup _),
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
+    "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
     "sequence_pack"       -> (Curation.qSequencePack _),
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),

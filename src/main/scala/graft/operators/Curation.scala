@@ -41,9 +41,10 @@ object Curation {
   def qRepetitionSignals(s: SparkSession, d: String): DataFrame =
     repetitionSignals(documents(s, d))
 
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    repetitionSignalsFrom(tokens(docs))
+
+  def repetitionSignalsFrom(toks: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val base = toks.groupBy("doc_id").agg(
       count(lit(1)).as("n_words"),
@@ -90,10 +91,10 @@ object Curation {
   def qContamination(s: SparkSession, d: String): DataFrame =
     contaminationFrom(documents(s, d))
 
-  def contaminationFrom(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), col("source"),
-      posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+  def contaminationFrom(docs: DataFrame): DataFrame =
+    contaminationFromTokens(tokens(docs))
+
+  def contaminationFromTokens(toks: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = toks
       .select(col("doc_id"), col("source"),
@@ -238,9 +239,21 @@ object Curation {
   def qBigramSurprisal(s: SparkSession, d: String): DataFrame =
     bigramSurprisal(documents(s, d))
 
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+  def bigramSurprisal(docs: DataFrame): DataFrame =
+    bigramSurprisalFrom(tokens(docs))
+
+  /** (doc_id, source, pos, w) token table — the scan every n-gram gate
+    * shares (see [[Pipeline.qCorpusCurate]]: one tokenize explode feeds
+    * repetition, contamination and the bigram LM, the shingle-table
+    * pattern applied to curation). */
+  def tokens(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"), col("source"),
+    posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+
+  /** Per-document (doc_id, n_bigrams, avg_surprisal) under the
+    * interpolated corpus bigram LM — the tercile-free core shared by the
+    * exact and approximate bucket cuts. */
+  def bigramScores(toks: DataFrame): DataFrame = {
     val c1 = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("t"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -260,11 +273,37 @@ object Curation {
           .as("s"))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("s")), 6).as("avg_surprisal"))
+  }
+
+  def bigramSurprisalFrom(toks: DataFrame): DataFrame =
+    bigramScores(toks)
       .withColumn("tercile",
         ntile(3).over(Window.orderBy(col("avg_surprisal"), col("doc_id"))))
       .select(col("doc_id"), col("n_bigrams"), col("avg_surprisal"),
         when(col("tercile") === 1, "head")
           .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+
+  /** The 100 TB form of the tercile cut: ntile(3) is a global rank — one
+    * total order over every document. This variant takes the two bucket
+    * boundaries from percentile_approx (relative-error sketch, mergeable,
+    * one tiny broadcast) and buckets each document with two comparisons —
+    * no global sort anywhere. Documents whose score falls within sketch
+    * error of a boundary may land one bucket over (rank-accuracy
+    * semantics, same caveat as q37); agreement with the exact terciles is
+    * asserted ≥95% in CurationSpec. */
+  def qBigramSurprisalScale(s: SparkSession, d: String): DataFrame =
+    bigramSurprisalScale(documents(s, d))
+
+  def bigramSurprisalScale(docs: DataFrame): DataFrame = {
+    val scores = bigramScores(tokens(docs))
+    val cuts = scores.agg(
+      percentile_approx(col("avg_surprisal"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_surprisal"),
+        when(col("avg_surprisal") <= element_at(col("cuts"), 1), "head")
+          .when(col("avg_surprisal") <= element_at(col("cuts"), 2), "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
 

@@ -108,12 +108,16 @@ object Pipeline {
     * shuffle shape of the dedup keep-table join repeated, not a new shape.
     */
   def qCorpusCurate(s: SparkSession, d: String): DataFrame = {
+    // ONE tokenize explode feeds all three n-gram gates (the shared
+    // shingle-table pattern applied to curation — at 100 TB tokenization
+    // is a full corpus scan, paid once, not three times)
+    val toks = Curation.tokens(documents(s, d)).persist()
     val keepRep = Dedup.qDedupExact(s, d)
       .select(col("keep_id").as("doc_id"), lit(true).as("dedup_rep"))
-    val rep = Curation.qRepetitionSignals(s, d).select(col("doc_id"), col("repetitive"))
-    val con = Curation.qContamination(s, d).select(col("doc_id"), col("contaminated"))
+    val rep = Curation.repetitionSignalsFrom(toks).select(col("doc_id"), col("repetitive"))
+    val con = Curation.contaminationFromTokens(toks).select(col("doc_id"), col("contaminated"))
     val qual = TextOps.qQualityScore(s, d).select(col("doc_id"), col("quality"))
-    val ppl = Curation.qBigramSurprisal(s, d)
+    val ppl = Curation.bigramSurprisalFrom(toks)
       .select(col("doc_id"), col("avg_surprisal"), col("ppl_bucket"))
     val mix = Pipeline.qDomainMix(s, d).select(col("doc_id"), col("kept").as("mix_kept"))
     documents(s, d).select(col("doc_id"), col("source"))

@@ -132,6 +132,18 @@ class CurationSpec extends AnyFunSuite {
     assert(sAC > sAB) // the rarer continuation is more surprising
   }
 
+  test("sketch-cut terciles agree with the exact global-rank terciles on ≥95% of docs") {
+    val exact = Curation.qBigramSurprisal(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    val approx = Curation.qBigramSurprisalScale(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    val frac = agree.toDouble / exact.size
+    info(s"tercile agreement = $frac ($agree/${exact.size})")
+    assert(frac >= 0.95, s"agreement $frac")
+  }
+
   // ----------------------------------------------------------- domain mix
 
   test("domain mix: rare domains keep everything, hot domains downsample to temperature share") {
