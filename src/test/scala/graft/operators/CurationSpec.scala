@@ -221,10 +221,26 @@ class CurationSpec extends AnyFunSuite {
       Curation.qRepetitionSignals(spark, d),
       Curation.qContamination(spark, d),
       Curation.qPiiScrub(spark, d),
-      Curation.qSegmentDedup(spark, d)).foreach { df =>
+      Curation.qSegmentDedup(spark, d),
+      Curation.qUnigramSurprisal(spark, d),
+      Curation.qBigramSurprisal(spark, d),
+      Curation.qSequencePack(spark, d),
+      Pipeline.qDomainMix(spark, d)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("DeserializeToObject"), s"object boundary in:\n$plan")
     }
+  }
+
+  test("plan shape: domain_mix broadcasts the cutoff table — corpus side never sort-merges") {
+    val plan = Pipeline.qDomainMix(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast cutoffs:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side shuffled for a tiny dim:\n$plan")
+  }
+
+  test("plan shape: corpus_curate reads the shared token table from cache") {
+    val plan = Pipeline.qCorpusCurate(spark, d).queryExecution.executedPlan.toString
+    val hits = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(hits >= 3, s"expected ≥3 cached token-scan reads, got $hits:\n${plan.take(2000)}")
   }
 
   test("contamination on the real corpus is sane and flags the planted near-dups only") {
