@@ -78,6 +78,7 @@ object SparkEntry {
     "embedding_dedup"     -> (Similarity.qEmbeddingDedup _),
     "embedding_dedup_blocked" -> (Similarity.qEmbeddingDedupBlocked _), // rows-only: approximate by design (IVF blocking); recall + subset asserted in OperatorSpec
     "embedding_dedup_2level"  -> (Similarity.qEmbeddingDedupTwoLevel _), // rows-only: approximate by design (hierarchical IVF); recall + subset asserted in OperatorSpec
+    "ann_2level"              -> (Similarity.qAnnTwoLevel _), // rows-only: approximate by design (hierarchical IVF ANN); recall asserted in OperatorSpec
     "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),

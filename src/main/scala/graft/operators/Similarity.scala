@@ -413,7 +413,7 @@ object Similarity {
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("coarse"), col("fine"))))
       .filter(col("frk") <= probes)
-      .select(col("vec_id"), col("coarse"), col("fine"))
+      .select(col("vec_id"), col("coarse"), col("fine"), col("frk").as("rk"))
     assigned
   }
 
@@ -440,6 +440,45 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** Fine cells a QUERY probes in [[qAnnTwoLevel]] — the classic IVF
+    * asymmetry: the corpus is indexed at [[BlockProbes]] cells per vector,
+    * queries probe 4× as many (nprobe > index multiplicity buys recall at
+    * query-side-only cost). */
+  val AnnQueryProbes = 16
+
+  /** Hierarchical (two-level) IVF ANN, top-3 per query — the ANN face of
+    * [[twoLevelAssignments]]: candidates are corpus vectors sharing at
+    * least one (coarse, fine) cell with the query, DISTINCT'd, then scored
+    * once with the exact codegen'd cosine. One assignment pass at
+    * [[AnnQueryProbes]] serves both sides: corpus occupancy keeps ranks
+    * ≤ [[BlockProbes]], queries use all [[AnnQueryProbes]] probed cells.
+    * Approximate — recall@top-3 vs [[qNearestNeighbor]] asserted in
+    * OperatorSpec. Scale shape matches ann_lsh: only (vec_id, cell) rows
+    * shuffle for candidate generation, vectors join back by id, and the
+    * driver never holds more than the √K coarse matrix. */
+  def qAnnTwoLevel(s: SparkSession, d: String): DataFrame = {
+    val e = withVec(s, d)
+    val cells = twoLevelAssignments(e, probes = AnnQueryProbes)
+    val qb = cells.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("coarse"), col("fine"))
+    val cand = cells.filter(col("rk") <= BlockProbes)
+      .join(qb, Seq("coarse", "fine"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nn_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("nn_id"), col("v"), col("nrm")), Seq("nn_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")),
+        Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
   }
 
   /** LSH-bucketed ANN, top-3 per query: candidates = corpus vectors sharing

