@@ -92,6 +92,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@3 = $recall") // measured 0.91, deterministic
   }
 
+  test("two-level fine cells stay balanced — proportional quotas hold under coarse skew") {
+    // pair volume is Σ|cell|²: a fixed per-coarse quota measured 5× the
+    // balanced value on the 10× probe (SCALEPROBE round 5). Guard the
+    // proportional-allocation law: no fine cell may dominate the corpus.
+    val e = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+    val occ = Similarity.twoLevelAssignments(e)
+      .groupBy("coarse", "fine").count().select("count").collect().map(_.getLong(0))
+    val n = e.count()
+    val mean = occ.sum.toDouble / occ.length
+    assert(occ.max <= n / 4, s"one fine cell holds ${occ.max} of $n vectors")
+    assert(occ.max <= mean * 12, s"max=${occ.max} mean=$mean — quota law broken")
+  }
+
   test("two-level quantizer dedup stays a subset of exact with comparable recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
