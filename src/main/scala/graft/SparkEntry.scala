@@ -92,6 +92,7 @@ object SparkEntry {
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
     "pii_scrub"           -> (Curation.qPiiScrub _),
+    "signal_projection"   -> (Curation.qSignalProjection _),
     "segment_dedup"       -> (Curation.qSegmentDedup _),
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
@@ -687,6 +688,24 @@ object SparkEntry {
            |    '${Curation.Ipv4Re}', '<IP>', 'g'),
            |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS clean_len
            |FROM r""".stripMargin,
+
+    "signal_projection" ->
+      s"""WITH t AS (SELECT doc_id, text, $WORDS AS words FROM documents)
+         |SELECT doc_id,
+         |  $LANG_CASE AS pred_lang,
+         |  round(least(len(words) / 100.0, 1.0) *
+         |    (1.0 - CAST(len([w FOR w IN words
+         |                     IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |      / len(words)), 4) AS quality,
+         |  len(words) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${Curation.EmailRe}'))
+         |    + len(regexp_extract_all(text, '${Curation.Ipv4Re}'))
+         |    + len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS INT) AS n_pii,
+         |  length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.Ipv4Re}', '<IP>', 'g'),
+         |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS clean_len
+         |FROM t""".stripMargin,
 
     "unigram_surprisal" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),

@@ -345,6 +345,32 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming signal projection (batch/stream-agnostic curation front end)
+  // ---------------------------------------------------------------------
+
+  /** The stateless per-document signal slice of the curation pass —
+    * language ID, quality score, token count, PII count + scrubbed length —
+    * as ONE projection that runs identically on a batch DataFrame or a
+    * Structured Streaming source (no shuffle, no state, no watermark
+    * needed: this is the map side of a streaming ingest pipeline that
+    * scores documents as they arrive and defers the corpus-relative gates
+    * — dedup, contamination, terciles, domain mix — to the batch pass).
+    * CurationStreamSpec proves stream output == batch output row-for-row
+    * on a replayed corpus slice. */
+  def qSignalProjection(s: SparkSession, d: String): DataFrame =
+    signalProjection(documents(s, d))
+
+  def signalProjection(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    TextOps.langIdExpr(col("text")).as("pred_lang"),
+    TextOps.qualityExpr(col("text")).as("quality"),
+    size(TextOps.normWords(col("text"))).cast("long").as("ws_tokens"),
+    (regexp_count(col("text"), lit(EmailRe)) +
+      regexp_count(col("text"), lit(Ipv4Re)) +
+      regexp_count(col("text"), lit(PhoneRe))).as("n_pii"),
+    length(scrub(col("text"))).cast("long").as("clean_len"))
+
+  // ---------------------------------------------------------------------
   // Cross-document duplicated-segment removal
   // ---------------------------------------------------------------------
 

@@ -39,6 +39,17 @@ object TextOps {
       col("lang").as("labeled_lang"),
       langIdExpr(col("text")).as("pred_lang"))
 
+  /** The composite quality score as a single reusable column expression —
+    * identical tree to the one qQualityScore emits, shared by the
+    * streaming signal projection. */
+  def qualityExpr(text: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val words = normWords(text)
+    val nWords = size(words).cast("double")
+    val stopRatio = size(filter(words, w => w.isInCollection(stop))).cast("double") / nWords
+    round(least(nWords / lit(100.0), lit(1.0)) * (lit(1.0) - stopRatio), 4)
+  }
+
   /** Quality scoring: length / punctuation / stopword-ratio heuristics
     * (the C4/Gopher-style filters, minus the corpus-specific ones). */
   def qQualityScore(s: SparkSession, d: String): DataFrame = {
