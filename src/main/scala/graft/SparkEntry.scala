@@ -88,6 +88,8 @@ object SparkEntry {
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
+    "q40_range_band_join" -> (R.qRangeBandJoin _),
+    "q41_unpivot"         -> (R.qUnpivot _),
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
@@ -788,6 +790,26 @@ object SparkEntry {
          |  CAST(len(list_filter(toks, x -> NOT list_contains(stop, x))) AS INT) AS n_nonstop,
          |  CAST(len(list_distinct(toks || stop)) AS INT) AS n_union
          |FROM t, s""".stripMargin,
+
+    "q40_range_band_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+        |  (25.0, 40.0, 'high'), (40.0, 1e9, 'bulk'))
+        |SELECT band, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band""".stripMargin,
+
+    "q41_unpivot" ->
+      """WITH u AS (
+        |  SELECT p_partkey, 'retailprice' AS attribute,
+        |    CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+        |SELECT attribute, count(*) AS n,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(max(value), 4) AS max_value
+        |FROM u GROUP BY attribute""".stripMargin,
 
     "q31_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),

@@ -563,4 +563,45 @@ object Relational {
         date_format(col("prev_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prev_click_ts"),
         col("prev_click_val").cast("double").as("prev_click_value"))
   }
+
+  /** Range (band) join (q40): lineitem rows land in quantity bands defined
+    * by [lo, hi) intervals — the classic non-equi interval join. The band
+    * table is a literal handful of rows, so the ONLY sane physical plan at
+    * any scale is BroadcastNestedLoopJoin with the fact side streaming
+    * unshuffled (Spark has no interval-tree join operator; for a LARGE
+    * interval table the composition is bucketize-the-ranges → equi-join on
+    * bucket + residual predicate — same shape as the LSH candidate joins).
+    * Bands partition the domain, so the join is 1:1 and row counts are
+    * preserved — asserted by the oracle's row compare. */
+  def qRangeBandJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = Seq(
+      (0.0, 10.0, "low"), (10.0, 25.0, "mid"),
+      (25.0, 40.0, "high"), (40.0, 1e9, "bulk"))
+    val bandDf = s.createDataFrame(bands).toDF("lo", "hi", "band")
+    lineitem(s, d)
+      .join(broadcast(bandDf),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
+  /** Unpivot / melt (q41): the wide per-part price/size columns rotate
+    * into (attribute, value) rows — Spark's `unpivot`, DuckDB's UNPIVOT.
+    * Pure per-row restructuring: zero shuffle before the final agg. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("retailprice"), col("size")),
+        "attribute", "value")
+      .groupBy("attribute")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(max(col("value")), 4).as("max_value"))
 }

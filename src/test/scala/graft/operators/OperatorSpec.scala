@@ -303,6 +303,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("plan shape: range band join broadcasts the interval table, fact side unshuffled (q40)") {
+    val plan = Relational.qRangeBandJoin(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast interval join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"fact side must stream against the broadcast bands:\n$plan")
+  }
+
   test("plan shape: top-k uses TakeOrderedAndProject, not a global sort (q14)") {
     val plan = Relational.q14TopK(spark, d).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
