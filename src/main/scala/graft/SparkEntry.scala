@@ -90,6 +90,7 @@ object SparkEntry {
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
     "q41_unpivot"         -> (R.qUnpivot _),
+    "q42_range_join_bucketed" -> (R.qRangeJoinBucketed _),
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
@@ -799,6 +800,14 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band""".stripMargin,
+
+    "q42_range_join_bucketed" ->
+      """WITH bands AS (SELECT CAST(i AS INT) AS band_id, CAST(i AS DOUBLE) AS lo,
+        |    CAST(i + 3 AS DOUBLE) AS hi FROM range(60) t(i))
+        |SELECT band_id, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id""".stripMargin,
 
     "q41_unpivot" ->
       """WITH u AS (

@@ -587,6 +587,38 @@ object Relational {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Bucketized range join (q42) — the scale composition q40's scaladoc
+    * names, built: when the interval table is too large to broadcast, a
+    * BroadcastNestedLoopJoin is unavailable and a raw non-equi join
+    * degenerates to a cartesian product. The standard fix maps each
+    * interval to every fixed-width bucket it overlaps (explode — bounded
+    * by interval_width/bucket_width rows per interval), each point to its
+    * single bucket, equi-joins on the bucket key, and re-checks the exact
+    * [lo, hi) predicate as a residual filter. One hash shuffle on the
+    * bucket key, no broadcast, no NLJ — the LSH candidate-join shape
+    * applied to intervals. A point lives in exactly one bucket, so no
+    * DISTINCT is needed. Overlapping intervals (width 3, step 1) prove
+    * the multi-match semantics; the oracle is the plain range join. */
+  def qRangeJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val w = 4.0
+    val bands = s.range(0, 60).select(
+      col("id").cast("int").as("band_id"),
+      col("id").cast("double").as("lo"),
+      (col("id") + 3).cast("double").as("hi"))
+    val bandBuckets = bands.select(col("band_id"), col("lo"), col("hi"),
+      explode(sequence(
+        floor(col("lo") / w).cast("int"),
+        floor((col("hi") - lit(0.001)) / w).cast("int"))).as("bucket"))
+    lineitem(s, d)
+      .select(col("l_quantity"), floor(col("l_quantity") / w).cast("int").as("bucket"))
+      .join(bandBuckets, Seq("bucket"))
+      .filter(col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   /** Unpivot / melt (q41): the wide per-part price/size columns rotate
     * into (attribute, value) rows — Spark's `unpivot`, DuckDB's UNPIVOT.
     * Pure per-row restructuring: zero shuffle before the final agg. */

@@ -102,6 +102,27 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getString(3) == s"$seg1 tail one two")
   }
 
+  test("property: no email/IP/phone pattern survives a scrub, and scrubbing is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val word = Gen.alphaStr.suchThat(_.nonEmpty)
+    val pii = Gen.oneOf(
+      Gen.zip(word, word).map { case (a, b) => s"$a@$b.com" },
+      Gen.zip(Gen.choose(0, 999), Gen.choose(0, 999), Gen.choose(0, 999), Gen.choose(0, 999))
+        .map { case (a, b, c, e) => s"$a.$b.$c.$e" },
+      Gen.zip(Gen.choose(100, 999), Gen.choose(0, 9999))
+        .map { case (a, b) => f"$a-$b%04d" },
+      word, Gen.oneOf(".", " ", ",", "@", "-", "1.2", "99"))
+    val text = Gen.listOf(pii).map(_.mkString(" "))
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(text) { t =>
+        val clean = Curation.scrubText(t)
+        Seq(Curation.EmailRe, Curation.Ipv4Re, Curation.PhoneRe)
+          .forall(re => !re.r.findFirstIn(clean).isDefined) &&
+          Curation.scrubText(clean) == clean
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   // ----------------------------------------------------------- surprisal
 
   test("unigram surprisal matches the hand-computed corpus distribution") {

@@ -310,6 +310,12 @@ class OperatorSpec extends AnyFunSuite {
       s"fact side must stream against the broadcast bands:\n$plan")
   }
 
+  test("plan shape: bucketized range join is an equi join — no NLJ, no cartesian (q42)") {
+    val plan = Relational.qRangeJoinBucketed(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval bucketization must yield an equi join:\n$plan")
+  }
+
   test("plan shape: top-k uses TakeOrderedAndProject, not a global sort (q14)") {
     val plan = Relational.q14TopK(spark, d).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
