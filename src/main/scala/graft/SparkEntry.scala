@@ -91,6 +91,7 @@ object SparkEntry {
     "q40_range_band_join" -> (R.qRangeBandJoin _),
     "q41_unpivot"         -> (R.qUnpivot _),
     "q42_range_join_bucketed" -> (R.qRangeJoinBucketed _),
+    "q43_hll_sketch_merge" -> (R.qHllPartitionedDistinct _), // rows-only: DataSketches estimates are engine-specific; merge==direct + 5% bound asserted in OperatorSpec
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),

@@ -587,6 +587,24 @@ object Relational {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Mergeable distinct sketches (q43) — the re-aggregation story exact
+    * and approx_count_distinct can't tell: at 100 TB a distinct count is
+    * pre-aggregated at a fine grain (here: per event_type × day Apache
+    * DataSketches HLL sketches via hll_sketch_agg) and ROLLED UP later by
+    * unioning sketches (hll_union_agg), never rescanning the raw data.
+    * HLL union is register-wise max, so merging per-day sketches yields
+    * the IDENTICAL sketch (and estimate) the direct one-pass build gives —
+    * asserted exactly in OperatorSpec, along with a 5% error bound vs the
+    * true distinct count. Rows-only vs the oracle (estimates are
+    * engine-specific by design; DuckDB's HLL is a different sketch). */
+  def qHllPartitionedDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
+      .orderBy("event_type")
+
   /** Bucketized range join (q42) — the scale composition q40's scaladoc
     * names, built: when the interval table is too large to broadcast, a
     * BroadcastNestedLoopJoin is unavailable and a raw non-equi join

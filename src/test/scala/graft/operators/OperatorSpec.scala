@@ -310,6 +310,22 @@ class OperatorSpec extends AnyFunSuite {
       s"fact side must stream against the broadcast bands:\n$plan")
   }
 
+  test("HLL sketches re-aggregate exactly: per-day merge == direct build, within 5% of truth") {
+    val ev = graft.Tables.events(spark, d)
+    val merged = Relational.qHllPartitionedDistinct(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, s"union-of-parts must equal one-pass sketch: $merged vs $direct")
+    exact.foreach { case (t, c) =>
+      assert(math.abs(merged(t) - c).toDouble / c <= 0.05, s"$t: est=${merged(t)} exact=$c")
+    }
+  }
+
   test("plan shape: bucketized range join is an equi join — no NLJ, no cartesian (q42)") {
     val plan = Relational.qRangeJoinBucketed(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
