@@ -92,6 +92,12 @@ object SparkEntry {
     "q41_unpivot"         -> (R.qUnpivot _),
     "q42_range_join_bucketed" -> (R.qRangeJoinBucketed _),
     "q43_hll_sketch_merge" -> (R.qHllPartitionedDistinct _), // rows-only: DataSketches estimates are engine-specific; merge==direct + 5% bound asserted in OperatorSpec
+    "q44_minmax_by"       -> (R.q44MinMaxBy _),
+    "q45_stats_agg"       -> (R.q45StatsAgg _),
+    "q46_histogram"       -> (R.q46Histogram _),
+    "q47_interval_join"   -> (R.q47IntervalJoin _),
+    "scd2_snapshot"       -> (R.qScd2Snapshot _),
+    "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
@@ -809,6 +815,64 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band_id""".stripMargin,
+
+    "q44_minmax_by" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    lpad(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 19, '0')
+        |      || '|' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  max_by(o_orderkey, ord_key) AS biggest_order,
+        |  min_by(o_orderkey, ord_key) AS smallest_order,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+        |  count(*) AS n_orders
+        |FROM t GROUP BY o_custkey""".stripMargin,
+
+    "q45_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_discount), 6) AS disc_stddev,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS price_intercept,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q46_histogram" ->
+      """WITH h AS (SELECT CAST(floor("value" / 25) AS INT) AS bucket, count(*) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, n, sum_value,
+        |  CAST(sum(n) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |FROM h""".stripMargin,
+
+    "q47_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |             event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM e
+        |      WHERE event_type = 'click')
+        |SELECT purchase_id, click_id, user_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM p JOIN c USING (user_id)
+        |WHERE c_ts >= p_ts - INTERVAL 10 MINUTE AND c_ts <= p_ts""".stripMargin,
+
+    "scd2_snapshot" ->
+      """WITH e AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |             "value" FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, event_id, ts, "value",
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+        |      FROM e)
+        |SELECT user_id, event_id, CAST("value" AS DOUBLE) AS attr_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f'),
+        |           '9999-12-31 00:00:00.000000') AS valid_to,
+        |  (valid_to_ts IS NULL) AS is_current
+        |FROM m""".stripMargin,
 
     "q41_unpivot" ->
       """WITH u AS (

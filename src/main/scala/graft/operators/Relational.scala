@@ -654,4 +654,144 @@ object Relational {
         count(lit(1)).as("n"),
         round(avg(col("value")), 4).as("avg_value"),
         round(max(col("value")), 4).as("max_value"))
+
+  /** Fixed-width composite ordering key for arg-max/arg-min determinism:
+    * the money value snapped to its exact decimal(18,4) grid (both engines
+    * render that scale identically), zero-padded so lexicographic order =
+    * numeric order for the non-negative domain, then a unique tie-breaker.
+    * DuckDB's max_by can't order by a struct, so the composite key is the
+    * portable encoding of ORDER BY (value, key). */
+  private def ordKey(value: Column, tieBreak: Column): Column = concat(
+    lpad(value.cast("decimal(18,4)").cast("string"), 19, "0"),
+    lit("|"),
+    lpad(tieBreak.cast("string"), 12, "0"))
+
+  /** Arg-max / arg-min (q44): per customer, the order ids carrying the
+    * highest and lowest total price. `max_by`/`min_by` replace the rank-1
+    * window form with a single partial-aggregating pass — no per-partition
+    * sort, one grouping shuffle of (key, current-best) pairs, which is the
+    * shape that survives 100 TB (the window form would sort every
+    * partition of the fact table first). */
+  def q44MinMaxBy(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("ord_key", ordKey(col("o_totalprice"), col("o_orderkey")))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), col("ord_key")).as("biggest_order"),
+        min_by(col("o_orderkey"), col("ord_key")).as("smallest_order"),
+        dsum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+
+  /** Statistical aggregate suite (q45): correlation, sample covariance /
+    * stddev / variance, and least-squares regression of extended price on
+    * quantity, per return flag. All are one-pass mergeable co-moment
+    * aggregates (partial per partition, merged at the final agg) — the
+    * same partial+final shape as sum/count, so they scale identically.
+    * Outputs are rounded well above the ~1e-9 relative merge-order float
+    * noise so the hash compare is stable across engines/partitionings. */
+  def q45StatsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        round(stddev_samp(col("l_discount")), 6).as("disc_stddev"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("price_per_qty"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("price_intercept"),
+        count(lit(1)).as("n"))
+
+  /** Equi-width histogram + cumulative counts (q46): events.value lands in
+    * width-25 buckets (floor division — no UDF, stays in codegen), counted
+    * and summed per bucket, then a running total over the bucket axis.
+    * The unpartitioned window runs over the ~20-row AGGREGATED result,
+    * not the fact table, so the single-partition window is free. */
+  def q46Histogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .groupBy(floor(col("value") / 25).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), vsum(col("value")).as("sum_value"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+  }
+
+  /** Interval join (q47): each purchase matched to every click by the
+    * same user within the 10 minutes before it. Planned as an EQUI-join
+    * on user_id with the time band as a residual filter — one hash
+    * shuffle of each side, no nested loop, no broadcast needed: the
+    * scalable form of an event-correlation join. (Compare q40, where the
+    * non-equi side is a broadcast-able handful of bands.) Timestamps are
+    * compared and emitted at microsecond precision on both engines. */
+  def q47IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(
+        col("purchase_id"), col("click_id"), col("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+  }
+
+  /** Batch twin of [[intervalJoinStream]] over the 4-column replay schema
+    * (ts, event_type, value, user_id) used by the streaming agreement
+    * test — same join, minus the event_id the replay fixture lacks. */
+  def intervalJoinBatch(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("c_ts"), col("p_value"))
+  }
+
+  /** Stream-stream interval join: the streaming form of q47. Both sides
+    * carry a watermark so Spark bounds the join state — a buffered click
+    * can be dropped once the purchase-side watermark passes beyond its
+    * 10-minute relevance window; without the watermark the state grows
+    * forever. Inner join in append mode emits each match exactly once.
+    * StreamingWindowSpec proves the emitted set equals
+    * [[intervalJoinBatch]] over the same bounded replay. */
+  def intervalJoinStream(streamingEvents: DataFrame): DataFrame = {
+    val p = streamingEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "30 minutes")
+    val c = streamingEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    p.join(c, expr(
+        "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("c_ts"), col("p_value"))
+  }
+
+  /** SCD2 temporal snapshot (scd2_snapshot): the purchase stream read as a
+    * per-user changelog and compacted into slowly-changing-dimension rows:
+    * each change opens [valid_from, valid_to) closed by the user's next
+    * change; the open-ended interval is flagged current. One shuffle on
+    * user_id + a per-partition sort — the standard CDC compaction shape,
+    * and exactly the plan a MERGE-based SCD2 build would produce. */
+  def qScd2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        col("value").cast("double").as("attr_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        coalesce(
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          lit("9999-12-31 00:00:00.000000")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
 }

@@ -142,6 +142,28 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Mergeable heavy hitters (heavy_hitters, rows-only): the top-10 corpus
+    * terms via Spark's approx_top_k frequent-items sketch, built the way a
+    * 100 TB corpus would build it — `approx_top_k_accumulate` produces one
+    * bounded sketch PER SOURCE partition of the corpus, and
+    * `approx_top_k_combine` + `approx_top_k_estimate` roll those sketches
+    * up WITHOUT rescanning the tokens (the same pre-agg/merge-later shape
+    * as q43's HLL union). maxItemsTracked=65536 exceeds this corpus's
+    * vocabulary, so the sketch is exact here and OperatorSpec asserts the
+    * estimate equals the exact groupBy counts; at real scale it degrades
+    * gracefully to approximate counts in the same bounded memory.
+    * Rows-only vs the oracle: the sketch binary/ordering is
+    * engine-specific by design. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(normWords(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(expr("approx_top_k_accumulate(w, 65536)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 65536), 10)").as("top"))
+      .select(posexplode(col("top")).as(Seq("rank", "entry")))
+      .select(col("rank").cast("int").as("rank"),
+        col("entry.item").as("term"), col("entry.count").as("n"))
+
   /** Array set operations (q39): each document's distinct tokens
     * intersected/excepted/unioned against a fixed stopword vocabulary —
     * the set-algebra companions to q19/q20's positional array functions.

@@ -326,6 +326,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: per-source sketch merge agrees with exact corpus counts") {
+    // maxItemsTracked exceeds this corpus's vocabulary, so the merged
+    // frequent-items sketch must be EXACT: every (term, count) it reports
+    // equals the true count, and every term counted strictly above the
+    // reported minimum must be reported (terms tied AT the boundary may
+    // legitimately swap).
+    val got = TextOps.qHeavyHitters(spark, d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got.size == 10)
+    val exact = graft.Tables.documents(spark, d)
+      .select(explode(TextOps.normWords(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, n) =>
+      assert(exact.get(t).contains(n), s"$t: sketch=$n exact=${exact.get(t)}")
+    }
+    val cut = got.values.min
+    val mustHave = exact.filter(_._2 > cut).keySet
+    assert(mustHave.subsetOf(got.keySet),
+      s"missing above-cut terms: ${mustHave -- got.keySet}")
+  }
+
   test("plan shape: bucketized range join is an equi join — no NLJ, no cartesian (q42)") {
     val plan = Relational.qRangeJoinBucketed(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -113,6 +113,15 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join (purchase ⋈ click ≤10min) agrees with the batch join") {
+    // Inner stream-stream join: matches emit eagerly per micro-batch, the
+    // watermarks exist to BOUND the buffered state, so the emitted set must
+    // equal the batch join over the same bounded replay. The sentinel's
+    // event_type matches neither side, so it never joins.
+    assertStreamMatchesBatch(
+      Relational.intervalJoinBatch, Relational.intervalJoinStream, identity)
+  }
+
   test("streaming session window (10min gap) agrees with the batch form") {
     import org.apache.spark.sql.functions.col
     // the sentinel user (-1) opens a session that never closes; drop it from
