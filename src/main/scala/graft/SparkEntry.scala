@@ -96,6 +96,8 @@ object SparkEntry {
     "q45_stats_agg"       -> (R.q45StatsAgg _),
     "q46_histogram"       -> (R.q46Histogram _),
     "q47_interval_join"   -> (R.q47IntervalJoin _),
+    "q48_range_frame"     -> (R.q48RangeFrame _),
+    "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
     "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
     // ---- LLM-pipeline: corpus curation ----
@@ -860,6 +862,30 @@ object SparkEntry {
         |  strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
         |FROM p JOIN c USING (user_id)
         |WHERE c_ts >= p_ts - INTERVAL 10 MINUTE AND c_ts <= p_ts""".stripMargin,
+
+    "q48_range_frame" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  count(*) OVER w AS n_orders_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q49_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  (d.day_value IS NOT NULL) AS observed,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
 
     "scd2_snapshot" ->
       """WITH e AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,

@@ -773,6 +773,53 @@ object Relational {
       .select(col("p_user").as("user_id"), col("p_ts"), col("c_ts"), col("p_value"))
   }
 
+  /** Trailing-interval window (q48): per customer, order count and spend
+    * over the 30 days up to and including each order — a RANGE frame over
+    * event time, the time-series form q13's ROWS frame cannot express
+    * (ROWS counts physical neighbors; RANGE bounds a VALUE interval, so
+    * same-day ties all join the frame and calendar gaps shrink it).
+    * Spark range frames need a numeric ordering key → epoch seconds.
+    * Same one-shuffle-per-key + per-partition-sort shape as q13. */
+  def q48RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-30L * 86400, 0)
+    orders(s, d)
+      .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        count(lit(1)).over(w).as("n_orders_30d"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("spend_30d"))
+  }
+
+  /** Resample + forward-fill (q49): per-user purchase values land on a
+    * daily grid spanning that user's observed range (sequence + explode —
+    * generated on executors, never the driver), missing days left-join to
+    * null and forward-fill from the most recent observed day via the
+    * IGNORE-NULLS running window (same kernel as the as-of join q27).
+    * The pandas `resample().ffill()` idiom as a distributed plan: grid
+    * size is bounded by keys × span, shuffles once on user_id. */
+  def q49ResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(vsum(col("value")).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_value").isNotNull.as("observed"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** SCD2 temporal snapshot (scd2_snapshot): the purchase stream read as a
     * per-user changelog and compacted into slowly-changing-dimension rows:
     * each change opens [valid_from, valid_to) closed by the user's next

@@ -354,6 +354,18 @@ class OperatorSpec extends AnyFunSuite {
       s"interval bucketization must yield an equi join:\n$plan")
   }
 
+  test("plan shape: interval join is an equi join with a residual time band (q47)") {
+    val plan = Relational.q47IntervalJoin(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"time-band correlation must hash-join on user_id, not nested-loop:\n$plan")
+  }
+
+  test("plan shape: arg-max aggregates in one pass — no window sort (q44)") {
+    val plan = Relational.q44MinMaxBy(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"max_by must not plan a window:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected partial+final aggregate:\n$plan")
+  }
+
   test("plan shape: top-k uses TakeOrderedAndProject, not a global sort (q14)") {
     val plan = Relational.q14TopK(spark, d).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
