@@ -820,6 +820,16 @@ object Relational {
         last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Stream-static enrichment join: the streaming event feed joined to a
+    * static (batch) dimension. The static side is broadcast, so the
+    * UNBOUNDED side never shuffles and no join state accumulates — the
+    * third point of the streaming-join triangle next to the watermarked
+    * stream-stream join ([[intervalJoinStream]]) and the stateful
+    * control/data union (BatchTracker). Left join keeps events whose key
+    * is missing from the dimension (enrichment must never drop facts). */
+  def enrichStream(streamingEvents: DataFrame, staticDim: DataFrame): DataFrame =
+    streamingEvents.join(broadcast(staticDim), Seq("user_id"), "left")
+
   /** SCD2 temporal snapshot (scd2_snapshot): the purchase stream read as a
     * per-user changelog and compacted into slowly-changing-dimension rows:
     * each change opens [valid_from, valid_to) closed by the user's next

@@ -81,7 +81,13 @@ object ScaleProbe {
       "unigram_surprisal" -> Curation.qUnigramSurprisal _,
       "bigram_surprisal" -> Curation.qBigramSurprisal _,
       "sequence_pack" -> Curation.qSequencePack _,
-      "domain_mix" -> Pipeline.qDomainMix _)
+      "domain_mix" -> Pipeline.qDomainMix _,
+      "q44_minmax_by" -> Relational.q44MinMaxBy _,
+      "q47_interval_join" -> Relational.q47IntervalJoin _,
+      "q48_range_frame" -> Relational.q48RangeFrame _,
+      "q49_resample_ffill" -> Relational.q49ResampleFfill _,
+      "scd2_snapshot" -> Relational.qScd2Snapshot _,
+      "heavy_hitters" -> TextOps.qHeavyHitters _)
 
     val rows = families.map { case (name, fn) =>
       val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }

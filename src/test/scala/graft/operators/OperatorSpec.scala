@@ -366,6 +366,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("Aggregate"), s"expected partial+final aggregate:\n$plan")
   }
 
+  test("plan shape: runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB technique behind "don't scan what the join will drop":
+    // when the dimension side of a shuffle join is selectively filtered,
+    // Catalyst injects a bloom filter built from the dimension keys into
+    // the FACT side's scan, pruning rows before the shuffle. The injection
+    // thresholds target real cluster sizes, so the test lowers them to
+    // engage the rule on sf0.001 — the PLAN SHAPE, not the threshold
+    // values, is what must hold at scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = graft.Tables.lineitem(spark, d)
+      val bigOrders = graft.Tables.orders(spark, d)
+        .filter(col("o_totalprice") > 450000.0)
+      val joined = li.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter on the fact side:\n$plan")
+      joined.collect() // and the filtered plan must still execute correctly
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("plan shape: top-k uses TakeOrderedAndProject, not a global sort (q14)") {
     val plan = Relational.q14TopK(spark, d).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")

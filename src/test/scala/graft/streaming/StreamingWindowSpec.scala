@@ -122,6 +122,48 @@ class StreamingWindowSpec extends AnyFunSuite {
       Relational.intervalJoinBatch, Relational.intervalJoinStream, identity)
   }
 
+  test("stream-static broadcast enrichment joins every event, drops none") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val rows = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value", $"user_id")
+      .as[(Timestamp, String, Double, Long)]
+      .collect().toSeq
+    val batchDf = rows.toDF("ts", "event_type", "value", "user_id")
+    // static dimension: per-user lifetime event count, minus one user so
+    // the left join's keep-unmatched contract is actually exercised
+    val dropped = rows.map(_._4).max
+    val dim = batchDf.groupBy("user_id").agg(count(lit(1)).as("n_total"))
+      .filter(col("user_id") =!= dropped)
+
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val enriched = Relational.enrichStream(
+      input.toDF().toDF("ts", "event_type", "value", "user_id"), dim)
+    val name = "enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val query = enriched.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table(name).collect().map(canon).toSet
+      val expected = Relational.enrichStream(batchDf, dim).collect().map(canon).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+      // no event lost: the dimension-missing user still appears, null-enriched
+      assert(spark.table(name).count() == rows.size)
+      assert(spark.table(name)
+        .filter(col("user_id") === dropped && col("n_total").isNull).count() > 0)
+    } finally query.stop()
+  }
+
   test("streaming session window (10min gap) agrees with the batch form") {
     import org.apache.spark.sql.functions.col
     // the sentinel user (-1) opens a session that never closes; drop it from
