@@ -97,6 +97,8 @@ object SparkEntry {
     "q46_histogram"       -> (R.q46Histogram _),
     "q47_interval_join"   -> (R.q47IntervalJoin _),
     "q48_range_frame"     -> (R.q48RangeFrame _),
+    "q50_lateral"         -> (R.q50Lateral _),
+    "doc_chunk"           -> (TextOps.qDocChunk _),
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
     "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
@@ -870,6 +872,23 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q50_lateral" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+
+    "doc_chunk" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |c AS (SELECT doc_id, words,
+         |  unnest(range(0, CAST(ceil(greatest(len(words) - ${TextOps.ChunkWindow}, 0)
+         |    / ${TextOps.ChunkStride}.0) AS BIGINT) + 1)) AS chunk_idx FROM w)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(len(words[(chunk_idx*${TextOps.ChunkStride}+1):(chunk_idx*${TextOps.ChunkStride}+${TextOps.ChunkWindow})]) AS INT) AS n_tokens,
+         |  array_to_string(words[(chunk_idx*${TextOps.ChunkStride}+1):(chunk_idx*${TextOps.ChunkStride}+${TextOps.ChunkWindow})], ' ') AS chunk_text
+         |FROM c""".stripMargin,
 
     "q49_resample_ffill" ->
       """WITH daily AS (

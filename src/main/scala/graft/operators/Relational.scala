@@ -661,7 +661,7 @@ object Relational {
     * numeric order for the non-negative domain, then a unique tie-breaker.
     * DuckDB's max_by can't order by a struct, so the composite key is the
     * portable encoding of ORDER BY (value, key). */
-  private def ordKey(value: Column, tieBreak: Column): Column = concat(
+  private[operators] def ordKey(value: Column, tieBreak: Column): Column = concat(
     lpad(value.cast("decimal(18,4)").cast("string"), 19, "0"),
     lit("|"),
     lpad(tieBreak.cast("string"), 12, "0"))
@@ -818,6 +818,26 @@ object Relational {
         date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("day_value").isNotNull.as("observed"),
         last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
+  /** Lateral join (q50): for each customer, their top-2 orders by price —
+    * the SQL LATERAL form of q12's window. Catalyst DECORRELATES the
+    * per-row correlated subquery (with its ORDER BY + LIMIT) into a
+    * window-rank plan over one join, so the "run a query per outer row"
+    * surface costs one shuffle, not |customer| probes — the property that
+    * makes LATERAL usable at all at scale. */
+  def q50Lateral(s: SparkSession, d: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cView = s"lat_customer_$suffix"
+    val oView = s"lat_orders_$suffix"
+    customer(s, d).createOrReplaceTempView(cView)
+    orders(s, d).createOrReplaceTempView(oView)
+    s.sql(
+      s"""SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+         |FROM $cView c,
+         |LATERAL (SELECT o_orderkey, o_totalprice FROM $oView o
+         |         WHERE o.o_custkey = c.c_custkey
+         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
   }
 
   /** Stream-static enrichment join: the streaming event feed joined to a

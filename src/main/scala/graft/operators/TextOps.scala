@@ -142,6 +142,32 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Overlapping-window document chunking (doc_chunk): each document
+    * splits into fixed-size token windows with stride < window (here
+    * 64/48, i.e. 16 tokens of overlap) — the step between curation and
+    * batch assembly that turns long documents into training sequences
+    * without cutting context at hard boundaries (sequence_pack then lays
+    * the chunks into fixed budgets). Chunk count per doc is
+    * ceil(max(len-W,0)/S)+1 so the tail is always covered. Pure per-row
+    * array ops (sequence + explode + slice, all codegen): the explode
+    * fan-out is bounded by len/stride and NOTHING shuffles. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+  def qDocChunk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), normWords(col("text")).as("words"))
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0),
+          ceil(greatest(size(col("words")) - ChunkWindow, lit(0)) / lit(ChunkStride.toDouble))
+            .cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("words"), col("chunk_idx") * ChunkStride + 1, lit(ChunkWindow)).as("chunk"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+
   /** Mergeable heavy hitters (heavy_hitters, rows-only): the top-10 corpus
     * terms via Spark's approx_top_k frequent-items sketch, built the way a
     * 100 TB corpus would build it — `approx_top_k_accumulate` produces one

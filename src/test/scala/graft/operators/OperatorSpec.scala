@@ -360,6 +360,27 @@ class OperatorSpec extends AnyFunSuite {
       s"time-band correlation must hash-join on user_id, not nested-loop:\n$plan")
   }
 
+  test("plan shape: LATERAL subquery decorrelates to one join + window, no cartesian (q50)") {
+    val plan = Relational.q50Lateral(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL must not plan a per-row probe:\n$plan")
+    assert(plan.contains("Window"),
+      s"expected the ORDER BY+LIMIT subquery to decorrelate into a window rank:\n$plan")
+  }
+
+  test("q44 ordering key: lexicographic order equals numeric (value, tiebreak) order") {
+    // the portable max_by/min_by key must sort exactly like ORDER BY
+    // (value, key) — exercised over a coarse value grid so ties are common
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(500)((rnd.nextInt(800) / 4.0, (rnd.nextLong().abs % 1000000) + 0L))
+    val collected = rows.toDF("v", "k")
+      .select(col("v"), col("k"), Relational.ordKey(col("v"), col("k")).as("key"))
+      .collect().map(r => ((r.getDouble(0), r.getLong(1)), r.getString(2)))
+    assert(collected.sortBy(_._1).map(_._1).toSeq ==
+      collected.sortBy(_._2).map(_._1).toSeq)
+  }
+
   test("plan shape: arg-max aggregates in one pass — no window sort (q44)") {
     val plan = Relational.q44MinMaxBy(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"max_by must not plan a window:\n$plan")
