@@ -98,6 +98,7 @@ object SparkEntry {
     "q47_interval_join"   -> (R.q47IntervalJoin _),
     "q48_range_frame"     -> (R.q48RangeFrame _),
     "q50_lateral"         -> (R.q50Lateral _),
+    "q51_topk_agg"        -> (R.q51TopKAgg _),
     "doc_chunk"           -> (TextOps.qDocChunk _),
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
@@ -872,6 +873,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q51_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, total, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS total,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
 
     "q50_lateral" ->
       """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, functions => F}
+
+/** Input row for [[TopKByValue]]: the ordering value plus a unique
+  * tie-breaker key (same determinism contract as Relational.ordKey). */
+case class RankedItem(value: Double, key: Long)
+
+/** Bounded-heap per-group top-k as a typed `Aggregator` — the custom-
+  * aggregation escalation path of SURVEY §2.4/§7.3, demonstrated on the
+  * one shape where it beats the built-ins structurally: per-GROUP top-k.
+  *
+  * The window form (q12: row_number over partitionBy(group).orderBy(...))
+  * must SORT every group's full row set per partition before it can rank;
+  * this aggregator carries at most k (value, key) pairs per group through
+  * a standard partial+final aggregation — no sort of the fact rows, and
+  * the shuffle moves k pairs per (partition, group) instead of every row.
+  * At 100 TB with k=3 and millions of rows per group, that is the
+  * difference between shuffling the table and shuffling the answer.
+  * (At test scale the codegen'd window often wins on constants — the
+  * point proven here is exactness + the state bound, see OperatorSpec's
+  * agreement test and the q51 oracle row.)
+  *
+  * Buffer is a k-bounded, DESC-(value), ASC-(key) sorted Seq — insertion
+  * keeps it sorted so reduce is O(k) per row and merge is one bounded
+  * merge; both sides of the tie-break are total, so the result set is
+  * deterministic under any partitioning. */
+class TopKByValue(k: Int) extends Aggregator[RankedItem, Seq[RankedItem], Seq[RankedItem]] {
+  private val ord: Ordering[RankedItem] =
+    Ordering.by(r => (-r.value, r.key))
+
+  override def zero: Seq[RankedItem] = Vector.empty
+
+  override def reduce(b: Seq[RankedItem], a: RankedItem): Seq[RankedItem] =
+    if (b.size == k && ord.gteq(a, b.last)) b // below the bar: O(1) reject
+    else ((b :+ a).sorted(ord)).take(k)
+
+  override def merge(x: Seq[RankedItem], y: Seq[RankedItem]): Seq[RankedItem] =
+    (x ++ y).sorted(ord).take(k)
+
+  override def finish(b: Seq[RankedItem]): Seq[RankedItem] = b
+
+  override def bufferEncoder: Encoder[Seq[RankedItem]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[RankedItem]] = ExpressionEncoder()
+}
+
+object TopKByValue {
+  /** Column function: `topK(3)(col("total"), col("key"))` → array of the
+    * group's top-k (value, key) structs, best first. */
+  def topK(k: Int) = F.udaf(new TopKByValue(k), ExpressionEncoder[RankedItem]())
+}

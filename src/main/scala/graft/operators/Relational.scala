@@ -840,6 +840,25 @@ object Relational {
          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
   }
 
+  /** Per-group top-k via the custom bounded-heap Aggregator (q51): the
+    * same answer as q12's window rank, computed as a partial+final
+    * aggregation carrying ≤k pairs per group instead of sorting every
+    * group's rows — see [[graft.functions.TopKByValue]] for the scale
+    * argument. Oracle: q12's SQL (identical output contract), plus an
+    * OperatorSpec row-for-row agreement test against q12 itself. */
+  def q51TopKAgg(s: SparkSession, d: String): DataFrame = {
+    val topK = graft.functions.TopKByValue.topK(3)
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(topK(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(
+        col("o_custkey"),
+        col("r.key").as("o_orderkey"),
+        col("r.value").as("total"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Stream-static enrichment join: the streaming event feed joined to a
     * static (batch) dimension. The static side is broadcast, so the
     * UNBOUNDED side never shuffles and no join state accumulates — the

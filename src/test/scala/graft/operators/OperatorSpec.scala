@@ -368,6 +368,15 @@ class OperatorSpec extends AnyFunSuite {
       s"expected the ORDER BY+LIMIT subquery to decorrelate into a window rank:\n$plan")
   }
 
+  test("bounded-heap top-k Aggregator agrees row-for-row with the window-rank form (q51 == q12)") {
+    val viaAgg = Relational.q51TopKAgg(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaWindow = Relational.q12WindowRank(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow,
+      s"agg-only: ${(viaAgg -- viaWindow).take(3)}; window-only: ${(viaWindow -- viaAgg).take(3)}")
+  }
+
   test("q44 ordering key: lexicographic order equals numeric (value, tiebreak) order") {
     // the portable max_by/min_by key must sort exactly like ORDER BY
     // (value, key) — exercised over a coarse value grid so ties are common

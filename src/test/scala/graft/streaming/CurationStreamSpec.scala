@@ -50,4 +50,52 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(got.size == docs.size)
     } finally query.stop()
   }
+
+  test("pipeline observability: Dataset.observe metrics surface per micro-batch") {
+    // The operational counterpart of the scores themselves: an ingest
+    // pipeline needs doc counts / PII rates per micro-batch WITHOUT a
+    // second pass, and observe() computes them inside the running plan
+    // (CollectMetrics — aggregated on the executors, delivered through
+    // StreamingQueryProgress, zero extra scans).
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .collect().toSeq
+
+    val input = MemoryStream[(Long, String, String)]
+    val observed = Curation.signalProjection(
+        input.toDF().toDF("doc_id", "text", "source"))
+      .observe("curation_signals",
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pii")).as("n_pii_total"),
+        sum(when(col("quality") >= 0.05, 1L).otherwise(0L)).as("n_quality_pass"))
+    val name = "obs_" + UUID.randomUUID().toString.replace("-", "")
+    val query = observed.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val metrics = query.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("curation_signals")))
+      assert(metrics.nonEmpty, "no observed metrics in any progress event")
+      val nDocs = metrics.map(_.getAs[Long]("n_docs")).sum
+      assert(nDocs == docs.size, s"observed $nDocs docs, replayed ${docs.size}")
+      // the observed aggregates must equal a batch pass over the same data
+      val batch = Curation.signalProjection(docs.toDF("doc_id", "text", "source"))
+        .agg(sum(col("n_pii")), sum(when(col("quality") >= 0.05, 1L).otherwise(0L)))
+        .head()
+      assert(metrics.map(_.getAs[Long]("n_pii_total")).sum == batch.getLong(0))
+      assert(metrics.map(_.getAs[Long]("n_quality_pass")).sum == batch.getLong(1))
+    } finally query.stop()
+  }
 }
