@@ -52,6 +52,109 @@ class SourcesSpec extends AnyFunSuite {
     assert(canon(back) == canon(docs))
   }
 
+  test("corrupt JSON records: PERMISSIVE quarantines, FAILFAST aborts — bad rows never pass silently") {
+    // Operational reality of TB-scale ingest: some records are garbage.
+    // PERMISSIVE mode must land them in the corrupt-record column with
+    // every well-formed field nulled (no half-parsed rows), and FAILFAST
+    // must refuse the batch — the two policies a pipeline chooses between.
+    val dir = Files.createTempDirectory("graft-badjson").toString + "/in"
+    val good = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "beta"}""")
+    val bad = Seq(
+      """{"doc_id": 3, "text": "gamma""", // truncated
+      """not json at all""")
+    import spark.implicits._
+    (good ++ bad).toDF("value").coalesce(1).write.text(dir)
+
+    val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+    val permissive = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    assert(permissive.count() == 4)
+    val quarantined = permissive.filter(col("_corrupt_record").isNotNull)
+    assert(quarantined.count() == 2)
+    assert(quarantined.filter(col("doc_id").isNotNull || col("text").isNotNull).count() == 0,
+      "corrupt rows must not surface half-parsed fields")
+    assert(permissive.filter(col("_corrupt_record").isNull).count() == 2)
+    permissive.unpersist()
+
+    val failfast = spark.read
+      .schema("doc_id LONG, text STRING")
+      .option("mode", "FAILFAST")
+      .json(dir)
+    val e = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("incremental file ingest: Trigger.AvailableNow processes only the delta across checkpointed runs") {
+    // The nightly-incremental pattern at 100 TB: a file-source stream with
+    // a persistent checkpoint processes everything available, terminates,
+    // and a later run picks up ONLY files that arrived since — no rescans,
+    // no duplicates, driven entirely by checkpointed source offsets.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-incr")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    import spark.implicits._
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .json(in)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").json(in)
+    runOnce()
+    val firstPass = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(firstPass == Set((1L, "alpha"), (2L, "beta")))
+
+    Seq((3L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").json(in)
+    runOnce()
+    val secondPass = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(secondPass.size == 3, s"delta run must add exactly one row: $secondPass")
+    assert(secondPass.toSet == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
+  test("doc_chunk invariants: full coverage, fixed stride, tail always chunked") {
+    // Cross-checks the chunker beyond the oracle: every chunk except the
+    // last has exactly ChunkWindow tokens, consecutive chunks start
+    // ChunkStride apart (so overlap = W - S tokens), and the union of
+    // chunks covers every token position of every document.
+    val chunks = TextOps.qDocChunk(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      .groupBy(_._1)
+    val lens = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), size(TextOps.normWords(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val W = TextOps.ChunkWindow
+    val S = TextOps.ChunkStride
+    lens.foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_._2)
+      assert(cs.map(_._2) == cs.indices.toSeq, s"doc $doc: chunk_idx gaps")
+      // expected chunk count: ceil(max(n-W,0)/S)+1
+      val expected = math.ceil(math.max(n - W, 0) / S.toDouble).toInt + 1
+      assert(cs.size == expected, s"doc $doc: ${cs.size} chunks for $n tokens")
+      cs.init.foreach { case (_, _, tok) => assert(tok == W, s"doc $doc: interior chunk != $W") }
+      // coverage: last chunk must reach the final token
+      val (_, lastIdx, lastTok) = cs.last
+      assert(lastIdx * S + lastTok == n, s"doc $doc: tail uncovered")
+    }
+  }
+
   test("schema evolution: mergeSchema unifies old and new parquet generations (scale: long-lived corpora)") {
     // A 100 TB corpus is written over months; later generations grow
     // columns. mergeSchema must surface the union schema with nulls for
