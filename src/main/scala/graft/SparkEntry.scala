@@ -99,6 +99,7 @@ object SparkEntry {
     "q48_range_frame"     -> (R.q48RangeFrame _),
     "q50_lateral"         -> (R.q50Lateral _),
     "q51_topk_agg"        -> (R.q51TopKAgg _),
+    "q52_variant"         -> (R.q52Variant _),
     "doc_chunk"           -> (TextOps.qDocChunk _),
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
@@ -873,6 +874,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q52_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.missing') AS INT) AS missing_val
+        |FROM events""".stripMargin,
 
     "q51_topk_agg" ->
       """SELECT o_custkey, o_orderkey, total, rn FROM (

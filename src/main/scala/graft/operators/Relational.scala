@@ -859,6 +859,22 @@ object Relational {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Semi-structured VariantType path (q52): event props parsed ONCE into
+    * Spark 4's binary variant encoding, fields then extracted by path
+    * with typed casts — the modern replacement for per-field
+    * `get_json_object` re-parsing (q18): one parse per row, shredded
+    * binary storage, and each `variant_get` is a cheap path walk instead
+    * of a string scan. Output types are pinned (int/string) so the
+    * DuckDB JSON-function oracle compares exactly. */
+  def q52Variant(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        expr("try_variant_get(v, '$.k', 'int')").as("k_val"),
+        expr("try_variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("missing_val"))
+
   /** Stream-static enrichment join: the streaming event feed joined to a
     * static (batch) dimension. The static side is broadcast, so the
     * UNBOUNDED side never shuffles and no join state accumulates — the
