@@ -122,6 +122,67 @@ class StreamingWindowSpec extends AnyFunSuite {
       Relational.intervalJoinBatch, Relational.intervalJoinStream, identity)
   }
 
+  test("watermark drops late rows and ACCOUNTS for them (numRowsDroppedByWatermark)") {
+    // Bounded state requires dropping data that arrives behind the
+    // watermark — operationally acceptable only if the drops are VISIBLE.
+    // Replay: normal rows, advance the watermark far ahead, then deliver
+    // a straggler behind it; the aggregation must exclude it and the
+    // progress metrics must count exactly one dropped row.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val base = new Timestamp(1700000000000L)
+    def at(min: Int) = new Timestamp(base.getTime + min * 60000L)
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val agged = Relational.hourlyWindowStream(
+      input.toDF().toDF("ts", "event_type", "value", "user_id"))
+    val name = "late_" + UUID.randomUUID().toString.replace("-", "")
+    val query = agged.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData((at(0), "click", 1.0, 1L), (at(5), "click", 2.0, 1L))
+      query.processAllAvailable()
+      // sentinel a week ahead pushes the watermark past hour 0
+      input.addData((new Timestamp(base.getTime + 7L * 24 * 3600 * 1000), "sentinel", 0.0, -1L))
+      query.processAllAvailable()
+      // straggler far behind the watermark: must be dropped, not aggregated
+      input.addData((at(1), "click", 100.0, 1L))
+      query.processAllAvailable()
+
+      val dropped = query.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1, s"expected exactly one accounted drop, got $dropped")
+      val hour0 = spark.table(name)
+        .filter(col("event_type") === "click")
+      assert(hour0.agg(sum(col("total_value"))).head.getDouble(0) == 3.0,
+        "late row must not leak into the finalized window")
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join runs on the RocksDB state backend") {
+    // The join buffers both sides in the state store; at scale that store
+    // is RocksDB. Same agreement contract as the default-backend test.
+    val spark = StreamFixture.spark
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      assertStreamMatchesBatch(
+        Relational.intervalJoinBatch, Relational.intervalJoinStream, identity)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream-static broadcast enrichment joins every event, drops none") {
     val spark = StreamFixture.spark
     import spark.implicits._
