@@ -19,9 +19,12 @@ case class RankedItem(value: Double, key: Long)
   * the shuffle moves k pairs per (partition, group) instead of every row.
   * At 100 TB with k=3 and millions of rows per group, that is the
   * difference between shuffling the table and shuffling the answer.
-  * (At test scale the codegen'd window often wins on constants — the
-  * point proven here is exactness + the state bound, see OperatorSpec's
-  * agreement test and the q51 oracle row.)
+  * Measured (same-JVM ABProbe on the 10× ScaleProbe replica, 1.5 M
+  * orders, min-of-2 ×2 rounds): q51 1.18-1.39 s vs q12's window
+  * 1.78-2.10 s — the crossover is already behind us at ~1 M rows; at
+  * bench scale (150 k rows) the codegen'd window still wins on
+  * constants (0.42 s vs 0.51 s). Exactness under ties is pinned by
+  * OperatorSpec's row-for-row agreement test and the q51 oracle row.
   *
   * Buffer is a k-bounded, DESC-(value), ASC-(key) sorted Seq — insertion
   * keeps it sorted so reduce is O(k) per row and merge is one bounded
