@@ -52,6 +52,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(canon(back) == canon(docs))
   }
 
+  test("XML round-trip (built-in Spark 4 source) preserves UTF-8 text through entity escaping") {
+    // XML is where markup-significant characters (<, &, quotes) and
+    // non-ASCII text go through an extra encode/decode layer — exactly
+    // the corpus content most likely to corrupt.
+    val dir = Files.createTempDirectory("graft-xml").toString + "/docs"
+    docs.write
+      .format("xml").option("rowTag", "doc").option("rootTag", "docs")
+      .save(dir)
+    val back = spark.read
+      .format("xml").option("rowTag", "doc")
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .load(dir)
+    assert(canon(back) == canon(docs))
+  }
+
   test("corrupt JSON records: PERMISSIVE quarantines, FAILFAST aborts — bad rows never pass silently") {
     // Operational reality of TB-scale ingest: some records are garbage.
     // PERMISSIVE mode must land them in the corrupt-record column with
