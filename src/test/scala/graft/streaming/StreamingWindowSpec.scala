@@ -166,6 +166,52 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream join state is BOUNDED: the watermark evicts buffered rows") {
+    // The scaladoc claim behind intervalJoinStream: without watermarks the
+    // join buffers both streams forever. Replay three bursts hours apart;
+    // as the watermark advances past each burst's 10-minute relevance
+    // window + 30-minute lateness, its buffered rows must be REMOVED from
+    // the state store — asserted via the progress metrics, final state far
+    // below the total fed.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1700000000000L
+    def burst(hour: Int): Seq[(Timestamp, String, Double, Long)] =
+      (0 until 50).map { i =>
+        val t = new Timestamp(base + hour * 3600000L + i * 1000L)
+        (t, if (i % 2 == 0) "purchase" else "click", i.toDouble, (i % 5).toLong)
+      }
+
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val joined = Relational.intervalJoinStream(
+      input.toDF().toDF("ts", "event_type", "value", "user_id"))
+    val name = "bound_" + UUID.randomUUID().toString.replace("-", "")
+    val query = joined.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      var fed = 0
+      Seq(0, 3, 6, 9).foreach { h =>
+        val b = burst(h); fed += b.size
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val removed = query.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark never evicted any buffered join rows")
+      val resident = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      assert(resident <= 100,
+        s"state should hold ~one burst (50 purchase + 50 click max), not $resident of $fed fed")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join runs on the RocksDB state backend") {
     // The join buffers both sides in the state store; at scale that store
     // is RocksDB. Same agreement contract as the default-backend test.
