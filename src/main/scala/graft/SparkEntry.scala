@@ -65,6 +65,7 @@ object SparkEntry {
     "q23_local_supplier"  -> (R.q23LocalSupplierVolume _),
     // ---- LLM-pipeline: dedup ----
     "dedup_exact"         -> (Dedup.qDedupExact _),
+    "dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
@@ -362,6 +363,14 @@ object SparkEntry {
     "dedup_exact" ->
       s"""SELECT md5($NORM) AS content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH f AS (SELECT doc_id, md5($NORM) AS content_fp FROM documents),
+         |known AS (SELECT DISTINCT content_fp FROM f WHERE doc_id % 2 = 0),
+         |fresh AS (SELECT content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
+         |          FROM f WHERE doc_id % 2 = 1 GROUP BY 1)
+         |SELECT content_fp, keep_id, dup_count FROM fresh
+         |WHERE content_fp NOT IN (SELECT content_fp FROM known)""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH $NGRAM_CTES

@@ -54,6 +54,27 @@ object Dedup {
       .groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental dedup (dedup_incremental): the production shape of
+    * [[qDedupExact]] for a corpus that grows — a new ingest batch is
+    * checked against the EXISTING corpus's fingerprint table (a compact
+    * table of 16-byte hashes the pipeline maintains), never by rescanning
+    * the corpus text. Composition: fingerprint the new batch → collapse
+    * within-batch duplicates (keep min doc_id) → LEFT ANTI join against
+    * the known-fingerprint table. Both shuffles move only hashes; the
+    * 100 TB corpus itself is untouched. Old/new split here by doc_id
+    * parity so the oracle can reproduce it. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(normText(col("text")).cast("binary"))
+    val docs = documents(s, d)
+    val known = docs.filter(col("doc_id") % 2 === 0)
+      .select(fp.as("content_fp")).distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), fp.as("content_fp"))
+      .groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .join(known, Seq("content_fp"), "left_anti")
+  }
+
   /** Document-frequency cap for candidate generation: shingles appearing in
     * more than this many documents are boilerplate — at corpus scale a hot
     * shingle creates a quadratic self-join bucket, so it is excluded from
