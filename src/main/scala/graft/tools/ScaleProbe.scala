@@ -87,7 +87,12 @@ object ScaleProbe {
       "q48_range_frame" -> Relational.q48RangeFrame _,
       "q49_resample_ffill" -> Relational.q49ResampleFfill _,
       "scd2_snapshot" -> Relational.qScd2Snapshot _,
-      "heavy_hitters" -> TextOps.qHeavyHitters _)
+      "heavy_hitters" -> TextOps.qHeavyHitters _,
+      "q50_lateral" -> Relational.q50Lateral _,
+      "q51_topk_agg" -> Relational.q51TopKAgg _,
+      "q52_variant" -> Relational.q52Variant _,
+      "doc_chunk" -> TextOps.qDocChunk _,
+      "dedup_incremental" -> Dedup.qDedupIncremental _)
 
     val rows = families.map { case (name, fn) =>
       val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }
