@@ -834,7 +834,7 @@ object SparkEntry {
     "q44_minmax_by" ->
       """WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    lpad(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 19, '0')
-        |      || '|' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+        |      || '|' || lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS ord_key
         |  FROM orders)
         |SELECT o_custkey,
         |  max_by(o_orderkey, ord_key) AS biggest_order,

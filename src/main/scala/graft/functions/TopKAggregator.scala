@@ -38,7 +38,14 @@ class TopKByValue(k: Int) extends Aggregator[RankedItem, Seq[RankedItem], Seq[Ra
 
   override def reduce(b: Seq[RankedItem], a: RankedItem): Seq[RankedItem] =
     if (b.size == k && ord.gteq(a, b.last)) b // below the bar: O(1) reject
-    else ((b :+ a).sorted(ord)).take(k)
+    else {
+      // single ordered insertion — O(k), no re-sort of the buffer
+      val i = b.indexWhere(x => ord.lt(a, x)) match {
+        case -1 => b.size
+        case n  => n
+      }
+      ((b.take(i) :+ a) ++ b.drop(i)).take(k)
+    }
 
   override def merge(x: Seq[RankedItem], y: Seq[RankedItem]): Seq[RankedItem] =
     (x ++ y).sorted(ord).take(k)

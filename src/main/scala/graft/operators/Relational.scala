@@ -408,13 +408,14 @@ object Relational {
       .select(col("n_name"), year(col("o_orderdate")).as("order_year"),
         col("o_totalprice"))
       .createOrReplaceTempView(view)
-    s.sql(
+    try s.sql( // analysis resolves the view eagerly → safe to drop after
       s"""SELECT n_name, order_year,
          |  CAST(grouping(n_name) AS INT) AS g_nation,
          |  CAST(grouping(order_year) AS INT) AS g_year,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          |FROM $view
          |GROUP BY GROUPING SETS ((n_name), (order_year), ())""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   /** Pivot (q30): revenue by nation pivoted over order years — wide-table
@@ -529,12 +530,13 @@ object Relational {
     val oView = s"ssq_orders_$suffix"
     customer(s, d).createOrReplaceTempView(cView)
     orders(s, d).createOrReplaceTempView(oView)
-    s.sql(
+    try s.sql( // analysis resolves the views eagerly → safe to drop after
       s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
          |  (SELECT count(*) FROM $oView o
          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
          |FROM $cView c
          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $cView)""".stripMargin)
+    finally { s.catalog.dropTempView(cView); s.catalog.dropTempView(oView) }
   }
 
   /** As-of join (q27): for each 'purchase' event, the most recent strictly
@@ -662,9 +664,15 @@ object Relational {
     * DuckDB's max_by can't order by a struct, so the composite key is the
     * portable encoding of ORDER BY (value, key). */
   private[operators] def ordKey(value: Column, tieBreak: Column): Column = concat(
+    // width 19 is EXACT for decimal(18,4): 14 integer digits + '.' + 4
+    // fractional — no in-domain value can exceed it (out-of-domain values
+    // overflow the decimal cast to NULL rather than truncate); width 20
+    // covers every non-negative Long tie-break (19 digits max), because
+    // Spark's lpad TRUNCATES over-width input, which would silently break
+    // the lexicographic==numeric guarantee
     lpad(value.cast("decimal(18,4)").cast("string"), 19, "0"),
     lit("|"),
-    lpad(tieBreak.cast("string"), 12, "0"))
+    lpad(tieBreak.cast("string"), 20, "0"))
 
   /** Arg-max / arg-min (q44): per customer, the order ids carrying the
     * highest and lowest total price. `max_by`/`min_by` replace the rank-1
@@ -832,12 +840,13 @@ object Relational {
     val oView = s"lat_orders_$suffix"
     customer(s, d).createOrReplaceTempView(cView)
     orders(s, d).createOrReplaceTempView(oView)
-    s.sql(
+    try s.sql( // analysis resolves the views eagerly → safe to drop after
       s"""SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
          |FROM $cView c,
          |LATERAL (SELECT o_orderkey, o_totalprice FROM $oView o
          |         WHERE o.o_custkey = c.c_custkey
          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+    finally { s.catalog.dropTempView(cView); s.catalog.dropTempView(oView) }
   }
 
   /** Per-group top-k via the custom bounded-heap Aggregator (q51): the

@@ -207,8 +207,10 @@ class StreamingWindowSpec extends AnyFunSuite {
       assert(removed > 0, "watermark never evicted any buffered join rows")
       val resident = Option(query.lastProgress).toSeq
         .flatMap(_.stateOperators).map(_.numRowsTotal).sum
-      assert(resident <= 100,
-        s"state should hold ~one burst (50 purchase + 50 click max), not $resident of $fed fed")
+      // each burst is 50 rows split 25 purchase / 25 click; steady state
+      // holds roughly the newest burst, so bound at ~1.2 bursts
+      assert(resident <= 60,
+        s"state should hold ~one 50-row burst, not $resident of $fed fed")
     } finally query.stop()
   }
 
