@@ -77,7 +77,7 @@ object SparkEntry {
     "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
     "ann_lsh"             -> (Similarity.qAnnLsh _),  // rows-only: approximate; recall tested vs nearest_neighbor
     "embedding_dedup"     -> (Similarity.qEmbeddingDedup _),
-    "embedding_dedup_blocked" -> (Similarity.qEmbeddingDedupBlocked _), // rows-only: approximate by design (IVF blocking); recall + subset asserted in OperatorSpec
+    "embedding_dedup_blocked" -> (Similarity.qEmbeddingDedupBlocked _), // rows-only: approximate by design; delegates to the two-level quantizer (bounded √K driver residency); recall + subset asserted in OperatorSpec
     "embedding_dedup_2level"  -> (Similarity.qEmbeddingDedupTwoLevel _), // rows-only: approximate by design (hierarchical IVF); recall + subset asserted in OperatorSpec
     "ann_2level"              -> (Similarity.qAnnTwoLevel _), // rows-only: approximate by design (hierarchical IVF ANN); recall asserted in OperatorSpec
     "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
@@ -774,8 +774,8 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
          |  FROM sized)
          |SELECT doc_id, bucket, n_tokens,
-         |  cum_excl // ${Curation.PackBudget} AS bin,
-         |  cum_excl % ${Curation.PackBudget} AS bin_offset
+         |  CAST(cum_excl // ${Curation.PackBudget} AS BIGINT) AS bin,
+         |  CAST(cum_excl % ${Curation.PackBudget} AS BIGINT) AS bin_offset
          |FROM packed""".stripMargin,
 
     "segment_dedup" ->

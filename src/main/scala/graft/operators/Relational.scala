@@ -670,9 +670,18 @@ object Relational {
     // covers every non-negative Long tie-break (19 digits max), because
     // Spark's lpad TRUNCATES over-width input, which would silently break
     // the lexicographic==numeric guarantee
-    lpad(value.cast("decimal(18,4)").cast("string"), 19, "0"),
+    lpad(nonNegOrFail(value, "value").cast("decimal(18,4)").cast("string"), 19, "0"),
     lit("|"),
-    lpad(tieBreak.cast("string"), 20, "0"))
+    lpad(nonNegOrFail(tieBreak, "tie-break").cast("string"), 20, "0"))
+
+  /** The non-negative domain is a hard precondition of [[ordKey]]: a '-'
+    * sign under zero-padding sorts ABOVE every digit, so a signed input
+    * would silently yield arbitrary max_by/min_by winners. Guard it at
+    * runtime — misuse fails the job loudly instead of corrupting order. */
+  private def nonNegOrFail(c: Column, what: String): Column =
+    when(c < 0, raise_error(concat(
+      lit(s"ordKey: negative $what breaks lexicographic==numeric order: "),
+      c.cast("string")))).otherwise(c)
 
   /** Arg-max / arg-min (q44): per customer, the order ids carrying the
     * highest and lowest total price. `max_by`/`min_by` replace the rank-1

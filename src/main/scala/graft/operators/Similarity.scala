@@ -247,7 +247,19 @@ object Similarity {
     * the same structure prunes far harder.
     */
   def qEmbeddingDedupBlocked(s: SparkSession, d: String): DataFrame =
-    embeddingDedupBlocked(withVec(s, d))
+    // Auto-K single-level collects a K×64 centroid matrix with K ∝ N —
+    // unbounded driver residency at corpus scale. The registered entry
+    // therefore delegates to the hierarchical quantizer (√K residency,
+    // fine centroids distributed); [[qEmbeddingDedupSingleLevel]] keeps the
+    // single-level path reachable with an explicitly bounded K.
+    embeddingDedupTwoLevel(withVec(s, d))
+
+  /** Single-level IVF-blocked dedup with caller-bounded K (default
+    * [[BlockCells]], a fixed 128×64 driver matrix). The auto-K form
+    * (cells = -1) is retained ONLY for scale probes — it is not registered
+    * as a query because its centroid collect grows with the corpus. */
+  def qEmbeddingDedupSingleLevel(s: SparkSession, d: String, cells: Int = BlockCells): DataFrame =
+    embeddingDedupBlocked(withVec(s, d), cells = cells)
 
   /** Target vectors per (cell × probe) under auto-K: K = max(BlockCells,
     * N/TargetCellSize), so cell size — and with it per-cell pair work —

@@ -69,7 +69,10 @@ object ScaleProbe {
       "minhash_lsh" -> Dedup.qMinHashLsh _,
       "dedup_exact" -> Dedup.qDedupExact _,
       "embedding_dedup" -> Similarity.qEmbeddingDedup _,
-      "embedding_dedup_blocked" -> Similarity.qEmbeddingDedupBlocked _,
+      // probe the single-level auto-K path directly (the registered entry
+      // now delegates to two-level; the probe keeps measuring the N·K leg)
+      "embedding_dedup_blocked" -> ((s: SparkSession, dir: String) =>
+        Similarity.qEmbeddingDedupSingleLevel(s, dir, cells = -1)),
       "embedding_dedup_2level" -> Similarity.qEmbeddingDedupTwoLevel _,
       "ann_brute" -> Similarity.qAnnBrute _,
       "q31_tfidf" -> TextOps.qTfIdf _,

@@ -72,7 +72,7 @@ class OperatorSpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.qEmbeddingDedup(spark, d))
-    val blocked = pairs(Similarity.qEmbeddingDedupBlocked(spark, d))
+    val blocked = pairs(Similarity.qEmbeddingDedupSingleLevel(spark, d))
     // the blocked variant verifies with the same exact cosine, so it can
     // only MISS pairs (cell non-collision), never invent them
     assert(blocked.subsetOf(exact), s"false positives: ${blocked -- exact}")
@@ -388,6 +388,24 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => ((r.getDouble(0), r.getLong(1)), r.getString(2)))
     assert(collected.sortBy(_._1).map(_._1).toSeq ==
       collected.sortBy(_._2).map(_._1).toSeq)
+  }
+
+  test("q44 ordering key fails loudly on a negative value instead of mis-ordering") {
+    // the non-negative domain is a precondition (a '-' under zero-padding
+    // breaks lexicographic==numeric); misuse must raise, not corrupt order
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val ex = intercept[Exception] {
+      Seq((-1.5, 7L)).toDF("v", "k")
+        .select(Relational.ordKey(col("v"), col("k"))).collect()
+    }
+    assert(chain(ex).contains("ordKey"), s"unexpected error: ${chain(ex)}")
+    val ex2 = intercept[Exception] {
+      Seq((1.5, -7L)).toDF("v", "k")
+        .select(Relational.ordKey(col("v"), col("k"))).collect()
+    }
+    assert(chain(ex2).contains("ordKey"), s"unexpected error: ${chain(ex2)}")
   }
 
   test("plan shape: arg-max aggregates in one pass — no window sort (q44)") {

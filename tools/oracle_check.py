@@ -6,7 +6,7 @@ parquet dump. Columns sorted by name, rows sorted by all columns.
 
 Usage: python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/vout
 """
-import sys, json, glob, math
+import sys, json, glob
 import duckdb
 import pandas as pd
 
@@ -41,10 +41,16 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in o.columns:
         ov, sv = o[c], s[c]
-        if ov.dtype.kind == "f" or sv.dtype.kind == "f":
-            eq = (ov.astype(float).fillna(math.nan)).combine(
-                sv.astype(float).fillna(math.nan),
-                lambda a, b: (math.isnan(a) and math.isnan(b)) or a == b)
+        ok_, sk_ = ov.dtype.kind, sv.dtype.kind
+        # The driver hashes rendered values: an int column on one side and a
+        # float on the other renders 0 vs 0.0 and flips the hash even when
+        # numerically equal (e.g. DuckDB HUGEINT window sums fetch as float64).
+        # Mimic that: int-vs-float is a failure, not a coercion.
+        if (ok_ == "f") != (sk_ == "f") and ok_ in "iuf" and sk_ in "iuf":
+            bad = f"col {c}: DTYPE MISMATCH oracle={ov.dtype} spark={sv.dtype} (driver renders 0 vs 0.0 and hash-fails)"
+            break
+        if ok_ == "f" and sk_ == "f":
+            eq = ov.combine(sv, lambda a, b: (pd.isna(a) and pd.isna(b)) or a == b)
         else:
             eq = ov.astype(str).fillna("<null>") == sv.astype(str).fillna("<null>")
         if not eq.all():
