@@ -1,18 +1,31 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+/** Multimodal-column processing: media payloads are opaque `binary` columns
   * with a typed metadata struct riding alongside (the same pattern as the
   * streaming HriRecord's opaque `value`, SURVEY.md §1.1).
   *
-  * The decode/feature-extract step is a clearly-marked deterministic STUB
-  * (no image/audio codecs in this container) — but the Spark-side contract
-  * is real: schema, `mapPartitions` batching, partition-parallel execution,
-  * and a typed output row. Swapping the stub for a JNI/codec call changes
-  * one function.
+  * The decode step is REAL, using the codecs the JDK ships: PNG through
+  * `javax.imageio` (images, and the frames of the video container) and
+  * PCM WAV through `javax.sound.sampled` (audio). Video has no JDK
+  * demuxer, so the container is a minimal length-prefixed PNG-frame table
+  * — the demux is a genuine parse and every sampled frame genuinely
+  * decodes. Payloads are synthesized deterministically from the asset id
+  * (smooth gradients, so PNGs stay small), which makes every decoded
+  * value exactly assertable in tests.
+  *
+  * Scale shape: synthesis and decode are per-row `mapPartitions` work on
+  * executors — payload bytes never visit the driver, and a real codec
+  * (JNI, hardware) would amortize init across each partition's batch
+  * exactly where these loops run.
   */
 object Multimodal {
 
@@ -25,94 +38,301 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** Extracted features per asset (what a real decode would emit). */
+  /** Extracted features per asset. `width`/`height` come from the DECODED
+    * payload (not the metadata), so a metadata/payload mismatch is
+    * observable; `checksum` hashes decoded pixels/samples, not the encoded
+    * bytes, so it is stable under re-encoding. */
   case class MediaFeatures(
       asset_id: Long,
       media_type: String,
       n_bytes: Long,
+      width: Int,
+      height: Int,
       n_frames_sampled: Int,
       checksum: Long)
 
-  /** STUB decode: a real implementation would decode `content` with a
-    * codec; here a deterministic fake derives a checksum and a frame-sample
-    * count from the bytes so tests can assert exact values. Runs per
-    * partition so a real codec could amortize init across the batch. */
-  def decodeStub(a: MediaAsset): MediaFeatures = {
-    var h = 1125899906842597L // deterministic polynomial rolling hash
-    var i = 0
-    while (i < a.content.length) { h = 31 * h + a.content(i); i += 1 }
-    MediaFeatures(a.asset_id, a.media_type, a.content.length.toLong,
-      math.max(1, a.n_frames / 10), h)
-  }
-
-  /** Feature extraction over a media table: partition-parallel batched
-    * decode (the Scala analogue of mapInPandas batches). */
-  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions(it => it.map(decodeStub))
-  }
-
-  /** One sampled frame of an asset: payload slice + its own checksum. */
+  /** One sampled frame of an asset: decoded size + decoded-content hash.
+    * For video the frame is a PNG-decoded raster; for audio a PCM sample
+    * window; for an image the whole raster. */
   case class MediaFrame(
       asset_id: Long,
       frame_idx: Int,
       frame_bytes: Long,
       frame_checksum: Long)
 
-  /** STUB resize: a real codec would decode, scale, re-encode; the
-    * deterministic fake clamps the metadata dims and truncates the payload
-    * proportionally to the pixel ratio, so tests can assert exact sizes.
-    * The Spark contract is the real part: a typed map over the Dataset,
-    * safe to run per partition on executors. */
-  def resizeStub(a: MediaAsset, maxW: Int, maxH: Int): MediaAsset = {
-    val scale = math.min(1.0,
-      math.min(maxW.toDouble / math.max(1, a.width), maxH.toDouble / math.max(1, a.height)))
-    val newLen = math.max(1, (a.content.length * scale * scale).toInt)
-    a.copy(
-      width = math.max(1, (a.width * scale).toInt),
-      height = math.max(1, (a.height * scale).toInt),
-      content = a.content.take(newLen))
+  // ---------------------------------------------------------------- codecs
+
+  /** Deterministic smooth-gradient pixel — compressible (PNG stays ~KB)
+    * and exactly recomputable for assertions. */
+  private def pixel(seed: Long, x: Int, y: Int): Int = {
+    val a = (seed * 2654435761L >>> 16).toInt
+    val r = (x + a) & 0xFF
+    val g = (y + 2 * a) & 0xFF
+    val b = (x + y + 3 * a) & 0xFF
+    (r << 16) | (g << 8) | b
+  }
+
+  private def synthImage(seed: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(seed, x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG decode — the JDK's ImageIO reader, not a fake. */
+  def decodePng(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"payload of ${bytes.length} bytes is not a decodable image")
+    img
+  }
+
+  /** Order-pinned rolling hash over the decoded raster (row-major RGB). */
+  def rasterChecksum(img: BufferedImage): Long = {
+    var h = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { h = 31 * h + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    h
+  }
+
+  /** Deterministic nearest-neighbor scale — no AWT rendering-hint
+    * ambiguity, bit-identical everywhere. */
+  private def scaleNN(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private val SampleRate = 8000f
+  val AudioWindow = 64 // samples per "frame" for audio frame-sampling
+
+  /** Deterministic 16-bit PCM sample for (seed, index). */
+  private def sample(seed: Long, i: Int): Short =
+    (((i * (2 * seed + 1) * 2654435761L) >>> 16) & 0xFFFF).toShort
+
+  /** Canonical 44-byte-header PCM WAV (16-bit mono little-endian) — the
+    * shape `javax.sound.sampled` reads back natively. */
+  private def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(SampleRate.toInt)
+      .putInt(SampleRate.toInt * 2) // byte rate
+      .putShort(2)  // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { buf.putShort(sample(seed, i)); i += 1 }
+    buf.array()
+  }
+
+  /** Real WAV decode via the JDK's audio system: parses the header,
+    * verifies PCM 16-bit, returns the samples. */
+  def decodeWav(bytes: Array[Byte]): Array[Short] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected 16-bit mono PCM, got $fmt")
+    val raw = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(raw).order(
+      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(raw.length / 2)(bb.getShort)
+  }
+
+  private def sampleChecksum(samples: Array[Short], from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until && i < samples.length) { h = 31 * h + samples(i); i += 1 }
+    h
+  }
+
+  /** Minimal video container: 4-byte big-endian length prefix per PNG
+    * frame. Real containers need demuxers the JDK lacks; this keeps the
+    * demux a genuine parse and each frame a genuine PNG decode. */
+  private def videoBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    bos.toByteArray
+  }
+
+  /** Demux the frame table back out of the container. */
+  def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (in.available() >= 4) {
+      val len = in.readInt()
+      val f = new Array[Byte](len)
+      in.readFully(f)
+      frames += f
+    }
+    frames.result()
+  }
+
+  // ------------------------------------------------------------- synthesis
+
+  /** Cap video frames small: per-frame PNG decode work is F× the image
+    * path's, and frame content, not frame size, is what the tests pin. */
+  private val VideoFrameW = 64
+  private val VideoFrameH = 48
+
+  /** Deterministic payload for an asset id: every third doc an image
+    * (PNG), audio (WAV), or video (PNG-frame container). Runs on
+    * executors inside the Dataset map — the driver never sees a payload. */
+  def synthesizeAsset(docId: Long): MediaAsset = (docId % 3) match {
+    case 0 =>
+      val w = 16 + (docId % 480).toInt
+      val h = 12 + (docId % 360).toInt
+      MediaAsset(docId, "image", pngBytes(synthImage(docId, w, h)), w, h, 1)
+    case 1 =>
+      val n = 256 + (docId % 256).toInt
+      val frames = (n + AudioWindow - 1) / AudioWindow
+      MediaAsset(docId, "audio", wavBytes(docId, n), 0, 0, frames)
+    case _ =>
+      val f = 1 + (docId % 5).toInt
+      val frames = (0 until f).map(i =>
+        pngBytes(synthImage(docId * 31 + i, VideoFrameW, VideoFrameH)))
+      MediaAsset(docId, "video", videoBytes(frames), VideoFrameW, VideoFrameH, f)
+  }
+
+  /** Builds the media table from the documents table's ids — real encoded
+    * payloads, synthesized per-partition on executors. */
+  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(synthesizeAsset))
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** Real per-type decode: PNG raster, WAV samples, or demux + per-frame
+    * PNG decode. Partition-batched so a heavier codec amortizes init. */
+  def decode(a: MediaAsset): MediaFeatures = a.media_type match {
+    case "image" =>
+      val img = decodePng(a.content)
+      MediaFeatures(a.asset_id, a.media_type, a.content.length.toLong,
+        img.getWidth, img.getHeight, 1, rasterChecksum(img))
+    case "audio" =>
+      val samples = decodeWav(a.content)
+      val windows = (samples.length + AudioWindow - 1) / AudioWindow
+      MediaFeatures(a.asset_id, a.media_type, a.content.length.toLong,
+        0, 0, windows, sampleChecksum(samples, 0, samples.length))
+    case _ =>
+      val frames = videoFrames(a.content).map(decodePng)
+      var h = 1125899906842597L
+      frames.foreach(f => h = 31 * h + rasterChecksum(f))
+      MediaFeatures(a.asset_id, a.media_type, a.content.length.toLong,
+        frames.headOption.map(_.getWidth).getOrElse(0),
+        frames.headOption.map(_.getHeight).getOrElse(0),
+        frames.length, h)
+  }
+
+  /** Feature extraction over a media table: partition-parallel batched
+    * decode (the Scala analogue of a mapInPandas batch). */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decode))
+  }
+
+  /** Real resize: decode, deterministic nearest-neighbor scale into the
+    * box (aspect kept, only downscale), re-encode. Video scales every
+    * frame and rebuilds the container; audio passes through (no spatial
+    * dims). Metadata dims are taken from the re-decoded output, so they
+    * cannot drift from the payload. */
+  def resizeAsset(a: MediaAsset, maxW: Int, maxH: Int): MediaAsset = a.media_type match {
+    case "image" =>
+      val img = decodePng(a.content)
+      val s = math.min(1.0, math.min(
+        maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      if (s >= 1.0) a.copy(width = img.getWidth, height = img.getHeight)
+      else {
+        val out = scaleNN(img,
+          math.max(1, (img.getWidth * s).toInt), math.max(1, (img.getHeight * s).toInt))
+        a.copy(content = pngBytes(out), width = out.getWidth, height = out.getHeight)
+      }
+    case "audio" => a
+    case _ =>
+      val frames = videoFrames(a.content).map(decodePng)
+      val w0 = frames.head.getWidth
+      val h0 = frames.head.getHeight
+      val s = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+      if (s >= 1.0) a.copy(width = w0, height = h0)
+      else {
+        val w = math.max(1, (w0 * s).toInt)
+        val h = math.max(1, (h0 * s).toInt)
+        a.copy(content = videoBytes(frames.map(f => pngBytes(scaleNN(f, w, h)))),
+          width = w, height = h)
+      }
   }
 
   def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(resizeStub(_, maxW, maxH)))
+    assets.mapPartitions(_.map(resizeAsset(_, maxW, maxH)))
   }
 
-  /** STUB frame sampling: every n_frames/k-th "frame" is a fixed-stride
-    * slice of the payload (a real implementation seeks keyframes). One
-    * asset flatMaps to k frame rows — the row-explosion shape a video
-    * pipeline needs, with frames owned by executors, never the driver. */
+  /** Real frame sampling: video demuxes and PNG-decodes an even stride of
+    * min(k, n) frames (frame_idx = position in the CONTAINER, so sampling
+    * is reproducible); audio hashes min(k, n) PCM windows; an image is its
+    * own single frame. One asset flatMaps to ≤k frame rows — the
+    * row-explosion shape a video pipeline needs, with decoded frames owned
+    * by executors, never the driver. */
+  def frameRows(a: MediaAsset, k: Int): Seq[MediaFrame] = a.media_type match {
+    case "image" =>
+      val img = decodePng(a.content)
+      Seq(MediaFrame(a.asset_id, 0, a.content.length.toLong, rasterChecksum(img)))
+    case "audio" =>
+      val samples = decodeWav(a.content)
+      val windows = (samples.length + AudioWindow - 1) / AudioWindow
+      val n = math.min(k, math.max(1, windows))
+      (0 until n).map { i =>
+        val w = (windows.toLong * i / n).toInt // even stride over windows
+        val from = w * AudioWindow
+        val until = math.min(samples.length, from + AudioWindow)
+        MediaFrame(a.asset_id, w, (until - from) * 2L,
+          sampleChecksum(samples, from, until))
+      }
+    case _ =>
+      val frames = videoFrames(a.content)
+      val n = math.min(k, math.max(1, frames.length))
+      (0 until n).map { i =>
+        val idx = (frames.length.toLong * i / n).toInt
+        val png = frames(idx)
+        MediaFrame(a.asset_id, idx, png.length.toLong, rasterChecksum(decodePng(png)))
+      }
+  }
+
   def sampleFrames(assets: Dataset[MediaAsset], k: Int): Dataset[MediaFrame] = {
     import assets.sparkSession.implicits._
-    assets.flatMap { a =>
-      val n = math.min(k, math.max(1, a.n_frames))
-      (0 until n).map { i =>
-        val start = (a.content.length.toLong * i / n).toInt
-        val end = (a.content.length.toLong * (i + 1) / n).toInt
-        val slice = java.util.Arrays.copyOfRange(a.content, start, math.max(start, end))
-        var h = 1125899906842597L
-        var j = 0
-        while (j < slice.length) { h = 31 * h + slice(j); j += 1 }
-        MediaFrame(a.asset_id, i, slice.length.toLong, h)
-      }
-    }
-  }
-
-  /** Builds a synthetic media table from documents: the UTF-8 text bytes
-    * stand in for an encoded payload. Exercises the binary column path
-    * end-to-end on driver-provided data. */
-  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaAsset] = {
-    import s.implicits._
-    documents(s, d).select(
-      col("doc_id").as("asset_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-      col("text").cast("binary").as("content"),
-      (col("n_chars") % 640).cast("int").as("width"),
-      (col("n_chars") % 480).cast("int").as("height"),
-      (col("n_chars") % 100 + 1).cast("int").as("n_frames")
-    ).as[MediaAsset]
+    assets.flatMap(frameRows(_, k))
   }
 
   /** Oracle-checkable slice of the multimodal path: binary payload length,

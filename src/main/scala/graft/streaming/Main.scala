@@ -114,7 +114,10 @@ object Main {
         val query = ValidationJob.startKafka(
           spark, topics, c.brokers, c.password, PassthroughValidator, lookup,
           c.batchCompletionDelayMs, mgmt,
-          checkpointLocation = s"/tmp/hri-checkpoint-${topics.base.replace('.', '-')}")
+          checkpointLocation = s"/tmp/hri-checkpoint-${topics.base.replace('.', '-')}",
+          // a query death (checkpoint failure included) is fatal: exit
+          // non-zero so the orchestrator restarts from the checkpoint
+          onFatal = OpsMonitor.exitOnFatal)
         query.awaitTermination()
     }
   }

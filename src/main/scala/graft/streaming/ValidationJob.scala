@@ -123,8 +123,16 @@ object ValidationJob {
       /** >1 enables the salted two-level pipeline (hot-batch parallelism;
         * see [[SaltedPipeline]] for the trade and the A/B probe protocol —
         * measure with the deployment's real validator before enabling). */
-      salts: Int = 1): StreamingQuery = {
+      salts: Int = 1,
+      /** Invoked (on the listener thread) if the query dies with an error —
+        * the reference's checkpoint-failure-is-fatal posture
+        * (flink_job.rb:54-55). Production ([[Main]]) passes
+        * [[OpsMonitor.exitOnFatal]]; the default only records, so embedded
+        * callers can poll [[OpsMonitor.assertHealthy]] on the monitor
+        * attached here. */
+      onFatal: QueryFailure => Unit = _ => ()): StreamingQuery = {
     import spark.implicits._
+    OpsMonitor.attach(spark, onFatal)
 
     def source(topic: String): DataFrame = {
       val base0 = spark.readStream.format("kafka")

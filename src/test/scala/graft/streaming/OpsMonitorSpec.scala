@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production-ops face of X1: the reference harness watches the Flink
+  * job's status and treats anything but RUNNING as fatal
+  * (test/spec/flink_job.rb:54-55). Structured Streaming's equivalent signal
+  * is the listener bus — these tests pin that [[OpsMonitor]] (a) surfaces
+  * per-batch progress for a healthy query and (b) captures an error
+  * termination and escalates it through the onFatal hook, so a deployment
+  * dies loudly instead of idling beside a dead stream. */
+class OpsMonitorSpec extends AnyFunSuite {
+
+  /** Listener delivery is async — poll for the effect with a bounded wait. */
+  private def eventually[A](what: String, timeoutMs: Long = 20000)(f: => Option[A]): A = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var r = f
+    while (r.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50); r = f
+    }
+    r.getOrElse(fail(s"timed out waiting for $what"))
+  }
+
+  test("a healthy query surfaces per-batch progress: batch id, rows, duration") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val monitor = OpsMonitor.attach(spark)
+    val input = MemoryStream[Long]
+    val name = "ops_" + UUID.randomUUID().toString.replace("-", "")
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData(1L to 40L: _*)
+      query.processAllAvailable()
+      val h = eventually(s"progress for $name") {
+        monitor.lastProgress(query.id).filter(_.inputRows > 0)
+      }
+      assert(h.name == name)
+      assert(h.batchId >= 0 && h.inputRows == 40 && h.triggerMs >= 0,
+        s"unexpected health snapshot: $h")
+      monitor.assertHealthy() // no failures recorded for a live query
+    } finally {
+      query.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
+
+  test("an error termination is captured and escalated through onFatal") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val escalated = new ConcurrentLinkedQueue[QueryFailure]()
+    val monitor = OpsMonitor.attach(spark, f => escalated.add(f))
+    val input = MemoryStream[Long]
+    val name = "boom_" + UUID.randomUUID().toString.replace("-", "")
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("injected sink failure")
+      }
+      .start()
+    try {
+      input.addData(1L, 2L, 3L)
+      intercept[Exception](query.processAllAvailable()) // the query dies
+      val f = eventually("failure capture") {
+        monitor.failures.find(_.queryId == query.id)
+      }
+      assert(f.error.contains("injected sink failure"), f.error)
+      val e = intercept[IllegalStateException](monitor.assertHealthy())
+      assert(e.getMessage.contains("injected sink failure"), e.getMessage)
+      val esc = eventually("onFatal escalation") {
+        Option(escalated.peek()).filter(_.queryId == query.id)
+      }
+      assert(esc.error.contains("injected sink failure"))
+    } finally {
+      query.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
+}
