@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
+    "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
@@ -378,6 +379,34 @@ object SparkEntry {
          |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
          |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+
+    "minhash_lsh_md5" -> {
+      // generated wide-form SQL: 64 min(md5) aggregates (lexicographic min
+      // of fixed-width hex == numeric min of the permutation value), 16
+      // band keys over 4 signature rows each, positionwise agreement / 64
+      val perms = 0 until Dedup.MinHashPerms
+      val rows = Dedup.MinHashPerms / Dedup.LshBands
+      val minExprs = perms
+        .map(p => s"min(md5('mh:$p:' || shingle)) AS m$p").mkString(", ")
+      val bandSelects = (0 until Dedup.LshBands).map { b =>
+        val cat = (0 until rows).map(k => s"m${b * rows + k}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val agree = perms
+        .map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $NGRAM_CTES,
+         |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(($agree) / ${Dedup.MinHashPerms}.0, 6) AS est_jaccard
+         |FROM cand
+         |JOIN sig sa ON cand.doc_a = sa.doc_id
+         |JOIN sig sb ON cand.doc_b = sb.doc_id
+         |WHERE round(($agree) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin
+    },
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $NGRAM_CTES,

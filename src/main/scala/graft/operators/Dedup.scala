@@ -279,6 +279,53 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** MinHash+LSH with an engine-portable permutation hash — the ORACLE
+    * twin of [[qMinHashLsh]]. xxhash64 has no DuckDB equivalent, so that
+    * entry is rows-only; md5 is bit-identical in both engines, and a
+    * MinHash permutation only needs a total order, not integers: the
+    * "value" of permutation p on a shingle is the 32-char lowercase-hex
+    * md5 of "mh:p:<shingle>", and because the hex is fixed-width,
+    * lexicographic `min` IS numeric min — both engines agree exactly.
+    *
+    * Same dataflow and parameters as [[minHashLshFrom]] (64 perms as ONE
+    * wide map-side-combined aggregation, 16 band keys = md5 over 4
+    * signature rows, candidates DISTINCT'd before estimation); only the
+    * hash family and the signature representation (64 hex strings instead
+    * of 64 longs) differ. est_jaccard is k/64 rounded at 6 decimals —
+    * exact in both engines (1/64 = 0.015625 needs exactly 6), so the
+    * driver hash compare is deterministic. The string signatures shuffle
+    * 64×32 bytes per doc instead of 64×8 — the production path stays
+    * [[qMinHashLsh]]; this twin exists to pin the whole LSH dataflow
+    * against an independent engine. */
+  def qMinHashLshMd5(s: SparkSession, d: String): DataFrame =
+    minHashLshMd5From(shingleTable(documents(s, d)))
+
+  def minHashLshMd5From(ex: DataFrame): DataFrame = {
+    val rows = MinHashPerms / LshBands // 4 signature rows per band
+    val mins = (0 until MinHashPerms).map(p =>
+      min(md5(concat(lit(s"mh:$p:"), col("shingle")).cast("binary"))).as(s"m$p"))
+    val sigs = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+    val bkeys = (0 until LshBands).map(b =>
+      md5(concat_ws("|",
+        (0 until rows).map(k => col(s"m${b * rows + k}")): _*).cast("binary")))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bkeys: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF("doc_a" +: (0 until MinHashPerms).map(p => s"a$p"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 until MinHashPerms).map(p => s"b$p"): _*)
+    val agree = (0 until MinHashPerms)
+      .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / lit(MinHashPerms.toDouble), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
   /** 64-bit SimHash over the normalized token bag (duplicates count): bit j
     * votes +1/−1 by bit j of xxhash64(token); bit set iff the vote sum is
     * positive. Same explode + codegen + partial-agg shape as

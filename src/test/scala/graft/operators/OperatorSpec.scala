@@ -141,6 +141,18 @@ class OperatorSpec extends AnyFunSuite {
       s"too many false positives: ${approx.size} vs ${exact.size}")
   }
 
+  test("md5-permutation MinHash (oracle twin) recovers the same true pairs as xxhash") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.qNgramJaccard(spark, d))
+    val md5v = pairs(Dedup.qMinHashLshMd5(spark, d))
+    // same estimator family, different permutation hash: the portability
+    // trade (hex-string min) must not change the quality bar
+    assert((exact -- md5v).isEmpty, s"missed pairs: ${(exact -- md5v).take(5)}")
+    assert(md5v.size <= exact.size + math.max(2, exact.size / 5),
+      s"too many false positives: ${md5v.size} vs ${exact.size}")
+  }
+
   test("plan shape: the MinHash path is HOF-free (no interpreted lambdas) and uses the codegen'd agree-count") {
     // HOF lambdas evaluate interpreted (~35 µs/element); the signature and
     // estimate stages must stay inside whole-stage codegen. `lambdavariable`
