@@ -74,12 +74,16 @@ object Multimodal {
 
   private def synthImage(seed: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // bulk raster write: one array store per pixel instead of a setRGB
+    // call (which converts through the color model per invocation)
+    val arr = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(seed, x, y)); x += 1 }
+      while (x < w) { arr(y * w + x) = pixel(seed, x, y); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, arr, 0, w)
     img
   }
 
@@ -98,31 +102,33 @@ object Multimodal {
 
   /** Order-pinned rolling hash over the decoded raster (row-major RGB). */
   def rasterChecksum(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val arr = img.getRGB(0, 0, w, img.getHeight, null, 0, w) // bulk read
     var h = 1125899906842597L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) { h = 31 * h + (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
-      y += 1
-    }
+    var i = 0
+    while (i < arr.length) { h = 31 * h + (arr(i) & 0xFFFFFF); i += 1 }
     h
   }
 
   /** Deterministic nearest-neighbor scale — no AWT rendering-hint
-    * ambiguity, bit-identical everywhere. */
+    * ambiguity, bit-identical everywhere. Bulk raster in and out. */
   private def scaleNN(img: BufferedImage, w: Int, h: Int): BufferedImage = {
-    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth
+    val src = img.getRGB(0, 0, sw, img.getHeight, null, 0, sw)
+    val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val sy = (y.toLong * img.getHeight / h).toInt
       var x = 0
       while (x < w) {
-        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w).toInt, sy))
+        out(y * w + x) = src(sy * sw + (x.toLong * sw / w).toInt)
         x += 1
       }
       y += 1
     }
-    out
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    dst.setRGB(0, 0, w, h, out, 0, w)
+    dst
   }
 
   private val SampleRate = 8000f
@@ -210,8 +216,14 @@ object Multimodal {
     * executors inside the Dataset map — the driver never sees a payload. */
   def synthesizeAsset(docId: Long): MediaAsset = (docId % 3) match {
     case 0 =>
-      val w = 16 + (docId % 480).toInt
-      val h = 12 + (docId % 360).toInt
+      // size distribution, not uniform large: 1 in 8 images is bigger than
+      // the 320×240 resize box (so the downscale path stays exercised);
+      // the rest are thumbnails. Keeps encode+decode cost ∝ corpus size
+      // with a small constant — a uniform-large distribution measured
+      // 17-21 s per media query at sf0.1 vs ~2 s with this one.
+      val (w, h) =
+        if (docId % 24 == 0) (360 + (docId % 120).toInt, 270 + (docId % 90).toInt)
+        else (24 + (docId % 136).toInt, 18 + (docId % 102).toInt)
       MediaAsset(docId, "image", pngBytes(synthImage(docId, w, h)), w, h, 1)
     case 1 =>
       val n = 256 + (docId % 256).toInt
@@ -228,7 +240,11 @@ object Multimodal {
     * payloads, synthesized per-partition on executors. */
   def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaAsset] = {
     import s.implicits._
+    // the id list reads as one small parquet split, which would serialize
+    // the (CPU-heavy) encode/decode work onto one core — spread it first.
+    // The shuffle moves only 8-byte ids; payloads are born distributed.
     documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map(synthesizeAsset))
   }
 
