@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
+    "simhash_md5"         -> (Dedup.qSimHashMd5 _),   // oracle twin: md5 bit source, hash-matched in DuckDB
     "simhash_pairs"       -> (Dedup.qSimHashPairs _), // rows-only: xxhash64 not in DuckDB
     // ---- LLM-pipeline: similarity search ----
     "ann_brute"           -> (Similarity.qAnnBrute _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "token_count"         -> (TextOps.qTokenCount _),
     "fingerprint"         -> (TextOps.qFingerprint _),
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
+    "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
@@ -407,6 +409,38 @@ object SparkEntry {
          |JOIN sig sb ON cand.doc_b = sb.doc_id
          |WHERE round(($agree) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin
     },
+
+    "simhash_md5" -> {
+      // generated wide SQL mirroring qSimHashMd5: per-token md5, 16 hex
+      // digits parsed positionally, 64 ±1 vote sums, hex re-assembly
+      val votes = (0 until 64).map { j =>
+        val mask = 1 << (3 - j % 4)
+        s"sum(CASE WHEN (d${j / 4} // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(", ")
+      val digits = (0 until 16)
+        .map(k => s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1 AS d$k")
+        .mkString(", ")
+      val outDigits = (0 until 16).map { m =>
+        val dv = (0 until 4).map(b => s"(CASE WHEN v${4 * m + b} > 0 THEN ${8 >> b} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($dv) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |h AS (SELECT doc_id, md5('sh:' || w) AS h FROM tok),
+         |d AS (SELECT doc_id, $digits FROM h),
+         |v AS (SELECT doc_id, $votes FROM d GROUP BY doc_id)
+         |SELECT doc_id, $outDigits AS simhash FROM v""".stripMargin
+    },
+
+    "winnow_md5" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |kg AS (SELECT doc_id, i AS pos,
+         |    md5(concat_ws(' ', ${(0 until TextOps.WinnowK).map(k => s"words[i+$k]").mkString(", ")})) AS h
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - ${TextOps.WinnowK - 2})) AS i) t)
+         |SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
+         |FROM kg""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $NGRAM_CTES,

@@ -346,6 +346,40 @@ object Dedup {
       .select(col("doc_id"), bits.as("simhash"))
   }
 
+  /** SimHash with an engine-portable bit source — the ORACLE twin of
+    * [[qSimHash]], same trick as [[qMinHashLshMd5]]: md5 is bit-identical
+    * in both engines, so bit j of the first 64 bits of md5("sh:<token>")
+    * replaces bit j of xxhash64(token). Hex digit j/4 of the digest is
+    * parsed once per row (16 codegen'd conv columns), the 64 vote sums
+    * aggregate map-side exactly like the xxhash form, and the signature is
+    * re-assembled as a 16-char lowercase-hex STRING (a BIGINT assembly
+    * would need two's-complement bit 63, which DuckDB refuses to overflow
+    * into), so both engines render it identically. */
+  def qSimHashMd5(s: SparkSession, d: String): DataFrame =
+    simHashMd5(documents(s, d))
+
+  def simHashMd5(docs: DataFrame): DataFrame = {
+    val hexDigits = (0 until 16).map(k =>
+      conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
+    val tok = docs
+      .select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+      .select(col("doc_id"), md5(concat(lit("sh:"), col("w")).cast("binary")).as("h"))
+      .select(col("doc_id") +: hexDigits: _*)
+    val votes = (0 until 64).map { j =>
+      val bit = shiftright(col(s"d${j / 4}"), 3 - j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val hexTable = array((('0' to '9') ++ ('a' to 'f')).map(c => lit(c.toString)): _*)
+    val outDigits = (0 until 16).map { m =>
+      val dv = (0 until 4)
+        .map(b => when(col(s"v${4 * m + b}") > 0, lit(8 >> b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      element_at(hexTable, dv + 1)
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(outDigits: _*).as("simhash"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
     * (hamming ≤ 3 ⇒ at least one chunk equal), join on chunks, verify with
     * bit_count(xor). */

@@ -113,6 +113,33 @@ object TextOps {
       .distinct()
   }
 
+  /** Winnowing with an engine-portable hash — the ORACLE twin of
+    * [[qWinnowFingerprint]] (same trick as Dedup.qMinHashLshMd5): the
+    * k-gram hash is the md5 hex STRING, and because the hex is fixed-width
+    * lowercase, the sliding-window lexicographic `min` selects exactly the
+    * fingerprint a numeric min would. Selection structure (k-gram → window
+    * min → distinct) is unchanged; only the hash family differs, so the
+    * DuckDB twin reproduces the fingerprint SET bit for bit. */
+  def qWinnowFingerprintMd5(s: SparkSession, d: String): DataFrame =
+    winnowFingerprintsMd5(documents(s, d))
+
+  def winnowFingerprintsMd5(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kgram = docs
+      .select(col("doc_id"), posexplode(normWords(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w") +: (1 until WinnowK).map(k => lead(col("w"), k).over(byPos)): _*)
+          .as("g"),
+        lead(col("w"), WinnowK - 1).over(byPos).as("wk"))
+      .filter(col("wk").isNotNull)
+      .select(col("doc_id"), col("pos"), md5(col("g").cast("binary")).as("h"))
+    kgram
+      .select(col("doc_id"),
+        min(col("h")).over(byPos.rowsBetween(0, WinnowW - 1)).as("fp"))
+      .distinct()
+  }
+
   /** TF-IDF top terms (q31): the 3 most characteristic terms per document
     * by smoothed tf·idf. The classic relevance/keyword-extraction kernel:
     * one tokenize explode, a (doc, term) count, a term document-frequency

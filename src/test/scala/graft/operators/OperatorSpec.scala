@@ -141,6 +141,37 @@ class OperatorSpec extends AnyFunSuite {
       s"too many false positives: ${approx.size} vs ${exact.size}")
   }
 
+  test("md5 winnowing twin keeps the shared-run invariant; md5 SimHash twin is content-determined") {
+    import spark.implicits._
+    val run = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"zeta eta theta iota $run kappa"),
+      (3L, (1 to 60).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprintsMd5(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "40-word shared run must yield shared md5 fingerprints")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    // SimHash twin: 16 lowercase hex chars; same content => same signature,
+    // one flipped word => small hamming distance, disjoint => larger
+    val sdocs = Seq(
+      (10L, s"alpha beta gamma $run delta epsilon"),
+      (11L, s"alpha beta gamma $run delta epsilon"), // exact duplicate
+      (12L, s"alpha beta gamma $run delta zeta"),    // one word differs
+      (13L, (1 to 60).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHashMd5(sdocs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(_.matches("[0-9a-f]{16}")), s"bad signature shape: $sigs")
+    assert(sigs(10L) == sigs(11L), "equal content must hash identically")
+    def hamming(a: String, b: String): Int = a.zip(b).map { case (x, y) =>
+      Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+    }.sum
+    assert(hamming(sigs(10L), sigs(12L)) < hamming(sigs(10L), sigs(13L)),
+      "near-dup must be closer than disjoint content")
+  }
+
   test("md5-permutation MinHash (oracle twin) recovers the same true pairs as xxhash") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
