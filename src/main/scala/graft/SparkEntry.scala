@@ -74,6 +74,7 @@ object SparkEntry {
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
     "simhash_md5"         -> (Dedup.qSimHashMd5 _),   // oracle twin: md5 bit source, hash-matched in DuckDB
     "simhash_pairs"       -> (Dedup.qSimHashPairs _), // rows-only: xxhash64 not in DuckDB
+    "simhash_pairs_md5"   -> (Dedup.qSimHashPairsMd5 _), // oracle twin: banded hex chunks + per-digit hamming
     // ---- LLM-pipeline: similarity search ----
     "ann_brute"           -> (Similarity.qAnnBrute _),
     "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
@@ -159,6 +160,29 @@ object SparkEntry {
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** md5-SimHash CTE chain shared by simhash_md5 and simhash_pairs_md5
+    * (must mirror Dedup.simHashMd5): per-token md5, 16 positional hex-digit
+    * parses, 64 ±1 vote sums, hex-string signature re-assembly. */
+  private val SIMHASH_MD5_CTES = {
+    val votes = (0 until 64).map { j =>
+      val mask = 1 << (3 - j % 4)
+      s"sum(CASE WHEN (d${j / 4} // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val digits = (0 until 16)
+      .map(k => s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1 AS d$k")
+      .mkString(", ")
+    val outDigits = (0 until 16).map { m =>
+      val dv = (0 until 4).map(b => s"(CASE WHEN v${4 * m + b} > 0 THEN ${8 >> b} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($dv) + 1, 1)"
+    }.mkString(" || ")
+    s"""tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+       |h AS (SELECT doc_id, md5('sh:' || w) AS h FROM tok),
+       |d AS (SELECT doc_id, $digits FROM h),
+       |v AS (SELECT doc_id, $votes FROM d GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $outDigits AS simhash FROM v)""".stripMargin
+  }
 
   /** Script-range language heuristic shared by lang_id and training_mix
     * (must mirror TextOps.langIdExpr). */
@@ -410,26 +434,23 @@ object SparkEntry {
          |WHERE round(($agree) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin
     },
 
-    "simhash_md5" -> {
-      // generated wide SQL mirroring qSimHashMd5: per-token md5, 16 hex
-      // digits parsed positionally, 64 ±1 vote sums, hex re-assembly
-      val votes = (0 until 64).map { j =>
-        val mask = 1 << (3 - j % 4)
-        s"sum(CASE WHEN (d${j / 4} // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
-      }.mkString(", ")
-      val digits = (0 until 16)
-        .map(k => s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1 AS d$k")
-        .mkString(", ")
-      val outDigits = (0 until 16).map { m =>
-        val dv = (0 until 4).map(b => s"(CASE WHEN v${4 * m + b} > 0 THEN ${8 >> b} ELSE 0 END)")
-          .mkString(" + ")
-        s"substr('0123456789abcdef', ($dv) + 1, 1)"
-      }.mkString(" || ")
-      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
-         |h AS (SELECT doc_id, md5('sh:' || w) AS h FROM tok),
-         |d AS (SELECT doc_id, $digits FROM h),
-         |v AS (SELECT doc_id, $votes FROM d GROUP BY doc_id)
-         |SELECT doc_id, $outDigits AS simhash FROM v""".stripMargin
+    "simhash_md5" ->
+      s"""WITH $SIMHASH_MD5_CTES
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    "simhash_pairs_md5" -> {
+      // hamming between 16-hex-digit signatures: per-digit bit_count(xor)
+      val hamming = (0 until 16).map(k =>
+        s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash, ${k + 1}, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(b.simhash, ${k + 1}, 1)) - 1))").mkString(" + ")
+      s"""WITH $SIMHASH_MD5_CTES,
+         |ch AS (SELECT doc_id, simhash, c, substr(simhash, c * 4 + 1, 4) AS ckey
+         |       FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS c) t)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($hamming AS BIGINT) AS hamming
+         |FROM ch a JOIN ch b
+         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE $hamming <= 6""".stripMargin
     },
 
     "winnow_md5" ->

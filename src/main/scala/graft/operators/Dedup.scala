@@ -380,6 +380,31 @@ object Dedup {
       .select(col("doc_id"), concat(outDigits: _*).as("simhash"))
   }
 
+  /** Banded pairs over the md5 SimHash twin — the ORACLE face of
+    * [[qSimHashPairs]]. The hex-string signature bands into 4 chunks of 4
+    * hex digits (= the 16-bit chunks of the numeric form), candidates join
+    * on (band, chunk), and the hamming verify re-parses the 16 digits and
+    * sums per-digit bit_count(xor) — every step identical SQL in DuckDB,
+    * so the pair set and distances hash-match exactly. */
+  def qSimHashPairsMd5(s: SparkSession, d: String): DataFrame = {
+    val sigs = qSimHashMd5(s, d).persist()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        substring(col("simhash"), c * 4 + 1, 4)): _*)).as(Seq("chunk", "ckey")))
+    val hamming = (0 until 16).map { k =>
+      bit_count(
+        conv(substring(col("a.simhash"), k + 1, 1), 16, 10).cast("long")
+          .bitwiseXOR(conv(substring(col("b.simhash"), k + 1, 1), 16, 10).cast("long")))
+    }.reduce(_ + _).cast("long")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
     * (hamming ≤ 3 ⇒ at least one chunk equal), join on chunks, verify with
     * bit_count(xor). */
