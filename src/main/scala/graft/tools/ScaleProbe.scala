@@ -95,9 +95,23 @@ object ScaleProbe {
       "q51_topk_agg" -> Relational.q51TopKAgg _,
       "q52_variant" -> Relational.q52Variant _,
       "doc_chunk" -> TextOps.qDocChunk _,
-      "dedup_incremental" -> Dedup.qDedupIncremental _)
+      "dedup_incremental" -> Dedup.qDedupIncremental _,
+      "minhash_lsh_md5" -> Dedup.qMinHashLshMd5 _,
+      "simhash_md5" -> Dedup.qSimHashMd5 _,
+      "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
+      "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
+      "media_features" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(s, dir)).toDF()))
 
-    val rows = families.map { case (name, fn) =>
+    // optional 4th arg: comma-separated family filter, so a round can probe
+    // just its new families without re-timing the whole catalogue
+    val picked = args.lift(3)
+      .map(_.split(',').toSet)
+      .map(sel => families.filter(f => sel(f._1)))
+      .getOrElse(families)
+
+    val rows = picked.map { case (name, fn) =>
       val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }
       spark.catalog.clearCache()
       val tk = time { fn(spark, kxDir).queryExecution.toRdd.count() }
