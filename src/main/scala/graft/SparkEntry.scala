@@ -69,6 +69,7 @@ object SparkEntry {
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
+    "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
@@ -160,6 +161,23 @@ object SparkEntry {
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** md5-MinHash SQL pieces shared by minhash_lsh_md5 and
+    * minhash_incremental (must mirror Dedup.md5Sigs / md5BandTable /
+    * md5Agreement). */
+  private val MINHASH_MINS = (0 until Dedup.MinHashPerms)
+    .map(p => s"min(md5('mh:$p:' || shingle)) AS m$p").mkString(", ")
+
+  private def minhashBandSelects(sig: String): String = {
+    val rows = Dedup.MinHashPerms / Dedup.LshBands
+    (0 until Dedup.LshBands).map { b =>
+      val cat = (0 until rows).map(k => s"m${b * rows + k}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM $sig"
+    }.mkString(" UNION ALL ")
+  }
+
+  private val MINHASH_AGREE = (0 until Dedup.MinHashPerms)
+    .map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END").mkString(" + ")
 
   /** md5-SimHash CTE chain shared by simhash_md5 and simhash_pairs_md5
     * (must mirror Dedup.simHashMd5): per-token md5, 16 positional hex-digit
@@ -406,33 +424,37 @@ object SparkEntry {
          |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
 
-    "minhash_lsh_md5" -> {
+    "minhash_lsh_md5" ->
       // generated wide-form SQL: 64 min(md5) aggregates (lexicographic min
       // of fixed-width hex == numeric min of the permutation value), 16
       // band keys over 4 signature rows each, positionwise agreement / 64
-      val perms = 0 until Dedup.MinHashPerms
-      val rows = Dedup.MinHashPerms / Dedup.LshBands
-      val minExprs = perms
-        .map(p => s"min(md5('mh:$p:' || shingle)) AS m$p").mkString(", ")
-      val bandSelects = (0 until Dedup.LshBands).map { b =>
-        val cat = (0 until rows).map(k => s"m${b * rows + k}").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sig"
-      }.mkString(" UNION ALL ")
-      val agree = perms
-        .map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH $NGRAM_CTES,
-         |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
-         |bands AS ($bandSelects),
+         |sig AS (SELECT doc_id, $MINHASH_MINS FROM ex GROUP BY doc_id),
+         |bands AS (${minhashBandSelects("sig")}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  round(($agree) / ${Dedup.MinHashPerms}.0, 6) AS est_jaccard
+         |  round(($MINHASH_AGREE) / ${Dedup.MinHashPerms}.0, 6) AS est_jaccard
          |FROM cand
          |JOIN sig sa ON cand.doc_a = sa.doc_id
          |JOIN sig sb ON cand.doc_b = sb.doc_id
-         |WHERE round(($agree) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin
-    },
+         |WHERE round(($MINHASH_AGREE) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin,
+
+    "minhash_incremental" ->
+      s"""WITH $NGRAM_CTES,
+         |sign AS (SELECT doc_id, $MINHASH_MINS FROM ex WHERE doc_id % 2 = 1 GROUP BY doc_id),
+         |sigo AS (SELECT doc_id, $MINHASH_MINS FROM ex WHERE doc_id % 2 = 0 GROUP BY doc_id),
+         |bn AS (${minhashBandSelects("sign")}),
+         |bo AS (${minhashBandSelects("sigo")}),
+         |cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |         FROM bn n JOIN bo o ON n.band = o.band AND n.bkey = o.bkey)
+         |SELECT doc_new, doc_old,
+         |  round(($MINHASH_AGREE) / ${Dedup.MinHashPerms}.0, 6) AS est_jaccard
+         |FROM cand
+         |JOIN sign sa ON cand.doc_new = sa.doc_id
+         |JOIN sigo sb ON cand.doc_old = sb.doc_id
+         |WHERE round(($MINHASH_AGREE) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin,
 
     "simhash_md5" ->
       s"""WITH $SIMHASH_MD5_CTES

@@ -300,16 +300,31 @@ object Dedup {
   def qMinHashLshMd5(s: SparkSession, d: String): DataFrame =
     minHashLshMd5From(shingleTable(documents(s, d)))
 
-  def minHashLshMd5From(ex: DataFrame): DataFrame = {
-    val rows = MinHashPerms / LshBands // 4 signature rows per band
+  /** Wide md5-string signature table: (doc_id, m0..m63). */
+  private def md5Sigs(ex: DataFrame): DataFrame = {
     val mins = (0 until MinHashPerms).map(p =>
       min(md5(concat(lit(s"mh:$p:"), col("shingle")).cast("binary"))).as(s"m$p"))
-    val sigs = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) rows over an md5 signature table. */
+  private def md5BandTable(sigs: DataFrame): DataFrame = {
+    val rows = MinHashPerms / LshBands // 4 signature rows per band
     val bkeys = (0 until LshBands).map(b =>
       md5(concat_ws("|",
         (0 until rows).map(k => col(s"m${b * rows + k}")): _*).cast("binary")))
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bkeys: _*)).as(Seq("band", "bkey")))
+    sigs.select(col("doc_id"), posexplode(array(bkeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Positionwise-agreement estimate between two renamed signature sides. */
+  private def md5Agreement(aPrefix: String, bPrefix: String) =
+    (0 until MinHashPerms)
+      .map(p => when(col(s"$aPrefix$p") === col(s"$bPrefix$p"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  def minHashLshMd5From(ex: DataFrame): DataFrame = {
+    val sigs = md5Sigs(ex).persist()
+    val bands = md5BandTable(sigs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -317,11 +332,45 @@ object Dedup {
       .distinct()
     val sa = sigs.toDF("doc_a" +: (0 until MinHashPerms).map(p => s"a$p"): _*)
     val sb = sigs.toDF("doc_b" +: (0 until MinHashPerms).map(p => s"b$p"): _*)
-    val agree = (0 until MinHashPerms)
-      .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
-      .reduce(_ + _)
+    val agree = md5Agreement("a", "b")
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / lit(MinHashPerms.toDouble), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** Incremental NEAR-dup detection — the MinHash face of
+    * [[qDedupIncremental]]: a new ingest batch is checked against the
+    * EXISTING corpus through its signature/band-key tables, never against
+    * the corpus text. At production scale the corpus side of this query is
+    * a materialized table the pipeline maintains (64×32 B signatures +
+    * 16 band keys per doc); here both sides derive from the documents
+    * table split by doc_id parity (odd = new batch, even = corpus) so the
+    * oracle can reproduce the split. Emits every (doc_new, doc_old) match
+    * with estimated Jaccard ≥ 0.5 — the anti-join of the batch against
+    * `doc_new` is the kept set. Only ids, band keys and signatures
+    * shuffle; candidates join new-batch keys (small) against corpus keys
+    * (large) with no corpus self-join — work is ∝ batch, not ∝ corpus². */
+  def qMinHashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    minHashIncrementalFrom(
+      shingleTable(docs.filter(col("doc_id") % 2 === 1)),
+      shingleTable(docs.filter(col("doc_id") % 2 === 0)))
+  }
+
+  def minHashIncrementalFrom(exNew: DataFrame, exCorpus: DataFrame): DataFrame = {
+    val sigsNew = md5Sigs(exNew).persist()
+    val sigsOld = md5Sigs(exCorpus).persist()
+    val cand = md5BandTable(sigsNew).as("n")
+      .join(md5BandTable(sigsOld).as("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .distinct()
+    val sa = sigsNew.toDF("doc_new" +: (0 until MinHashPerms).map(p => s"a$p"): _*)
+    val sb = sigsOld.toDF("doc_old" +: (0 until MinHashPerms).map(p => s"b$p"): _*)
+    val agree = md5Agreement("a", "b")
+    cand.join(sa, Seq("doc_new")).join(sb, Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
         round(agree.cast("double") / lit(MinHashPerms.toDouble), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }

@@ -184,6 +184,22 @@ class OperatorSpec extends AnyFunSuite {
       s"too many false positives: ${md5v.size} vs ${exact.size}")
   }
 
+  test("incremental MinHash equals the cross-parity slice of the full-corpus md5 LSH") {
+    // the production contract: checking a new batch against the corpus
+    // signature table finds exactly the new↔old near-dup edges the
+    // full-corpus pass would, for every pair whose bands collide the same
+    // way. Cross-parity pairs of the full run ARE that slice (odd = new).
+    val full = Dedup.qMinHashLshMd5(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }.toSet
+    val inc = Dedup.qMinHashIncremental(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full,
+      s"inc-only: ${(inc -- full).take(3)}; full-only: ${(full -- inc).take(3)}")
+    assert(inc.nonEmpty, "corpus should contain cross-parity near-dups")
+  }
+
   test("plan shape: the MinHash path is HOF-free (no interpreted lambdas) and uses the codegen'd agree-count") {
     // HOF lambdas evaluate interpreted (~35 µs/element); the signature and
     // estimate stages must stay inside whole-stage codegen. `lambdavariable`
