@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import graft.operators.TextOps.{normText, normWords}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface: exact,
@@ -452,6 +452,74 @@ object Dedup {
         hamming.as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
+  }
+
+  /** (doc_id, band, bkey) band-key table over any (doc_id, text) frame —
+    * the batch surface [[bandKeysLocal]] must reproduce (pinned in
+    * StreamingDedupSpec). */
+  def md5BandTableForTest(docs: DataFrame): DataFrame =
+    md5BandTable(md5Sigs(shingleTable(docs)))
+
+  /** One LSH bucket claim from the streaming near-dup filter: `owner` is
+    * the doc that held the bucket when `doc_id` arrived (owner == doc_id
+    * ⇔ this doc claimed it first). */
+  case class BucketHit(doc_id: Long, bkey: String, owner: Long)
+
+  /** Per-document md5 MinHash band keys computed IN ONE ROW — no
+    * aggregation, no shuffle: one doc's signature is a local min over its
+    * own shingles, so a plain Scala loop reproduces [[md5Sigs]] +
+    * [[md5BandTable]] exactly (asserted in StreamingDedupSpec). This is
+    * what makes the STREAMING form possible: signatures become a stateless
+    * projection, leaving bucket ownership as the query's only stateful
+    * stage. */
+  def bandKeysLocal(text: String): Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val words = text.trim.toLowerCase.split("\\s+").toSeq
+    val shingles = words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    if (shingles.isEmpty) return Seq.empty
+    val sig = (0 until MinHashPerms).map(p => shingles.map(s => hex(s"mh:$p:$s")).min)
+    val rows = MinHashPerms / LshBands
+    (0 until LshBands).map(b => hex((0 until rows).map(k => sig(b * rows + k)).mkString("|")))
+  }
+
+  /** Streaming near-dup filter (the streaming face of
+    * [[qMinHashIncremental]]): documents arriving on an unbounded stream
+    * are checked against every PREVIOUSLY seen document via LSH bucket
+    * ownership. Stateless typed map computes each doc's 16 band keys
+    * ([[bandKeysLocal]]); flatMap explodes to (bkey, doc) rows; ONE
+    * `flatMapGroupsWithState` keyed by band key stores the first owner
+    * per bucket (state value: a single long — bounded by distinct buckets,
+    * never by stream length; a production deployment adds a TTL timeout to
+    * window the memory, trading recall horizon for state size, exactly
+    * like [[Relational.dedupStream]]'s watermark). Emits every
+    * [[BucketHit]]; a doc with ANY hit where owner ≠ doc_id is a near-dup
+    * CANDIDATE — downstream verification joins signatures by id, same as
+    * the batch path. Within a micro-batch, first-seen = min doc_id
+    * (iterator sorted), so replaying a bounded stream in one batch equals
+    * the batch ownership table bit for bit (asserted in
+    * StreamingDedupSpec). */
+  def nearDupStream(docs: DataFrame): Dataset[BucketHit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => bandKeysLocal(text).map(bk => (bk, id)) }
+      .toDF("bkey", "doc_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BucketHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bkey: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toSeq.sorted // first-seen = min id in batch
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val owner = if (state.exists) state.get else ids.head
+            if (!state.exists) state.update(owner)
+            ids.iterator.map(id => BucketHit(id, bkey, owner))
+          }
+      }
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
