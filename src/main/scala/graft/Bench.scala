@@ -66,6 +66,15 @@ object Bench {
         "ngram_jaccard" -> time { pairs.queryExecution.toRdd.count() },
         "minhash_lsh" -> time {
           operators.Dedup.minHashLshFrom(shingles).queryExecution.toRdd.count() },
+        "minhash_lsh_md5" -> time {
+          operators.Dedup.minHashLshMd5From(shingles).queryExecution.toRdd.count() },
+        // shingles are per-doc, so filtering the cached table by parity IS
+        // the split table — the twin pays no second tokenize
+        "minhash_incremental" -> time {
+          operators.Dedup.minHashIncrementalFrom(
+            shingles.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+            shingles.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0))
+            .queryExecution.toRdd.count() },
         "dedup_clusters" -> time {
           operators.Dedup.clusterPairs(pairs.select("doc_a", "doc_b"))
             .queryExecution.toRdd.count() },
@@ -75,7 +84,8 @@ object Bench {
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
-      val shared = Set("ngram_jaccard", "minhash_lsh", "dedup_clusters", "q38_edit_distance")
+      val shared = Set("ngram_jaccard", "minhash_lsh", "minhash_lsh_md5",
+        "minhash_incremental", "dedup_clusters", "q38_edit_distance")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>

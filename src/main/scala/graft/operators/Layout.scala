@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering (Z-order) for scan
+  * pruning — the 100 TB technique behind "don't read files the predicate
+  * excludes". Parquet stores per-file/per-row-group min-max stats; a file
+  * index (or the reader's footer check) skips a file when the predicate's
+  * range is disjoint from the file's. A single-column sort makes files
+  * prunable on THAT column only; interleaving the bits of two (or more)
+  * bucketized columns gives every file a small hyper-rectangle in ALL of
+  * them, so range predicates on any clustered dimension prune.
+  *
+  * Everything here is plain Catalyst arithmetic (shift/and/or chains —
+  * whole-stage codegen'd, no UDFs), one tiny min/max agg for the bucket
+  * scale, a range repartition on the z-value, and an in-partition sort:
+  * exactly the shuffle a cluster-scale rewrite job would do, no driver
+  * data path. Measured pruning on lineitem (LayoutSpec): a 10%-range
+  * single-dimension predicate prunes ~0% of files under the
+  * other-column sort but the MAJORITY of files under Z-order, on both
+  * dimensions at once. */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
+    * lane (the classic Morton magic-mask cascade), as codegen'd long
+    * arithmetic. */
+  private def spread16(c: Column): Column = {
+    val m = Seq(
+      (8, 0x00FF00FFL),
+      (4, 0x0F0F0F0FL),
+      (2, 0x33333333L),
+      (1, 0x55555555L))
+    m.foldLeft(c.cast("long")) { case (x, (s, mask)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** 2-D Morton (Z-order) code of two 16-bit bucket ids. */
+  def interleave16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Min-max bucketize `c` into [0, 2^16) given its global bounds. */
+  def bucket16(c: Column, lo: Double, hi: Double): Column = {
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    least(greatest(
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit(65536.0)).cast("long"),
+      lit(0L)), lit(65535L))
+  }
+
+  /** Z-order `df` on two numeric columns and write `nFiles` parquet files,
+    * each covering a compact rectangle of (colA, colB) space. The global
+    * min/max agg is the only driver-visible data (4 doubles); the rewrite
+    * itself is one range shuffle + local sort — the same job shape at any
+    * scale. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int): Unit = {
+    val Array(row) = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
+    val z = interleave16(
+      bucket16(col(colA), row.getDouble(0), row.getDouble(1)),
+      bucket16(col(colB), row.getDouble(2), row.getDouble(3)))
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Comparison layout: single-column sort into `nFiles` files. */
+  def writeSorted(df: DataFrame, sortCol: String, path: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** File-level min/max stats of two columns for every parquet part-file
+    * under `path` — what a file index (or the parquet reader's footer
+    * check) prunes with. Computed distributedly via input_file_name: one
+    * scan, one small agg, rows = files. */
+  def fileStats(df: DataFrame, colA: String, colB: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(colA)).cast("double").as("min_a"),
+        max(col(colA)).cast("double").as("max_a"),
+        min(col(colB)).cast("double").as("min_b"),
+        max(col(colB)).cast("double").as("max_b"))
+
+  /** Fraction of files a range predicate `[lo, hi]` on the given dimension
+    * can skip, judging by file-level stats alone. */
+  def prunableFraction(stats: Seq[(Double, Double)], lo: Double, hi: Double): Double = {
+    if (stats.isEmpty) return 0.0
+    stats.count { case (mn, mx) => mx < lo || mn > hi }.toDouble / stats.size
+  }
+}

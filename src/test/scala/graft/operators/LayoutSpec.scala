@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering evidence: after a Z-order rewrite, file-level
+  * min/max stats prune range predicates on BOTH clustered dimensions; a
+  * single-column sort prunes only its own. This is the layout face of
+  * predicate pushdown — the stats these tests read are exactly what the
+  * parquet reader's footer check and a catalog file index skip with. */
+class LayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.streaming.StreamFixture.spark
+  private val d = "/root/testdata/sf0.01"
+
+  test("z-order makes files prunable on both dimensions; single sort on one") {
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+
+    val base = Files.createTempDirectory("graft-layout").toString
+    val zPath = s"$base/z"
+    val sPath = s"$base/s"
+    // a power of 4 splits the top z-bits evenly between the two dims (an
+    // odd power of 2 gives one dim an extra strip level and skews pruning)
+    val nFiles = 64
+    Layout.writeZOrdered(li, "pk", "sk", zPath, nFiles)
+    Layout.writeSorted(li, "pk", sPath, nFiles)
+
+    def stats(path: String) = Layout.fileStats(spark.read.parquet(path), "pk", "sk")
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val zStats = stats(zPath)
+    val sStats = stats(sPath)
+    assert(zStats.length == nFiles && sStats.length == nFiles)
+
+    // a 10%-of-range predicate on each dimension
+    val Array(bounds) = li.agg(
+      min("pk").cast("double"), max("pk").cast("double"),
+      min("sk").cast("double"), max("sk").cast("double")).collect()
+    def tenPct(lo: Double, hi: Double) = {
+      val c = lo + (hi - lo) * 0.45
+      (c, c + (hi - lo) * 0.1)
+    }
+    val (pLo, pHi) = tenPct(bounds.getDouble(0), bounds.getDouble(1))
+    val (sLo, sHi) = tenPct(bounds.getDouble(2), bounds.getDouble(3))
+
+    val zOnPk = Layout.prunableFraction(zStats.map(s => (s._1, s._2)), pLo, pHi)
+    val zOnSk = Layout.prunableFraction(zStats.map(s => (s._3, s._4)), sLo, sHi)
+    val sOnPk = Layout.prunableFraction(sStats.map(s => (s._1, s._2)), pLo, pHi)
+    val sOnSk = Layout.prunableFraction(sStats.map(s => (s._3, s._4)), sLo, sHi)
+    info(f"prunable fraction: z-order pk=$zOnPk%.2f sk=$zOnSk%.2f; pk-sort pk=$sOnPk%.2f sk=$sOnSk%.2f")
+
+    // the single sort is the best case for ITS column and useless for the
+    // other; z-order must prune a majority of files on BOTH
+    assert(sOnPk >= 0.8, s"pk-sorted layout should prune its own dim: $sOnPk")
+    assert(sOnSk <= 0.1, s"pk-sorted layout cannot prune the other dim: $sOnSk")
+    assert(zOnPk >= 0.5, s"z-order must prune pk ranges: $zOnPk")
+    assert(zOnSk >= 0.5, s"z-order must prune sk ranges: $zOnSk")
+
+    // and the pruning is SOUND: reading only non-prunable files returns
+    // exactly the full filtered result
+    val full = spark.read.parquet(zPath)
+      .filter(col("sk") >= sLo && col("sk") <= sHi).count()
+    val kept = Layout.fileStats(spark.read.parquet(zPath), "pk", "sk").collect()
+      .filter(r => !(r.getDouble(3) > sHi || r.getDouble(4) < sLo))
+      .map(_.getString(0))
+    val prunedRead = spark.read.parquet(kept: _*)
+      .filter(col("sk") >= sLo && col("sk") <= sHi).count()
+    assert(prunedRead == full, s"pruned read lost rows: $prunedRead vs $full")
+  }
+}
