@@ -82,10 +82,19 @@ object Bench {
           operators.Dedup.editDistanceFrom(Tables.documents(spark, sfDir), pairs)
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
+      // SimHash twin pipeline: the signature table is the materialized
+      // artifact (billed as simhash_md5); banding+join reads it cached
+      val sigsMd5 = operators.Dedup.qSimHashMd5(spark, sfDir).persist()
+      val simhashPipeline = Seq(
+        "simhash_md5" -> time { sigsMd5.queryExecution.toRdd.count() },
+        "simhash_pairs_md5" -> time {
+          operators.Dedup.simHashPairsMd5From(sigsMd5).queryExecution.toRdd.count() })
+      spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
       val shared = Set("ngram_jaccard", "minhash_lsh", "minhash_lsh_md5",
-        "minhash_incremental", "dedup_clusters", "q38_edit_distance")
+        "minhash_incremental", "dedup_clusters", "q38_edit_distance",
+        "simhash_md5", "simhash_pairs_md5")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>
@@ -93,7 +102,7 @@ object Bench {
           spark.catalog.clearCache()
           name -> sec
         }
-      shinglePipeline ++ rest
+      shinglePipeline ++ simhashPipeline ++ rest
     }
 
     val passes = (1 to runs).map { i =>

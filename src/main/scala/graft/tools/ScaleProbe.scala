@@ -97,6 +97,7 @@ object ScaleProbe {
       "doc_chunk" -> TextOps.qDocChunk _,
       "dedup_incremental" -> Dedup.qDedupIncremental _,
       "minhash_lsh_md5" -> Dedup.qMinHashLshMd5 _,
+      "minhash_incremental" -> Dedup.qMinHashIncremental _,
       "simhash_md5" -> Dedup.qSimHashMd5 _,
       "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
       "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
