@@ -496,33 +496,47 @@ object Dedup {
     * ([[bandKeysLocal]]); flatMap explodes to (bkey, doc) rows; ONE
     * `flatMapGroupsWithState` keyed by band key stores the first owner
     * per bucket (state value: a single long — bounded by distinct buckets,
-    * never by stream length; a production deployment adds a TTL timeout to
-    * window the memory, trading recall horizon for state size, exactly
-    * like [[Relational.dedupStream]]'s watermark). Emits every
+    * never by stream length; `bucketTtlMs ≥ 0` additionally evicts buckets
+    * quiet for the TTL, windowing the memory at the price of missing
+    * near-dups separated by more than the TTL — the same trade as
+    * [[Relational.dedupStream]]'s watermark, asserted in
+    * StreamingDedupSpec). Emits every
     * [[BucketHit]]; a doc with ANY hit where owner ≠ doc_id is a near-dup
     * CANDIDATE — downstream verification joins signatures by id, same as
     * the batch path. Within a micro-batch, first-seen = min doc_id
     * (iterator sorted), so replaying a bounded stream in one batch equals
     * the batch ownership table bit for bit (asserted in
     * StreamingDedupSpec). */
-  def nearDupStream(docs: DataFrame): Dataset[BucketHit] = {
+  def nearDupStream(docs: DataFrame, bucketTtlMs: Long = -1L): Dataset[BucketHit] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val timeout =
+      if (bucketTtlMs >= 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => bandKeysLocal(text).map(bk => (bk, id)) }
       .toDF("bkey", "doc_id")
       .as[(String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, BucketHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Long, BucketHit](OutputMode.Append, timeout) {
         (bkey: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val ids = rows.map(_._2).toSeq.sorted // first-seen = min id in batch
-          if (ids.isEmpty) Iterator.empty
-          else {
-            val owner = if (state.exists) state.get else ids.head
-            if (!state.exists) state.update(owner)
-            ids.iterator.map(id => BucketHit(id, bkey, owner))
+          if (state.hasTimedOut) {
+            // quiet bucket past the TTL: forget the owner. Near-dups
+            // separated by more than the TTL are no longer detected — the
+            // windowed-recall trade every production stream dedup makes
+            // to bound memory (same posture as dedupStream's watermark).
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._2).toSeq.sorted // first-seen = min id in batch
+            if (ids.isEmpty) Iterator.empty
+            else {
+              val owner = if (state.exists) state.get else ids.head
+              if (!state.exists) state.update(owner)
+              if (bucketTtlMs >= 0) state.setTimeoutDuration(bucketTtlMs)
+              ids.iterator.map(id => BucketHit(id, bkey, owner))
+            }
           }
       }
   }

@@ -92,4 +92,45 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"state rows $stateRows != ${expectedOwner.size} distinct buckets")
     } finally query.stop()
   }
+
+  test("bucket TTL evicts quiet buckets: state drains to zero after the window") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).take(50)
+
+    val input = MemoryStream[(Long, String)]
+    val hits = Dedup.nearDupStream(input.toDF().toDF("doc_id", "text"), bucketTtlMs = 300)
+    val name = "ttl_" + UUID.randomUUID().toString.replace("-", "")
+    val query = hits.toDF().writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      def stateRows = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      input.addData(docs: _*)
+      // NO processAllAvailable here: with processing-time timeouts firing
+      // every trigger, it can wait forever for a quiet batch (EvictionSpec
+      // polls for the same reason). Poll the sink + state metrics instead.
+      val populated = {
+        val deadline = System.currentTimeMillis() + 20000
+        while ((spark.table(name).count() == 0 || stateRows == 0) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        stateRows
+      }
+      assert(spark.table(name).count() > 0, "hits must reach the sink")
+      assert(populated > 0, "buckets must be resident right after the batch")
+      // no further data: every bucket goes quiet and the TTL must drain it
+      val deadline = System.currentTimeMillis() + 20000
+      while (stateRows != 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(stateRows == 0, s"TTL did not evict quiet buckets: $stateRows resident")
+    } finally query.stop()
+  }
 }
