@@ -107,6 +107,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(occ.max <= mean * 12, s"max=${occ.max} mean=$mean — quota law broken")
   }
 
+  test("registered embedding_dedup_blocked delegates to the two-level quantizer (no N-growing collect)") {
+    // VERDICT r5 #3: auto-K single-level collects a K×64 centroid matrix
+    // with K ∝ N. The registered entry must run the hierarchical path
+    // (√K driver residency) — pinned by exact output equality.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Similarity.qEmbeddingDedupBlocked(spark, d)) ==
+      pairs(Similarity.qEmbeddingDedupTwoLevel(spark, d)))
+  }
+
   test("two-level quantizer dedup stays a subset of exact with comparable recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
