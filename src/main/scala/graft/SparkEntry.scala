@@ -85,6 +85,7 @@ object SparkEntry {
     "embedding_dedup_2level"  -> (Similarity.qEmbeddingDedupTwoLevel _), // rows-only: approximate by design (hierarchical IVF); recall + subset asserted in OperatorSpec
     "ann_2level"              -> (Similarity.qAnnTwoLevel _), // rows-only: approximate by design (hierarchical IVF ANN); recall asserted in OperatorSpec
     "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
+    "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),

@@ -68,6 +68,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"IVF recall@3 = $recall over ${truth.size} queries")
   }
 
+  test("ann_pq recall@3 vs exact nearest neighbor (product quantization + ADC + re-rank)") {
+    val truth = Similarity.qNearestNeighbor(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.qAnnPq(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = truth.count { case (q, nn) => approx.getOrElse(q, Set.empty).contains(nn) }
+    val recall = hits.toDouble / truth.size
+    info(s"PQ recall@3 = $recall over ${truth.size} queries")
+    assert(recall >= 0.8, s"PQ recall@3 = $recall")
+    // the emitted scores are EXACT cosines (re-ranked), not ADC estimates
+    approx.values.foreach(s => assert(s.size <= 3))
+  }
+
   test("blocked embedding dedup recovers the exact near-dup pair set with bounded work") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
