@@ -90,6 +90,7 @@ object SparkEntry {
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),
     "token_count"         -> (TextOps.qTokenCount _),
+    "corpus_stats"        -> (TextOps.qCorpusStats _),
     "fingerprint"         -> (TextOps.qFingerprint _),
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
@@ -757,6 +758,24 @@ object SparkEntry {
          |    / length(text), 4) AS punct_ratio,
          |  round(least(len(words) / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality
          |FROM s""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT source, text, $WORDS AS words FROM documents),
+         |s AS (SELECT source,
+         |  $LANG_CASE AS lang,
+         |  len(words) AS toks,
+         |  length(text) AS chars,
+         |  round(least(len(words) / 100.0, 1.0) *
+         |    (1.0 - CAST(len([w FOR w IN words IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |      / len(words)), 4) AS q
+         |  FROM t)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS total_chars,
+         |  round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+         |  CAST(min(toks) AS BIGINT) AS min_tokens,
+         |  CAST(max(toks) AS BIGINT) AS max_tokens
+         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "token_count" ->
       raw"""SELECT doc_id,

@@ -69,6 +69,32 @@ object TextOps {
       round(least(nWords / lit(100.0), lit(1.0)) * (lit(1.0) - stopRatio), 4).as("quality"))
   }
 
+  /** One-pass per-(source, predicted-language) corpus report — the
+    * operational "state of the corpus" query an ingest pipeline runs after
+    * every batch: volume (docs/tokens/chars), quality distribution, and
+    * size extremes, all from a SINGLE scan with map-side partial
+    * aggregation (no joins, no second pass over text). Quality sums run
+    * over decimal(18,4) (the values are already 4-dec-rounded) so the
+    * aggregate is order-independent and cross-engine exact — the same
+    * [[Relational.dsum]] discipline as the money columns. */
+  def qCorpusStats(s: SparkSession, d: String): DataFrame = {
+    val words = normWords(col("text"))
+    documents(s, d)
+      .select(col("source"), langIdExpr(col("text")).as("lang"),
+        size(words).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        qualityExpr(col("text")).as("q"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"),
+        round(sum(col("q").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+          .as("avg_quality"),
+        min(col("toks")).as("min_tokens"),
+        max(col("toks")).as("max_tokens"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
     * digit runs / single other glyph), and unique-token count. */
   def qTokenCount(s: SparkSession, d: String): DataFrame = {
