@@ -51,6 +51,39 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming media decode equals the batch decode on a replayed asset slice") {
+    // extractFeatures is a stateless typed map, so media arriving on a
+    // stream must decode to exactly the batch features — the property that
+    // lets an ingest pipeline decode-and-feature on the way in.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val assets = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .collect().toSeq.take(60)
+    val input = MemoryStream[Multimodal.MediaAsset]
+    val streamed = Multimodal.extractFeatures(input.toDS())
+    val name = "media_" + UUID.randomUUID().toString.replace("-", "")
+    val query = streamed.toDF().writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      input.addData(assets: _*)
+      query.processAllAvailable()
+      val got = spark.table(name).collect().map(_.toSeq).toSet
+      val expected = assets.map(a => Multimodal.decode(a))
+        .map(f => Seq(f.asset_id, f.media_type, f.n_bytes, f.width, f.height,
+          f.n_frames_sampled, f.checksum)).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(2)}; batch-only: ${(expected -- got).take(2)}")
+    } finally query.stop()
+  }
+
   test("pipeline observability: Dataset.observe metrics surface per micro-batch") {
     // The operational counterpart of the scores themselves: an ingest
     // pipeline needs doc counts / PII rates per micro-batch WITHOUT a
