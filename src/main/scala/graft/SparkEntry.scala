@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_2level"              -> (Similarity.qAnnTwoLevel _), // rows-only: approximate by design (hierarchical IVF ANN); recall asserted in OperatorSpec
     "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
     "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
+    "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // rows-only: coarse cells + compressed-code ADC; recall asserted in OperatorSpec
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),

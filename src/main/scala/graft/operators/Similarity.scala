@@ -599,6 +599,57 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
   }
 
+  /** IVF-PQ ANN — the composition production vector stores run (coarse
+    * quantizer + product-quantized residual scan): the [[qAnnIvf]] coarse
+    * cells prune the corpus to the query's [[IvfProbes]] nearest Voronoi
+    * regions, and WITHIN the surviving candidates the scan reads only the
+    * 8-byte PQ codes through the broadcast ADC lookup table — the raw
+    * vectors are touched exactly [[PqShortlist]] times per query, at the
+    * exact-cosine re-rank. Work per query: C centroid dots (coarse) +
+    * |probed cells| code-table rows through one broadcast join + a fixed
+    * shortlist of exact dots; nothing driver-side beyond the two fixed
+    * codebooks. Recall floors asserted in OperatorSpec — the composition
+    * can only lose candidates the coarse quantizer drops (PQ error is
+    * absorbed by the re-rank shortlist). */
+  def qAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = withVec(s, d)
+    val centroids = ivfCentroids(e, IvfCells)
+    val cells = assignCells(e, centroids)
+    val sv = subVectors(e).persist()
+    val cb = pqCodebooks(sv)
+    val codes = pqAssign(sv, cb)
+    val probes = cellDistances(e.filter(col("vec_id") < 100), centroids)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = cells.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val lut = pqDistances(sv.filter(col("vec_id") < 100), cb)
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        col("dist").as("qd"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= PqShortlist)
+      .select(col("query_id"), col("vec_id").as("nn_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    shortlist
+      .join(e.select(col("vec_id").as("nn_id"), col("v"), col("nrm")), Seq("nn_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")),
+        Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
+  }
+
   /** LSH-bucketed ANN, top-3 per query: candidates = corpus vectors sharing
     * ≥1 (table, bucket) cell with the query; each surviving id-pair is
     * scored by exact cosine once (DISTINCT before scoring). Approximate —

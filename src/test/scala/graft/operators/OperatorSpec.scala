@@ -81,6 +81,25 @@ class OperatorSpec extends AnyFunSuite {
     approx.values.foreach(s => assert(s.size <= 3))
   }
 
+  test("ann_ivfpq recall@3: the coarse+compressed composition loses only coarse-dropped candidates") {
+    val truth = Similarity.qNearestNeighbor(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfpq = Similarity.qAnnIvfPq(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfOnly = Similarity.qAnnIvf(spark, d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = truth.count { case (q, nn) =>
+      ivfpq.getOrElse(q, Set.empty).contains(nn) }.toDouble / truth.size
+    val ivfRecall = truth.count { case (q, nn) =>
+      ivfOnly.getOrElse(q, Set.empty).contains(nn) }.toDouble / truth.size
+    info(s"IVF-PQ recall@3 = $recall (plain IVF = $ivfRecall) over ${truth.size} queries")
+    assert(recall >= 0.7, s"IVF-PQ recall@3 = $recall")
+    // PQ error is absorbed by the exact re-rank shortlist: the composition
+    // must stay within a small margin of the coarse quantizer's own recall
+    assert(recall >= ivfRecall - 0.1,
+      s"compression cost too high: $recall vs IVF $ivfRecall")
+  }
+
   test("blocked embedding dedup recovers the exact near-dup pair set with bounded work") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
