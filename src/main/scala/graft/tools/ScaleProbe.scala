@@ -99,6 +99,7 @@ object ScaleProbe {
       "minhash_lsh_md5" -> Dedup.qMinHashLshMd5 _,
       "minhash_incremental" -> Dedup.qMinHashIncremental _,
       "ann_pq" -> Similarity.qAnnPq _,
+      "ann_ivfpq" -> Similarity.qAnnIvfPq _,
       "simhash_md5" -> Dedup.qSimHashMd5 _,
       "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
       "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
