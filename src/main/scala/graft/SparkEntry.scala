@@ -66,6 +66,7 @@ object SparkEntry {
     // ---- LLM-pipeline: dedup ----
     "dedup_exact"         -> (Dedup.qDedupExact _),
     "dedup_incremental"   -> (Dedup.qDedupIncremental _),
+    "dedup_incremental_bloom" -> (Dedup.qDedupIncrementalBloom _), // bloom-pruned plan, same oracle
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
@@ -164,6 +165,16 @@ object SparkEntry {
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by dedup_incremental and its bloom-pruned twin (same answer,
+    * different plan). */
+  private val DEDUP_INCREMENTAL_SQL =
+    s"""WITH f AS (SELECT doc_id, md5($NORM) AS content_fp FROM documents),
+       |known AS (SELECT DISTINCT content_fp FROM f WHERE doc_id % 2 = 0),
+       |fresh AS (SELECT content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
+       |          FROM f WHERE doc_id % 2 = 1 GROUP BY 1)
+       |SELECT content_fp, keep_id, dup_count FROM fresh
+       |WHERE content_fp NOT IN (SELECT content_fp FROM known)""".stripMargin
 
   /** md5-MinHash SQL pieces shared by minhash_lsh_md5 and
     * minhash_incremental (must mirror Dedup.md5Sigs / md5BandTable /
@@ -412,13 +423,10 @@ object SparkEntry {
       s"""SELECT md5($NORM) AS content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH f AS (SELECT doc_id, md5($NORM) AS content_fp FROM documents),
-         |known AS (SELECT DISTINCT content_fp FROM f WHERE doc_id % 2 = 0),
-         |fresh AS (SELECT content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
-         |          FROM f WHERE doc_id % 2 = 1 GROUP BY 1)
-         |SELECT content_fp, keep_id, dup_count FROM fresh
-         |WHERE content_fp NOT IN (SELECT content_fp FROM known)""".stripMargin,
+    "dedup_incremental" -> DEDUP_INCREMENTAL_SQL,
+    // the bloom changes the PLAN (definitely-new rows skip the anti-join),
+    // not the answer — identical oracle by design
+    "dedup_incremental_bloom" -> DEDUP_INCREMENTAL_SQL,
 
     "ngram_jaccard" ->
       s"""WITH $NGRAM_CTES

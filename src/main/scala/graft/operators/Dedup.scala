@@ -459,6 +459,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Bloom-pruned incremental dedup — the 100 TB refinement of
+    * [[qDedupIncremental]]: the corpus fingerprint set is summarized as a
+    * Bloom filter (~1.2 GB per 10⁹ fingerprints at 1% fpp — maintained
+    * alongside the fingerprint table and shipped to executors), and the
+    * new batch splits BEFORE the anti-join shuffle: fingerprints the
+    * filter rejects are DEFINITELY new (no bloom false negatives) and
+    * skip the join entirely; only the might-contain fraction (true dups +
+    * fpp) pays the exact anti-join. The result is bit-identical to the
+    * plain anti-join — the bloom changes the plan, not the answer — so
+    * this entry shares dedup_incremental's DuckDB oracle verbatim.
+    *
+    * The membership probe is the CODEGEN'd Catalyst expression behind
+    * Spark's own runtime-filter injection ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over xxhash64), built from the public `stat.bloomFilter` sketch —
+    * no UDF, no interpreted path; the serialized filter rides the plan
+    * exactly like an injected runtime filter's subquery result. */
+  def qDedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val fpCol = md5(normText(col("text")).cast("binary"))
+    val docs = documents(s, d)
+    val known = docs.filter(col("doc_id") % 2 === 0)
+      .select(fpCol.as("content_fp")).distinct().persist()
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), fpCol.as("content_fp"))
+      .groupBy(col("content_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    val bloom = known.stat.bloomFilter("content_fp", 100000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.GraftColumnBridge
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftColumnBridge.expression(col("content_fp"))))))
+    val definitelyNew = batch.filter(!mightContain)
+    val needsCheck = batch.filter(mightContain)
+      .join(known, Seq("content_fp"), "left_anti")
+    definitelyNew.union(needsCheck)
+  }
+
   /** (doc_id, band, bkey) band-key table over any (doc_id, text) frame —
     * the batch surface [[bandKeysLocal]] must reproduce (pinned in
     * StreamingDedupSpec). */

@@ -226,6 +226,16 @@ class OperatorSpec extends AnyFunSuite {
       s"too many false positives: ${md5v.size} vs ${exact.size}")
   }
 
+  test("bloom-pruned incremental dedup: identical answer, might_contain in the plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows(Dedup.qDedupIncremental(spark, d))
+    val bloomDf = Dedup.qDedupIncrementalBloom(spark, d)
+    assert(rows(bloomDf) == plain, "bloom must change the plan, never the answer")
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n${plan.take(2000)}")
+  }
+
   test("incremental MinHash equals the cross-parity slice of the full-corpus md5 LSH") {
     // the production contract: checking a new batch against the corpus
     // signature table finds exactly the new↔old near-dup edges the
