@@ -157,6 +157,12 @@ object Dedup {
       .select(col("id"), col("id").as("label")).persist()
     var converged = false
     var iter = 0
+    // Min-propagation is MONOTONE (labels only decrease), so the exact
+    // label sum is a sufficient convergence witness: unchanged sum ⇔ no
+    // label moved. One tiny agg over the cached table replaces the
+    // old-vs-new join per round; decimal(38,0) keeps the sum exact at any
+    // id range / row count (a long would overflow at cluster scale).
+    var prevSum: java.math.BigDecimal = null
     while (!converged && iter < 32) {
       val candidate = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -164,13 +170,14 @@ object Dedup {
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist()
-      val changes = candidate.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val curSum = candidate
+        .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       labels.unpersist()
       labels = candidate
-      converged = changes == 0
+      converged = prevSum != null && curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round $iter changes=$changes")
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round $iter sum=$curSum")
     }
     edges.unpersist()
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
