@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -328,6 +328,42 @@ object Curation {
     */
   def qSequencePack(s: SparkSession, d: String): DataFrame =
     sequencePack(documents(s, d))
+
+  /** One packed document emitted by [[sequencePackStream]]. */
+  case class PackedDoc(doc_id: Long, bucket: String, n_tokens: Long,
+      bin: Long, bin_offset: Long)
+
+  /** STREAMING sequence packing — batch assembly as documents arrive from
+    * ingest, instead of a batch pass over the finished corpus. The batch
+    * form's per-bucket cumulative sum becomes per-bucket STATE: one long
+    * (the bucket's running token count) per md5-prefix bucket, so the
+    * state store holds exactly 256 longs regardless of stream length, and
+    * each arriving document is placed (bin, bin_offset) the moment it
+    * arrives. Within a micro-batch, placement order is doc_id (iterator
+    * sorted), so replaying a bounded corpus in order reproduces
+    * [[sequencePack]] bit for bit — asserted in CurationStreamSpec. */
+  def sequencePackStream(docs: DataFrame): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(
+        col("doc_id").cast("long"),
+        substring(md5(TextOps.normText(col("text")).cast("binary")), 1, 2).as("bucket"),
+        size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val placed = PackedDoc(id, bucket, n, cum / PackBudget, cum % PackBudget)
+            cum += n
+            placed
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 
   def sequencePack(docs: DataFrame): DataFrame = {
     val byBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))

@@ -51,6 +51,43 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sequence packing equals the batch packing on an ordered replay") {
+    // the batch per-bucket cumulative sum becomes 256 longs of state; an
+    // in-order replay must place every doc in exactly the batch's bin
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val packed = Curation.sequencePackStream(input.toDF().toDF("doc_id", "text"))
+    val name = "pack_" + UUID.randomUUID().toString.replace("-", "")
+    val query = packed.toDF().writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val got = spark.table(name).collect().map(_.toSeq).toSet
+      val expected = Curation.sequencePack(
+          graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+      // state is 256 bucket counters, not per-doc
+      val stateRows = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      assert(stateRows <= 256, s"state must be one counter per bucket: $stateRows")
+    } finally query.stop()
+  }
+
   test("streaming media decode equals the batch decode on a replayed asset slice") {
     // extractFeatures is a stateless typed map, so media arriving on a
     // stream must decode to exactly the batch features — the property that
