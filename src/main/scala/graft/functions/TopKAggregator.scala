@@ -37,12 +37,13 @@ class TopKByValue(k: Int) extends Aggregator[RankedItem, Seq[RankedItem], Seq[Ra
   override def zero: Seq[RankedItem] = Vector.empty
 
   override def reduce(b: Seq[RankedItem], a: RankedItem): Seq[RankedItem] =
-    // strict gt: an input EQUAL to the buffer's worst falls through to the
-    // insertion path (where the ordered insert keeps the better-or-equal
-    // incumbents), so fully duplicate (value, key) rows get the same
-    // treatment the window form's row_number gives them — no silent drop
-    // on the fast path.
-    if (b.size == k && ord.gt(a, b.last)) b // below the bar: O(1) reject
+    // gteq keeps ties-at-the-bar on the O(1) fast path. This does NOT
+    // change results vs a strict gt: an input EQUAL to the full buffer's
+    // worst would insert AFTER its equal incumbent and be dropped by
+    // take(k) anyway — identical duplicates are indistinguishable, so the
+    // output multiset matches sort-based top-k either way (pinned by 300
+    // randomized trials in PropertySpec, duplicates included).
+    if (b.size == k && ord.gteq(a, b.last)) b // at/below the bar: O(1) reject
     else {
       // single ordered insertion — O(k), no re-sort of the buffer
       val i = b.indexWhere(x => ord.lt(a, x)) match {

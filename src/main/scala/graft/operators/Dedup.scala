@@ -174,7 +174,10 @@ object Dedup {
         .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       labels.unpersist()
       labels = candidate
-      converged = prevSum != null && curSum.compareTo(prevSum) == 0
+      // sum of an EMPTY label table is null: nothing can ever change, so
+      // converge immediately instead of spinning out the 32-round rail
+      converged = curSum == null ||
+        (prevSum != null && curSum.compareTo(prevSum) == 0)
       prevSum = curSum
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round $iter sum=$curSum")
@@ -483,16 +486,37 @@ object Dedup {
     * no UDF, no interpreted path; the serialized filter rides the plan
     * exactly like an injected runtime filter's subquery result. */
   def qDedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    dedupIncrementalBloom(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** Core of [[qDedupIncrementalBloom]] over explicit batch/corpus frames
+    * (each (doc_id, text)). CRITICAL hash-family detail: the filter is
+    * built over xxhash64(content_fp) inserted AS LONGS, because
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * probes `mightContainLong(xxhash64(value))` — building the filter from
+    * the raw strings instead (Murmur3 over UTF-8 bytes) would set DISJOINT
+    * bit positions and silently turn every member into a bloom miss,
+    * breaking the no-false-negatives invariant the definitely-new branch
+    * relies on (pinned by a crafted cross-duplicate test in OperatorSpec,
+    * not just the clean driver tables). */
+  def dedupIncrementalBloom(batchDocs: DataFrame, corpusDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     val fpCol = md5(normText(col("text")).cast("binary"))
-    val docs = documents(s, d)
-    val known = docs.filter(col("doc_id") % 2 === 0)
-      .select(fpCol.as("content_fp")).distinct().persist()
-    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val known = corpusDocs.select(fpCol.as("content_fp")).distinct().persist()
+    val batch = batchDocs
       .select(col("doc_id"), fpCol.as("content_fp"))
       .groupBy(col("content_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
-    val bloom = known.stat.bloomFilter("content_fp", 100000L, 0.01)
+      .persist() // both bloom branches read it; one aggregation, not two
+    // capacity from the actual corpus cardinality (cheap: `known` is the
+    // persisted distinct table) — a fixed constant would let fpp degrade
+    // toward 1 as the corpus grows and the bloom would prune nothing
+    val nKnown = math.max(1000L, known.count())
+    val bloom = known.select(xxhash64(col("content_fp")).as("h"))
+      .stat.bloomFilter("h", nKnown, 0.01) // long column → putLong path
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
@@ -530,7 +554,15 @@ object Dedup {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(s: String): String =
       md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val words = text.trim.toLowerCase.split("\\s+").toSeq
+    // replicate TextOps.normText EXACTLY, in its order: collapse \s+ to
+    // one space, strip spaces only (NOT Java String.trim, which also
+    // strips control chars ≤ 0x20 that SQL trim keeps), then lowercase
+    // with Locale.ROOT (a tr_TR default locale would map I→ı and diverge
+    // from Spark's locale-independent lower())
+    val norm = text.replaceAll("\\s+", " ")
+      .stripPrefix(" ").stripSuffix(" ")
+      .toLowerCase(java.util.Locale.ROOT)
+    val words = norm.split(" ").toSeq
     val shingles = words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
     if (shingles.isEmpty) return Seq.empty
     val sig = (0 until MinHashPerms).map(p => shingles.map(s => hex(s"mh:$p:$s")).min)
@@ -545,7 +577,7 @@ object Dedup {
     * ([[bandKeysLocal]]); flatMap explodes to (bkey, doc) rows; ONE
     * `flatMapGroupsWithState` keyed by band key stores the first owner
     * per bucket (state value: a single long — bounded by distinct buckets,
-    * never by stream length; `bucketTtlMs ≥ 0` additionally evicts buckets
+    * never by stream length; `bucketTtlMs > 0` additionally evicts buckets
     * quiet for the TTL, windowing the memory at the price of missing
     * near-dups separated by more than the TTL — the same trade as
     * [[Relational.dedupStream]]'s watermark, asserted in
@@ -560,7 +592,7 @@ object Dedup {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val timeout =
-      if (bucketTtlMs >= 0) GroupStateTimeout.ProcessingTimeTimeout
+      if (bucketTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -583,7 +615,7 @@ object Dedup {
             else {
               val owner = if (state.exists) state.get else ids.head
               if (!state.exists) state.update(owner)
-              if (bucketTtlMs >= 0) state.setTimeoutDuration(bucketTtlMs)
+              if (bucketTtlMs > 0) state.setTimeoutDuration(bucketTtlMs) // Spark rejects a 0 duration
               ids.iterator.map(id => BucketHit(id, bkey, owner))
             }
           }

@@ -54,6 +54,16 @@ final class OpsMonitor(onFatal: QueryFailure => Unit = _ => ())
   private val names = TrieMap.empty[UUID, String]
   private val last = TrieMap.empty[UUID, BatchHealth]
   private val failed = TrieMap.empty[UUID, QueryFailure]
+  private val watched = TrieMap.empty[UUID, Unit]
+
+  /** Restrict failure capture/escalation to the given query (call right
+    * after `start()`). Listener events are SESSION-wide, so an unscoped
+    * monitor in a process running several queries would escalate failures
+    * of queries it does not own — with an exit-style onFatal that kills
+    * the whole JVM for a neighbor's death. No watches = monitor all. */
+  def watch(id: UUID): Unit = watched.put(id, ())
+
+  private def inScope(id: UUID): Boolean = watched.isEmpty || watched.contains(id)
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =
     names.put(e.id, Option(e.name).getOrElse(""))
@@ -73,9 +83,11 @@ final class OpsMonitor(onFatal: QueryFailure => Unit = _ => ())
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
     e.exception.foreach { msg =>
-      val f = QueryFailure(e.id, e.runId, msg)
-      failed.put(e.id, f)
-      onFatal(f)
+      if (inScope(e.id)) {
+        val f = QueryFailure(e.id, e.runId, msg)
+        failed.put(e.id, f)
+        onFatal(f)
+      }
     }
 
   /** Latest committed-batch snapshot for a query, if any batch ran. */

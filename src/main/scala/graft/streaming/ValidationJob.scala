@@ -124,15 +124,19 @@ object ValidationJob {
         * see [[SaltedPipeline]] for the trade and the A/B probe protocol —
         * measure with the deployment's real validator before enabling). */
       salts: Int = 1,
-      /** Invoked (on the listener thread) if the query dies with an error —
-        * the reference's checkpoint-failure-is-fatal posture
-        * (flink_job.rb:54-55). Production ([[Main]]) passes
-        * [[OpsMonitor.exitOnFatal]]; the default only records, so embedded
-        * callers can poll [[OpsMonitor.assertHealthy]] on the monitor
-        * attached here. */
+      /** Invoked (on the listener thread) if THIS query dies with an
+        * error — the reference's checkpoint-failure-is-fatal posture
+        * (flink_job.rb:54-55). The monitor attached here is scoped to the
+        * started query (listener events are session-wide; an unscoped
+        * exit-on-fatal would kill the JVM for an unrelated query's death).
+        * Production ([[Main]]) passes [[OpsMonitor.exitOnFatal]]; embedded
+        * callers that want to poll health attach their own monitor via
+        * [[OpsMonitor.attach]]. One listener registers per startKafka call
+        * and lives for the session — one per long-running job in
+        * practice. */
       onFatal: QueryFailure => Unit = _ => ()): StreamingQuery = {
     import spark.implicits._
-    OpsMonitor.attach(spark, onFatal)
+    val monitor = OpsMonitor.attach(spark, onFatal)
 
     def source(topic: String): DataFrame = {
       val base0 = spark.readStream.format("kafka")
@@ -178,7 +182,7 @@ object ValidationJob {
     // the middle of a single topic's write, documented in the scaladoc
     // above.
     val sink = new KafkaOutputSink(brokers, password)
-    outputs.writeStream
+    val query = outputs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime("1 second"))
@@ -195,6 +199,8 @@ object ValidationJob {
         }
       }
       .start()
+    monitor.watch(query.id) // scope escalation to this query only
+    query
   }
 
   /** Physical sink boundary for one topic's rows within an epoch. The

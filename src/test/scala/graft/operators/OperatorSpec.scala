@@ -236,6 +236,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n${plan.take(2000)}")
   }
 
+  test("bloom no-false-negatives: batch fingerprints PRESENT in the corpus are dropped") {
+    // The driver tables contain no cross-parity duplicate fingerprints, so
+    // the equality test above cannot catch an insert/probe hash-family
+    // mismatch (filter built over raw strings vs probed via xxhash64 sets
+    // DISJOINT bits and members probe as absent). Craft real duplicates:
+    // every corpus member must be recognized and excluded from the output.
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i => (i, s"corpus document number $i words words"))
+    val dupes = corpus.take(15).map { case (i, t) => (1000L + i, t) } // true dups
+    val fresh = (0L until 10L).map(i => (2000L + i, s"genuinely new text $i"))
+    val out = Dedup.dedupIncrementalBloom(
+        (dupes ++ fresh).toDF("doc_id", "text"), corpus.toDF("doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet // keep_ids
+    assert(out == fresh.map(_._1).toSet,
+      s"corpus duplicates leaked through the bloom (no-false-negatives broken): $out")
+  }
+
   test("incremental MinHash equals the cross-parity slice of the full-corpus md5 LSH") {
     // the production contract: checking a new batch against the corpus
     // signature table finds exactly the new↔old near-dup edges the
