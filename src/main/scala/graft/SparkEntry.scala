@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Curation, Dedup, Multimodal, Pipeline, Relational => R, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +72,7 @@ object SparkEntry {
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
+    "canonical_select"    -> (Dedup.qCanonicalSelect _), // cluster labels + quality argmax
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
     "simhash_md5"         -> (Dedup.qSimHashMd5 _),   // oracle twin: md5 bit source, hash-matched in DuckDB
@@ -97,6 +98,7 @@ object SparkEntry {
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
+    "vocab_build"         -> (TextOps.qVocabBuild _),
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
     "q41_unpivot"         -> (R.qUnpivot _),
@@ -133,6 +135,10 @@ object SparkEntry {
         .drop("content")), // metadata slice; payload bytes are opaque
     "media_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
+    // ---- LLM-pipeline: split / sample / order ----
+    "hash_split"          -> (Sampling.qHashSplit _),
+    "stratified_sample"   -> (Sampling.qStratifiedSample _),
+    "global_shuffle"      -> (Sampling.qGlobalShuffle _),
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
     "domain_mix"          -> (Pipeline.qDomainMix _),
@@ -143,6 +149,15 @@ object SparkEntry {
   // TextOps.normText / normWords exactly).
   private val NORM  = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val WORDS = s"string_split($NORM, ' ')"
+
+  /** DuckDB fragment parsing the first `n` lowercase-hex digits of string
+    * expression `h` into a BIGINT — mirrors Spark's
+    * `conv(substring(h, 1, n), 16, 10)` for the md5-keyed sampling ops
+    * (same per-digit strpos parse the simhash oracle uses). */
+  private def duckHex(h: String, n: Int): String =
+    (1 to n)
+      .map(k => s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1) * ${1L << (4 * (n - k))}")
+      .mkString("(", " + ", ")")
   /** dot(a,b) over dim-64 float lists in double, sequential fold like
     * Spark's `aggregate` (same accumulation order → identical doubles). */
   private def dot(a: String, b: String) =
@@ -606,6 +621,73 @@ object SparkEntry {
         |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr
         |FROM orders""".stripMargin,
+
+    "hash_split" ->
+      s"""WITH h AS (SELECT doc_id,
+         |            md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |b AS (SELECT doc_id, CAST(${duckHex("h", 8)} % 100 AS BIGINT) AS bucket FROM h)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH k AS (SELECT doc_id, source,
+        |            md5('samp:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT)
+        |    AS sample_rank,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_stratum FROM k)
+        |SELECT doc_id, source, sample_rank, n_stratum FROM r
+        |WHERE sample_rank * 5 <= n_stratum""".stripMargin,
+
+    "global_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |            md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+         |b AS (SELECT doc_id, skey, CAST(${duckHex("skey", 2)} AS BIGINT) AS bucket FROM k),
+         |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+         |o AS (SELECT bucket, CAST(coalesce(sum(n) OVER (ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+         |      FROM c),
+         |r AS (SELECT doc_id, bucket,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY skey, doc_id) AS rn FROM b)
+         |SELECT r.doc_id, CAST(o.base + r.rn - 1 AS BIGINT) AS shuffle_pos
+         |FROM r JOIN o USING (bucket)""".stripMargin,
+
+    "canonical_select" ->
+      s"""WITH RECURSIVE $NGRAM_CTES,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM bi),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT bi.b, reach.r FROM bi JOIN reach ON bi.a = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+         |qual AS (SELECT doc_id,
+         |    round(least(len($WORDS) / 100.0, 1.0) *
+         |      (1.0 - CAST(len([w FOR w IN $WORDS
+         |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |        / len($WORDS)), 4) AS canonical_quality
+         |  FROM documents)
+         |SELECT cluster_id, id AS canonical_id, canonical_quality, cluster_size
+         |FROM lab JOIN sz USING (cluster_id) JOIN qual ON qual.doc_id = lab.id
+         |QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY canonical_quality DESC, id) = 1""".stripMargin,
+
+    "vocab_build" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |      FROM tok GROUP BY 1),
+         |top AS (SELECT * FROM c ORDER BY tf DESC, token LIMIT 1000)
+         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT)
+         |  AS token_id, token, tf, df
+         |FROM top""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

@@ -188,6 +188,36 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Canonical-document selection: for each near-dup cluster, keep the
+    * member with the BEST quality score (ties → min doc_id) instead of the
+    * min-id representative [[clusterPairs]] reports — the policy a real
+    * curation pass wants, because duplicate chains often pair a clean
+    * original with truncated or boilerplate-wrapped copies and min-id
+    * keeps an arbitrary one. Composes the cluster labels with
+    * [[TextOps.qualityExpr]]; one row per cluster.
+    *
+    * Scale shape: the quality column is a per-row map over the documents
+    * already joined to their (id, cluster) labels; the argmax is a window
+    * partitioned BY CLUSTER — cluster-sized frames (dup clusters are
+    * small by construction), never a global sort. */
+  def qCanonicalSelect(s: SparkSession, d: String): DataFrame =
+    canonicalSelect(documents(s, d), qDedupClusters(s, d))
+
+  /** See [[qCanonicalSelect]]; `clusters` is any (doc_id, cluster_id,
+    * cluster_size) labeling of `docs`. */
+  def canonicalSelect(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = docs.select(col("doc_id"),
+      TextOps.qualityExpr(col("text")).as("canonical_quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("canonical_quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("canonical_quality"), col("cluster_size"))
+  }
+
   /** Edit-distance verification (q38) over the near-dup CANDIDATE pairs —
     * the final fuzzy filter of a dedup cascade. Levenshtein is O(len²) per
     * pair, so at any scale it runs only on the pair list the cheap stages

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / ordering operators — the steps a
+  * training-data pipeline runs after curation to turn a corpus into an
+  * actual training set: assign train/valid/test splits, downsample per
+  * stratum, and fix a reproducible global example order.
+  *
+  * All three are CONTENT-KEYED (md5 of the id under a seed prefix), never
+  * RNG-state-keyed: re-running the pipeline on a grown corpus keeps every
+  * previously-assigned row in the same split / relative order, which is
+  * what makes incremental corpus refreshes reproducible. This is the same
+  * resumability argument as [[Pipeline.qDomainMix]]'s temperature sampler.
+  *
+  * Scale shapes:
+  *  - [[hashSplit]] is a pure per-row map — zero shuffles at any scale.
+  *  - [[stratifiedSample]] shuffles (id, stratum) pairs once for the
+  *    per-stratum rank window; documents never move. A single giant
+  *    stratum serializes its window into one task — if strata are that
+  *    skewed, pre-bucket ids with the [[globalShuffle]] two-level trick.
+  *  - [[globalShuffle]] produces a total order WITHOUT a global sort:
+  *    rows hash into 256 buckets (the md5 key's first byte), per-bucket
+  *    ranks come from a hash-partitioned window, and bucket base offsets
+  *    are an exclusive prefix sum over the 256-row count table —
+  *    dimension-sized, broadcast back. The only data-sized exchange is
+  *    the one bucket-keyed window shuffle.
+  */
+object Sampling {
+
+  /** Deterministic train/valid/test assignment: bucket 0-89 → train,
+    * 90-94 → valid, 95-99 → test. The bucket is the first 32 bits of
+    * md5("split:" || id) mod 100 — stable under corpus growth and
+    * engine-portable (the DuckDB oracle parses the same hex digits). */
+  def qHashSplit(s: SparkSession, d: String): DataFrame =
+    hashSplit(documents(s, d), "doc_id")
+
+  /** See [[qHashSplit]]; works over any frame with a unique `idCol`. */
+  def hashSplit(df: DataFrame, idCol: String, seed: String = "split"): DataFrame = {
+    val bucket =
+      (conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100).as("bucket")
+    df.select(col(idCol), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+  }
+
+  /** Keep every denom-th document per stratum (floor(n/denom) rows),
+    * chosen by md5 rank so the sample is uniform, deterministic, and
+    * stable under re-runs. Output keeps the rank and stratum size so a
+    * downstream consumer can re-derive the sampling rate it actually got
+    * (small strata with n < denom yield zero rows — by design; a floor
+    * sampler must not over-sample tiny strata). */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(documents(s, d), "source", "doc_id", denom = 5)
+
+  /** See [[qStratifiedSample]]. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, denom: Int): DataFrame = {
+    val key = md5(concat(lit("samp:"), col(idCol).cast("string")))
+    val rankW = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    val sizeW = Window.partitionBy(col(strataCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("sample_rank", row_number().over(rankW).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(sizeW))
+      // rank*denom <= n  ⇔  rank <= floor(n/denom): pure integer compare,
+      // no float fraction that could round differently across engines
+      .filter(col("sample_rank") * denom <= col("n_stratum"))
+  }
+
+  /** Reproducible global shuffle order for training examples. Returns
+    * (id, shuffle_pos) where shuffle_pos is a permutation of 0..N-1 in
+    * md5-key order — computed two-level (bucket offsets + intra-bucket
+    * rank) so no stage ever sorts or windows the full dataset in one
+    * partition. The 256-row offset table is the only driver-adjacent
+    * state and is joined back via broadcast. */
+  def qGlobalShuffle(s: SparkSession, d: String): DataFrame =
+    globalShuffle(documents(s, d), "doc_id")
+
+  /** See [[qGlobalShuffle]]. */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String = "shuf"): DataFrame = {
+    val keyed = df
+      .select(col(idCol), md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("skey"))
+      .withColumn("bucket", conv(substring(col("skey"), 1, 2), 16, 10).cast("long"))
+    // exclusive prefix sum over the 256 bucket counts; the unpartitioned
+    // window is safe precisely because its input is bucket-count-sized
+    val offW = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .select(col("bucket"), coalesce(sum(col("n")).over(offW), lit(0L)).as("base"))
+    val rankW = Window.partitionBy(col("bucket")).orderBy(col("skey"), col(idCol))
+    keyed.join(broadcast(offsets), "bucket")
+      .select(col(idCol),
+        (col("base") + row_number().over(rankW) - 1).cast("long").as("shuffle_pos"))
+  }
+}

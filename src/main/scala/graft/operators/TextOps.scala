@@ -106,6 +106,35 @@ object TextOps {
       size(array_distinct(words)).cast("long").as("uniq_tokens"))
   }
 
+  /** Vocabulary construction: the top-N corpus tokens by term frequency
+    * with contiguous ids (0 = most frequent; ties broken lexicographically
+    * so the id assignment is total and engine-portable) plus document
+    * frequency — the tokenizer-training / embedding-table precursor every
+    * text pipeline runs once per corpus.
+    *
+    * Scale shape: one token-keyed aggregation (map-side partial counts
+    * collapse each partition's repeats before the shuffle), then the
+    * top-N cut via orderBy+limit — Spark plans that as
+    * TakeOrderedAndProject, a per-partition heap + driver merge of N rows,
+    * never a global sort. Only the id-assignment window runs single
+    * partition, and its input is the already-cut N rows — bounded by the
+    * vocab size parameter, not the corpus. */
+  def qVocabBuild(s: SparkSession, d: String): DataFrame =
+    vocabBuild(documents(s, d), topN = 1000)
+
+  /** See [[qVocabBuild]]. */
+  def vocabBuild(docs: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("doc_id"), explode(normWords(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+    val idW = Window.orderBy(col("tf").desc, col("token"))
+    counts.orderBy(col("tf").desc, col("token")).limit(topN)
+      .withColumn("token_id", (row_number().over(idW) - 1).cast("long"))
+      .select(col("token_id"), col("token"), col("tf"), col("df"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * plagiarism-detection classic): hash every word 4-gram (the rolling
     * window), then keep the MINIMUM hash of each 8-gram window of hashes —

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamFixture.spark
+
+/** Invariants for the split / sample / order operators that the DuckDB
+  * oracle's value compare can't express directly: permutation-ness,
+  * determinism under re-evaluation, stratum-exact sample sizes, and the
+  * canonical pick actually being the quality argmax of its cluster. */
+class SamplingSpec extends AnyFunSuite {
+
+  val d = "/root/testdata/sf0.001"
+
+  test("hash_split partitions every document exactly once, near the 90/5/5 target") {
+    val docs = graft.Tables.documents(spark, d)
+    val n = docs.count()
+    val out = Sampling.qHashSplit(spark, d).collect()
+    assert(out.length == n, "split must cover each doc exactly once")
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    // md5 buckets are uniform; with n=60 docs a 3-sigma band around 90% is
+    // wide, so assert ordering + rough mass rather than a tight fraction
+    assert(bySplit("train") > bySplit("valid") + bySplit("test"))
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 100))
+  }
+
+  test("hash_split is stable under corpus growth: old ids keep their split") {
+    val docs = graft.Tables.documents(spark, d)
+    val full = Sampling.hashSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val half = Sampling.hashSplit(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved splits") }
+  }
+
+  test("global_shuffle emits a permutation of 0..N-1, deterministic across evaluations") {
+    val out = Sampling.qGlobalShuffle(spark, d)
+    val pos = out.collect().map(_.getLong(1)).sorted
+    assert(pos.toSeq == (0L until pos.length).toSeq, "positions must be a permutation")
+    val a = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.qGlobalShuffle(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "shuffle order must be deterministic, not RNG-state-dependent")
+  }
+
+  test("global_shuffle order is the md5-key order (two-level == direct global sort)") {
+    val docs = graft.Tables.documents(spark, d)
+    val direct = docs
+      .select(col("doc_id"), md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+      .orderBy(col("k"), col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val twoLevel = Sampling.qGlobalShuffle(spark, d)
+      .orderBy(col("shuffle_pos")).collect().map(_.getLong(0)).toSeq
+    assert(twoLevel == direct, "bucketed prefix-sum order must equal the global key sort")
+  }
+
+  test("stratified_sample keeps exactly floor(n/denom) rows per stratum") {
+    val docs = graft.Tables.documents(spark, d)
+    val sizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.stratifiedSample(docs, "source", "doc_id", denom = 5)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(kept.getOrElse(src, 0L) == n / 5, s"stratum $src: n=$n kept=${kept.get(src)}")
+    }
+  }
+
+  test("canonical_select picks the max-quality member of every cluster") {
+    val clusters = Dedup.qDedupClusters(spark, d)
+    val quality = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), TextOps.qualityExpr(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = clusters.collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val out = Dedup.qCanonicalSelect(spark, d).collect()
+    assert(out.map(_.getLong(0)).toSet == members.keySet, "one row per cluster")
+    out.foreach { r =>
+      val (cid, canon, q) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val best = members(cid).map(id => (-quality(id), id)).min
+      assert((canon, q) == (best._2, -best._1),
+        s"cluster $cid: picked $canon q=$q, argmax is ${best._2} q=${-best._1}")
+    }
+  }
+
+  test("vocab_build ids are contiguous from 0 with non-increasing term frequency") {
+    // the sf0.001 corpus has 31 distinct tokens, so topN=20 exercises the cut
+    val out = TextOps.vocabBuild(graft.Tables.documents(spark, d), topN = 20)
+      .orderBy(col("token_id")).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getLong(0)).toSeq == (0L until 20L).toSeq)
+    val tfs = out.map(_.getLong(2)).toSeq
+    assert(tfs == tfs.sorted.reverse, "tf must be non-increasing in id order")
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(2), "df cannot exceed tf"))
+  }
+}
