@@ -58,7 +58,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    import graft.operators.{Curation, Dedup, Similarity, TextOps, Relational, Pipeline}
+    import graft.operators.{Curation, Dedup, Sampling, Similarity, TextOps, Relational, Pipeline}
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q07_agg_tpch_q1" -> Relational.q07AggTpchQ1 _,
       "q03_join_broadcast" -> Relational.q03JoinBroadcast _,
@@ -103,6 +103,11 @@ object ScaleProbe {
       "simhash_md5" -> Dedup.qSimHashMd5 _,
       "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
       "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
+      "canonical_select" -> Dedup.qCanonicalSelect _,
+      "hash_split" -> Sampling.qHashSplit _,
+      "stratified_sample" -> Sampling.qStratifiedSample _,
+      "global_shuffle" -> Sampling.qGlobalShuffle _,
+      "vocab_build" -> TextOps.qVocabBuild _,
       "media_features" -> ((s: SparkSession, dir: String) =>
         graft.operators.Multimodal.extractFeatures(
           graft.operators.Multimodal.mediaFromDocuments(s, dir)).toDF()))
@@ -115,6 +120,12 @@ object ScaleProbe {
       .getOrElse(families)
 
     val rows = picked.map { case (name, fn) =>
+      // untimed warm-up at 1×: the first execution of a query shape pays
+      // whole-stage-codegen compilation (~0.5-1.5 s), which dwarfs the data
+      // work of fast families and inverts their ratio (measured: sub-second
+      // ops "ran 2-3× faster" at 10× before this run was added)
+      fn(spark, x1Dir).queryExecution.toRdd.count()
+      spark.catalog.clearCache()
       val t1 = time { fn(spark, x1Dir).queryExecution.toRdd.count() }
       spark.catalog.clearCache()
       val tk = time { fn(spark, kxDir).queryExecution.toRdd.count() }
