@@ -126,6 +126,7 @@ object SparkEntry {
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
     "sequence_pack"       -> (Curation.qSequencePack _),
+    "classifier_score"    -> (Curation.qClassifierScore _), // broadcast-model linear scoring
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -621,6 +622,20 @@ object SparkEntry {
         |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr
         |FROM orders""".stripMargin,
+
+    "classifier_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST(${duckHex("md5('feat:' || w)", 8)} % 4096 AS BIGINT) AS bucket
+         |      FROM tok),
+         |m AS (SELECT r AS bucket, (r % 7) - 3 AS w10 FROM range(4096) t(r)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |        CAST(sum(w10) AS BIGINT) AS margin_x10
+         |      FROM f JOIN m USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_feats, margin_x10,
+         |  margin_x10 / (n_feats * 10.0) AS score,
+         |  margin_x10 / (n_feats * 10.0) > 0 AS keep
+         |FROM a""".stripMargin,
 
     "hash_split" ->
       s"""WITH h AS (SELECT doc_id,

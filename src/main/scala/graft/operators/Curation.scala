@@ -250,6 +250,48 @@ object Curation {
     col("doc_id"), col("source"),
     posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
 
+  // ---------------------------------------------------------------------
+  // Broadcast-model classifier scoring
+  // ---------------------------------------------------------------------
+
+  /** Linear classifier scoring over hashed token features — the "run a
+    * (fastText-style) quality model over the whole corpus" pass every
+    * curation pipeline ends with. The model is a (bucket, weight) TABLE
+    * joined to the exploded features via broadcast, which is the
+    * load-bearing design at 100 TB: weights live in storage like any other
+    * dim table, the corpus-sized side never shuffles for the lookup, and
+    * scoring is one broadcast hash join + one per-doc partial aggregation.
+    *
+    * Arithmetic is kept exact so the op is oracle-matched: weights are
+    * integer deci-units (w10 ∈ -3..3), the per-doc margin is an integer
+    * sum, and the final score is a single integer÷integer double division
+    * — no float accumulation whose order could differ across engines.
+    * [[linearModel]]'s weights are a deterministic formula only so the
+    * DuckDB oracle can regenerate the same table; a real model swaps in
+    * via the `model` parameter with the identical plan. */
+  val FeatureDim = 4096
+
+  /** Deterministic stand-in weight table: bucket b → w10 = (b % 7) - 3. */
+  def linearModel(s: SparkSession): DataFrame =
+    s.range(FeatureDim).select(col("id").as("bucket"), ((col("id") % 7) - 3).as("w10"))
+
+  def qClassifierScore(s: SparkSession, d: String): DataFrame =
+    classifierScore(documents(s, d), linearModel(s))
+
+  /** See [[qClassifierScore]]; `model` is any (bucket, w10) weight table
+    * small enough to broadcast (a hashed linear model always is: even
+    * 2^24 buckets × 12 bytes is executor-memory-sized). */
+  def classifierScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val feats = tokens(docs).select(col("doc_id"),
+      (conv(substring(md5(concat(lit("feat:"), col("w"))), 1, 8), 16, 10)
+        .cast("long") % FeatureDim).as("bucket"))
+    feats.join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w10")).as("margin_x10"))
+      .withColumn("score", col("margin_x10") / (col("n_feats") * lit(10.0)))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** Per-document (doc_id, n_bigrams, avg_surprisal) under the
     * interpolated corpus bigram LM — the tercile-free core shared by the
     * exact and approximate bucket cuts. */

@@ -264,6 +264,27 @@ class CurationSpec extends AnyFunSuite {
     assert(hits >= 3, s"expected ≥3 cached token-scan reads, got $hits:\n${plan.take(2000)}")
   }
 
+  test("classifier_score margin equals a hand-rolled scorer, via a broadcast model join") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma alpha", "s0"),
+      (2L, "delta epsilon", "s0"))
+    val out = Curation.classifierScore(docs, Curation.linearModel(spark))
+    // hand score: same md5 bucket + (b % 7) - 3 weight per token occurrence
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(s"feat:$w".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % Curation.FeatureDim
+    }
+    def margin(ws: Seq[String]): Long = ws.map(w => (bucket(w) % 7) - 3).sum
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (4L, margin(Seq("alpha", "beta", "gamma", "alpha"))))
+    assert(got(2L) == (2L, margin(Seq("delta", "epsilon"))))
+    // the load-bearing plan property: the weight table broadcasts; the
+    // corpus-sized feature side must not shuffle for the lookup
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n${plan.take(2000)}")
+  }
+
   test("contamination on the real corpus is sane and flags the planted near-dups only") {
     val out = Curation.qContamination(spark, d)
       .agg(count(lit(1)), sum(when(col("contaminated"), 1).otherwise(0)),
