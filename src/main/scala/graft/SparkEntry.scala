@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
     "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
     "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // rows-only: coarse cells + compressed-code ADC; recall asserted in OperatorSpec
+    "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),
@@ -622,6 +623,21 @@ object SparkEntry {
         |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr
         |FROM orders""".stripMargin,
+
+    "embedding_centroids" ->
+      """WITH tok AS (SELECT label,
+        |        unnest([{'d': i, 'x': embedding[i]} FOR i IN range(1, 65)]) AS s
+        |      FROM embeddings),
+        |e AS (SELECT label, s.d - 1 AS dim, s.x AS x FROM tok),
+        |a AS (SELECT label, dim, count(*) AS n,
+        |        -- widen to DOUBLE before the decimal snap: Spark casts
+        |        -- float->decimal through the double value; DuckDB's direct
+        |        -- float->decimal rounds the float's shortest repr instead
+        |        CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sx
+        |      FROM e GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(n AS BIGINT) AS n, sx / n AS m
+        |FROM a""".stripMargin,
 
     "classifier_score" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),

@@ -676,4 +676,41 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
   }
+
+  /** Per-label centroid vectors with EXACT distributed aggregation — the
+    * class-prototype / IVF-seed computation. Naive float mean over a
+    * shuffled dataset is partition-order-dependent; here each component
+    * sums in decimal(18,9) (floats snap to 9 decimals losslessly enough
+    * for a mean, and decimal addition is associative-exact), so the result
+    * is identical under any partitioning — and DuckDB-oracle-matched. The
+    * final mean is one decimal→double conversion + one double division per
+    * component.
+    *
+    * Scale shape: posexplode to (label, dim, x) rows keeps every component
+    * sum inside codegen'd partial aggregation (map-side combine collapses
+    * each partition to ≤ labels×64 rows before the shuffle); the only HOF
+    * is the 64-element reassembly transform on the final labels×64 table. */
+  def qEmbeddingCentroids(s: SparkSession, d: String): DataFrame =
+    embeddingCentroidsLong(embeddings(s, d))
+
+  /** Long-format centroid table (label, dim, n, m) — the registered /
+    * oracle-checked surface (the driver compare hashes scalar columns;
+    * no oracle query emits arrays). */
+  def embeddingCentroidsLong(vecs: DataFrame): DataFrame =
+    vecs.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("x"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,9)")).cast("double").as("sx"))
+      .select(col("label"), col("dim"), col("n"), (col("sx") / col("n")).as("m"))
+
+  /** Vector-format centroids: (label, n_vectors, centroid array<double>). */
+  def embeddingCentroids(vecs: DataFrame): DataFrame =
+    embeddingCentroidsLong(vecs)
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
+      .select(col("label"), col("n_vectors"),
+        transform(col("s"), p => p.getField("m")).as("centroid"))
 }

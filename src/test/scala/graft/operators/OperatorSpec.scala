@@ -654,4 +654,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(results(0) == serial29 && results(2) == serial29)
     assert(results(1) == serial32 && results(3) == serial32)
   }
+
+  test("embedding centroids are exactly partition-invariant and match a local mean") {
+    val e = graft.Tables.embeddings(spark, d)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    val base = asMap(Similarity.embeddingCentroids(e))
+    // the decimal-sum design's whole point: ANY partitioning gives
+    // bit-identical doubles (a float/double sum would not)
+    val repart = asMap(Similarity.embeddingCentroids(e.repartition(13)))
+    assert(base == repart, "centroids changed under repartition")
+    // spot-check one label against a locally-computed decimal mean
+    val label0 = e.filter(col("label") === 0).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0))
+    val local = (0 until 64).map { j =>
+      val s = label0.map(v => BigDecimal(v(j).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      s.toDouble / label0.length
+    }
+    assert(base(0L)._1 == label0.length)
+    assert(base(0L)._2 == local, "centroid for label 0 differs from local decimal mean")
+  }
 }
