@@ -74,6 +74,19 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Materialize a training set in its [[Sampling.globalShuffle]] order:
+    * range-partition on shuffle_pos into `nFiles` files and sort within
+    * each, so file k holds positions [k·N/nFiles, (k+1)·N/nFiles) in
+    * order — the layout a sequential training reader wants (stream file
+    * 0, 1, 2, … and the examples arrive exactly in the reproducible
+    * shuffle order; resume = seek to a file + offset). One broadcast join
+    * to attach positions, one range shuffle, zero driver data. */
+  def writeShuffled(df: DataFrame, idCol: String, path: String, nFiles: Int): Unit =
+    df.join(Sampling.globalShuffle(df, idCol), idCol)
+      .repartitionByRange(nFiles, col("shuffle_pos"))
+      .sortWithinPartitions("shuffle_pos")
+      .write.mode("overwrite").parquet(path)
+
   /** File-level min/max stats of two columns for every parquet part-file
     * under `path` — what a file index (or the parquet reader's footer
     * check) prunes with. Computed distributedly via input_file_name: one

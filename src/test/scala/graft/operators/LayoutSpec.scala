@@ -71,4 +71,36 @@ class LayoutSpec extends AnyFunSuite {
       .filter(col("sk") >= sLo && col("sk") <= sHi).count()
     assert(prunedRead == full, s"pruned read lost rows: $prunedRead vs $full")
   }
+
+  test("writeShuffled lays files out as contiguous, internally-ordered position ranges") {
+    val docs = graft.Tables.documents(spark, d)
+    val path = Files.createTempDirectory("graft-shuffled").toString + "/docs"
+    val nFiles = 8
+    Layout.writeShuffled(docs, "doc_id", path, nFiles)
+
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count(), "rewrite must preserve every row")
+    // per-file position ranges: internally dense+ordered files, and file
+    // ranges tile [0, N) without overlap — the sequential-reader contract
+    val ranges = back
+      .groupBy(input_file_name().as("file"))
+      .agg(min("shuffle_pos").as("lo"), max("shuffle_pos").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.length == nFiles)
+    ranges.foreach { case (lo, hi, n) =>
+      assert(hi - lo + 1 == n, s"file range [$lo,$hi] is not dense for $n rows")
+    }
+    ranges.sliding(2).foreach { case Array((_, hi, _), (lo2, _, _)) =>
+      assert(lo2 == hi + 1, s"file ranges must tile contiguously: $hi then $lo2")
+    }
+    assert(ranges.head._1 == 0 && ranges.last._2 == docs.count() - 1)
+    // and the order IS the reproducible global shuffle order
+    val expect = Sampling.globalShuffle(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select("doc_id", "shuffle_pos").collect()
+      .foreach(r => assert(expect(r.getLong(0)) == r.getLong(1)))
+  }
 }
