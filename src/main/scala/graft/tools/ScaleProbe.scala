@@ -104,6 +104,8 @@ object ScaleProbe {
       "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
       "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
       "canonical_select" -> Dedup.qCanonicalSelect _,
+      "classifier_score" -> Curation.qClassifierScore _,
+      "embedding_centroids" -> Similarity.qEmbeddingCentroids _,
       "hash_split" -> Sampling.qHashSplit _,
       "stratified_sample" -> Sampling.qStratifiedSample _,
       "global_shuffle" -> Sampling.qGlobalShuffle _,

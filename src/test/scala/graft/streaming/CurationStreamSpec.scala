@@ -51,6 +51,56 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming split-assign + classifier scoring equal the batch pass (stateless ingest maps)") {
+    // hash_split and classifier_score are content-keyed per-row maps, so
+    // they can run at ingest time on the stream with no state; replayed
+    // documents must land in the same split with the same margin the
+    // batch pass computes — the property that makes split/score ingest
+    // tags durable across re-runs
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .collect().toSeq
+
+    def scoreAndTag(df: org.apache.spark.sql.DataFrame) = graft.operators.Curation
+      .classifierScore(df, graft.operators.Curation.linearModel(spark))
+      .join(graft.operators.Sampling.hashSplit(df, "doc_id"), "doc_id")
+
+    // classifierScore contains a per-doc groupBy — on an unbounded stream
+    // that is a streaming aggregation, so the ingest form is per-EPOCH
+    // scoring via foreachBatch (the ValidationJob sink pattern). Epoch
+    // boundaries cannot change a per-document computation, which is
+    // exactly what the split replay below asserts.
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .foreachBatch { (epoch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= scoreAndTag(epoch).collect().map(_.toSeq) }; ()
+      }
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val expected = scoreAndTag(docs.toDF("doc_id", "text", "source"))
+        .collect().map(_.toSeq).toSet
+      got.synchronized {
+        assert(got.toSet == expected,
+          s"stream-only: ${(got.toSet -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+        assert(got.size == docs.size)
+      }
+    } finally query.stop()
+  }
+
   test("streaming sequence packing equals the batch packing on an ordered replay") {
     // the batch per-bucket cumulative sum becomes 256 longs of state; an
     // in-order replay must place every doc in exactly the batch's bin
