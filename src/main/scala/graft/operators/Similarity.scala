@@ -693,17 +693,26 @@ object Similarity {
   def qEmbeddingCentroids(s: SparkSession, d: String): DataFrame =
     embeddingCentroidsLong(embeddings(s, d))
 
-  /** Long-format centroid table (label, dim, n, m) — the registered /
-    * oracle-checked surface (the driver compare hashes scalar columns;
-    * no oracle query emits arrays). */
-  def embeddingCentroidsLong(vecs: DataFrame): DataFrame =
+  /** The mergeable partial-aggregate layer: (label, dim, n, sx) with sx
+    * still DECIMAL — exact and associative, so sums from disjoint corpus
+    * slices combine into exactly the full-corpus sums (the property that
+    * makes centroid maintenance INCREMENTAL: a new ingest batch
+    * contributes its partial sums; no rescan of the old corpus). Pinned
+    * by the merge-equality test in OperatorSpec. */
+  def embeddingCentroidSums(vecs: DataFrame): DataFrame =
     vecs.select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("label"), col("dim").cast("long").as("dim"), col("x"))
       .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("x").cast("decimal(18,9)")).cast("double").as("sx"))
-      .select(col("label"), col("dim"), col("n"), (col("sx") / col("n")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(18,9)")).as("sx"))
+
+  /** Long-format centroid table (label, dim, n, m) — the registered /
+    * oracle-checked surface (the driver compare hashes scalar columns;
+    * no oracle query emits arrays). */
+  def embeddingCentroidsLong(vecs: DataFrame): DataFrame =
+    embeddingCentroidSums(vecs)
+      .select(col("label"), col("dim"), col("n"),
+        (col("sx").cast("double") / col("n")).as("m"))
 
   /** Vector-format centroids: (label, n_vectors, centroid array<double>). */
   def embeddingCentroids(vecs: DataFrame): DataFrame =

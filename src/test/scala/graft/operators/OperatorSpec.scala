@@ -674,4 +674,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(base(0L)._1 == label0.length)
     assert(base(0L)._2 == local, "centroid for label 0 differs from local decimal mean")
   }
+
+  test("centroid partial sums from disjoint corpus slices merge EXACTLY into the full sums") {
+    // the incremental-maintenance contract: a new ingest batch contributes
+    // its (label, dim, n, sx) partials; decimal addition is associative-
+    // exact, so merged == full with zero tolerance (a double sum would not)
+    val e = graft.Tables.embeddings(spark, d)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingCentroidSums(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDecimal(3))).toMap
+    val full = sums(e)
+    val a = sums(e.filter(col("vec_id") % 2 === 0))
+    val b = sums(e.filter(col("vec_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map { k =>
+      val (na, sa) = a.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+      val (nb, sb) = b.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+      k -> (na + nb, sa.add(sb))
+    }.toMap
+    assert(merged.keySet == full.keySet)
+    full.foreach { case (k, (n, sx)) =>
+      val (nm, sm) = merged(k)
+      assert(nm == n && sm.compareTo(sx) == 0, s"merge drift at $k: $sm vs $sx")
+    }
+  }
 }
