@@ -67,6 +67,39 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("global_shuffle relative order is stable under arbitrary corpus subsets") {
+    // training-order reproducibility across corpus revisions: removing
+    // rows must not reorder the survivors (positions shift, order doesn't)
+    val docs = graft.Tables.documents(spark, d)
+    val fullOrder = Sampling.qGlobalShuffle(spark, d).orderBy(col("shuffle_pos"))
+      .collect().map(_.getLong(0)).toSeq
+    val rnd = new scala.util.Random(20260813)
+    for (_ <- 1 to 3) {
+      val k = 2 + rnd.nextInt(4)
+      val r = rnd.nextInt(k)
+      val sub = docs.filter(col("doc_id") % k =!= r)
+      val subIds = sub.collect().map(_.getLong(0)).toSet
+      val subOrder = Sampling.globalShuffle(sub, "doc_id").orderBy(col("shuffle_pos"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(subOrder == fullOrder.filter(subIds), s"subset k=$k r=$r reordered survivors")
+    }
+  }
+
+  test("stratified_sample keeps exactly the lowest-md5-keyed members of each stratum") {
+    val docs = graft.Tables.documents(spark, d)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"samp:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val byStratum = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val expected = byStratum.values.flatMap { members =>
+      members.map(_._1).sortBy(id => (key(id), id)).take(members.length / 5).toSeq
+    }.toSet
+    val kept = Sampling.stratifiedSample(docs, "source", "doc_id", denom = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected, "kept set is not the md5-rank prefix per stratum")
+  }
+
   test("canonical_select picks the max-quality member of every cluster") {
     val clusters = Dedup.qDedupClusters(spark, d)
     val quality = graft.Tables.documents(spark, d)
