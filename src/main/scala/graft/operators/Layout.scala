@@ -87,6 +87,35 @@ object Layout {
       .sortWithinPartitions("shuffle_pos")
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files — the maintenance job every streaming-
+    * sink corpus needs (a 1-second trigger writing for a week leaves
+    * millions of KB-files whose open/footer costs dominate scans).
+    * With `orderCol` set, the rewrite range-partitions + sorts on it, so
+    * an existing clustering (shuffle_pos, a Z-value) SURVIVES compaction;
+    * without it, round-robin repartition balances bytes evenly.
+    *
+    * Returns (filesBefore, filesAfter). The target directory is fresh
+    * output (`out`); swapping it over the source atomically is the
+    * catalog/table-format layer's job, not the rewrite's. Driver sees
+    * only file listings, never data. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, out: String,
+      targetBytes: Long, orderCol: Option[String] = None): (Int, Long) = {
+    val df = spark.read.parquet(path)
+    val files = df.inputFiles
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(new java.net.URI(f))).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val shaped = orderCol match {
+      case Some(c) => df.repartitionByRange(nFiles.toInt, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nFiles.toInt)
+    }
+    shaped.write.mode("overwrite").parquet(out)
+    (files.length, nFiles)
+  }
+
   /** File-level min/max stats of two columns for every parquet part-file
     * under `path` — what a file index (or the parquet reader's footer
     * check) prunes with. Computed distributedly via input_file_name: one

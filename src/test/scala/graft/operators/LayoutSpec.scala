@@ -103,4 +103,40 @@ class LayoutSpec extends AnyFunSuite {
     back.select("doc_id", "shuffle_pos").collect()
       .foreach(r => assert(expect(r.getLong(0)) == r.getLong(1)))
   }
+
+  test("compaction collapses a many-small-files corpus, preserving content and clustering") {
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text", "source")
+    val base = Files.createTempDirectory("graft-compact").toString
+    val fragmented = s"$base/frag"
+    docs.repartition(64).write.parquet(fragmented) // a streaming sink's litter
+    assert(spark.read.parquet(fragmented).inputFiles.length == 64)
+
+    // pick a target that lands at a handful of files
+    val fs = new org.apache.hadoop.fs.Path(fragmented)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = spark.read.parquet(fragmented).inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(new java.net.URI(f))).getLen).sum
+    val target = total / 4
+
+    val compacted = s"$base/out"
+    val (before, after) = Layout.compact(spark, fragmented, compacted, target)
+    assert(before == 64)
+    assert(after <= 5, s"expected ~4-5 files, planned $after")
+    val written = spark.read.parquet(compacted)
+    assert(written.inputFiles.length == after)
+    assert(written.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet,
+      "compaction must preserve content exactly")
+
+    // ordered compaction: an existing clustering survives the rewrite
+    val ordered = s"$base/ordered"
+    Layout.compact(spark, fragmented, ordered, target, orderCol = Some("doc_id"))
+    val ranges = spark.read.parquet(ordered)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 > hi, s"file ranges overlap after ordered compaction: $hi vs $lo2")
+    case _ => ()
+    }
+  }
 }
