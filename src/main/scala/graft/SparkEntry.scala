@@ -100,6 +100,7 @@ object SparkEntry {
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "vocab_build"         -> (TextOps.qVocabBuild _),
+    "html_extract"        -> (TextOps.qHtmlExtract _), // web-corpus boilerplate strip + entity decode
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
     "q41_unpivot"         -> (R.qUnpivot _),
@@ -710,6 +711,32 @@ object SparkEntry {
          |FROM lab JOIN sz USING (cluster_id) JOIN qual ON qual.doc_id = lab.id
          |QUALIFY row_number() OVER (PARTITION BY cluster_id
          |  ORDER BY canonical_quality DESC, id) = 1""".stripMargin,
+
+    "html_extract" -> {
+      // mirror TextOps.htmlFromDocuments + htmlExtract exactly; DuckDB
+      // regexp_replace needs the 'g' flag (Spark's replaces all by default)
+      val chain = Seq(
+        raw"(?s)<script.*?</script>" -> " ",
+        raw"(?s)<style.*?</style>" -> " ",
+        raw"(?s)<nav.*?</nav>" -> " ",
+        raw"(?s)<footer.*?</footer>" -> " ",
+        "<[^>]+>" -> " ",
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+        .foldLeft("html") { case (e, (p, r)) =>
+          s"regexp_replace($e, '$p', '$r', 'g')"
+        }
+      s"""WITH page AS (SELECT doc_id,
+         |    '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style>' ||
+         |    '<script>var t=1<2;</script></head>' ||
+         |    '<body><nav>Home | About | Contact</nav><h1>Doc ' || doc_id || '</h1><p>' ||
+         |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+         |    '</p><footer>&copy; 2026 Example Corp</footer></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+         |  trim(regexp_replace($chain, '\\s+', ' ', 'g')) AS clean_text
+         |FROM page""".stripMargin
+    },
 
     "vocab_build" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS token FROM documents),

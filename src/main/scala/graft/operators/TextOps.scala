@@ -106,6 +106,49 @@ object TextOps {
       size(array_distinct(words)).cast("long").as("uniq_tokens"))
   }
 
+  /** Web-corpus HTML extraction: strip scripts/styles, drop boilerplate
+    * blocks (nav/footer), flatten tags, decode entities, normalize
+    * whitespace — the first stage of every web-scraped training corpus.
+    * Pure per-row regexp chains (RE2-compatible patterns, codegen'd, zero
+    * shuffle at any scale).
+    *
+    * The test tables hold plain text, so [[htmlFromDocuments]] wraps each
+    * document in a deterministic page (escaped entities, title, nav and
+    * footer boilerplate, an inline script and style) — the same
+    * synthesize-then-process pattern as the media family's PNGs; the
+    * DuckDB oracle runs the identical chain and the extraction is
+    * additionally asserted to round-trip the original text. */
+  def qHtmlExtract(s: SparkSession, d: String): DataFrame =
+    htmlExtract(htmlFromDocuments(s, d))
+
+  /** Deterministic synthetic page per document (entity-escaped body). */
+  def htmlFromDocuments(s: SparkSession, d: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    documents(s, d).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p{margin:0}</style><script>var t=1<2;</script></head>"),
+      lit("<body><nav>Home | About | Contact</nav><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), esc,
+      lit("</p><footer>&copy; 2026 Example Corp</footer></body></html>")).as("html"))
+  }
+
+  /** Extract clean text + title from an (doc_id, html) frame. */
+  def htmlExtract(pages: DataFrame): DataFrame = {
+    // (?s): documents contain newlines; block patterns must cross them
+    val noScript = regexp_replace(col("html"), "(?s)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style.*?</style>", " ")
+    val noNav = regexp_replace(noStyle, "(?s)<nav.*?</nav>", " ")
+    val noFooter = regexp_replace(noNav, "(?s)<footer.*?</footer>", " ")
+    val noTags = regexp_replace(noFooter, "<[^>]+>", " ")
+    // entity decode, &amp; LAST (the escape applied it first)
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&amp;", "&")
+    pages.select(col("doc_id"),
+      regexp_extract(col("html"), "(?s)<title>(.*?)</title>", 1).as("title"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
   /** Vocabulary construction: the top-N corpus tokens by term frequency
     * with contiguous ids (0 = most frequent; ties broken lexicographically
     * so the id assignment is total and engine-portable) plus document

@@ -675,6 +675,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(base(0L)._2 == local, "centroid for label 0 differs from local decimal mean")
   }
 
+  test("html extraction round-trips the original text through escape/boilerplate/entities") {
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.qHtmlExtract(spark, d).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val (id, title, clean) = (r.getLong(0), r.getString(1), r.getString(2))
+      assert(title == s"Doc $id")
+      // after strip: title text + h1 text + body (entities decoded back);
+      // nav/footer/script/style gone
+      val collapsed = docs(id).replaceAll("\\s+", " ").trim
+      assert(clean == s"Doc $id Doc $id $collapsed".trim, s"doc $id: $clean")
+      assert(!clean.contains("<") || docs(id).contains("<"),
+        s"tag residue in doc $id")
+      assert(!clean.contains("Example Corp") && !clean.contains("Home | About"),
+        s"boilerplate residue in doc $id")
+    }
+  }
+
   test("centroid partial sums from disjoint corpus slices merge EXACTLY into the full sums") {
     // the incremental-maintenance contract: a new ingest batch contributes
     // its (label, dim, n, sx) partials; decimal addition is associative-
