@@ -631,10 +631,16 @@ object SparkEntry {
         |      FROM embeddings),
         |e AS (SELECT label, s.d - 1 AS dim, s.x AS x FROM tok),
         |a AS (SELECT label, dim, count(*) AS n,
-        |        -- widen to DOUBLE before the decimal snap: Spark casts
+        |        -- widen to DOUBLE before the decimal snap (Spark casts
         |        -- float->decimal through the double value; DuckDB's direct
-        |        -- float->decimal rounds the float's shortest repr instead
-        |        CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sx
+        |        -- float->decimal rounds the float's shortest repr), and
+        |        -- round() explicitly first: Spark's decimal cast is
+        |        -- HALF_UP but DuckDB's is HALF_EVEN, which diverges on
+        |        -- binary-exact values like odd multiples of 2^-10 whose
+        |        -- expansion ends in a literal 5 at digit 10; DuckDB
+        |        -- round() is half-away-from-zero = Java HALF_UP, and the
+        |        -- cast of the pre-rounded double can no longer tie
+        |        CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx
         |      FROM e GROUP BY 1, 2)
         |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
         |  CAST(n AS BIGINT) AS n, sx / n AS m
