@@ -114,6 +114,7 @@ object SparkEntry {
     "q50_lateral"         -> (R.q50Lateral _),
     "q51_topk_agg"        -> (R.q51TopKAgg _),
     "q52_variant"         -> (R.q52Variant _),
+    "q53_funnel"          -> (R.qFunnel _), // ordered event-sequence funnel
     "doc_chunk"           -> (TextOps.qDocChunk _),
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
@@ -717,6 +718,22 @@ object SparkEntry {
          |FROM lab JOIN sz USING (cluster_id) JOIN qual ON qual.doc_id = lab.id
          |QUALIFY row_number() OVER (PARTITION BY cluster_id
          |  ORDER BY canonical_quality DESC, id) = 1""".stripMargin,
+
+    "q53_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |       CAST(count(*) AS BIGINT) AS users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
 
     "html_extract" -> {
       // mirror TextOps.htmlFromDocuments + htmlExtract exactly; DuckDB

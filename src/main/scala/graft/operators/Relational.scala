@@ -924,4 +924,38 @@ object Relational {
           lit("9999-12-31 00:00:00.000000")).as("valid_to"),
         col("valid_to_ts").isNull.as("is_current"))
   }
+
+  /** Ordered funnel analysis (view → click → purchase): per step, the
+    * users who completed the step sequence IN ORDER — each stage keeps a
+    * user only if a step-k event exists STRICTLY after their first
+    * completion of step k-1 (first-touch attribution; ties at identical
+    * micros don't advance the funnel, identically in the oracle). The
+    * product-analytics classic the events table exists for.
+    *
+    * Scale shape: every stage is filter → user-keyed min aggregation →
+    * join back on user_id — the SAME partitioning key throughout, so the
+    * per-stage exchanges reuse one hash partitioning of users and the
+    * event table is scanned once per step with the step filter pushed to
+    * the scan. Nothing is ever windowed or sorted globally. */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnel(events(s, d), Seq("view", "click", "purchase"))
+
+  /** See [[qFunnel]]; `steps` is the ordered event-type sequence. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    // stage 0: first occurrence of the entry step per user; stage k: first
+    // step-k event strictly after the user's stage-(k-1) completion time
+    val stages = steps.tail.scanLeft(
+      e.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.withColumnRenamed("t", "t_prev"), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    stages.zipWithIndex.map { case (stage, i) =>
+      stage.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step_idx"), lit(steps(i)).as("step"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
 }

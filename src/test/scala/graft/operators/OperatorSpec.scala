@@ -675,6 +675,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(base(0L)._2 == local, "centroid for label 0 differs from local decimal mean")
   }
 
+  test("funnel counts only users whose steps occur strictly in order") {
+    val s = spark; import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: click BEFORE first view — must stall at step 0
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      // user 3: view only
+      (3L, "view", ts(1)),
+      // user 4: simultaneous view+click — a tie does not advance
+      (4L, "view", ts(5)), (4L, "click", ts(5)),
+      // user 5: never views; click+purchase don't enter the funnel
+      (5L, "click", ts(1)), (5L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Relational.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L), got.toString)
+  }
+
   test("html extraction round-trips the original text through escape/boilerplate/entities") {
     val docs = graft.Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
