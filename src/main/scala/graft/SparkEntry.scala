@@ -115,6 +115,7 @@ object SparkEntry {
     "q51_topk_agg"        -> (R.q51TopKAgg _),
     "q52_variant"         -> (R.q52Variant _),
     "q53_funnel"          -> (R.qFunnel _), // ordered event-sequence funnel
+    "q54_retention"       -> (R.q54Retention _), // weekly cohort retention triangle
     "doc_chunk"           -> (TextOps.qDocChunk _),
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
@@ -734,6 +735,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS users FROM s0
         |UNION ALL SELECT 1, 'click', count(*) FROM s1
         |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
+
+    "q54_retention" ->
+      """WITH e AS (SELECT user_id,
+        |            date_trunc('week', make_timestamp(epoch_ns(ts)//1000)) AS wk
+        |          FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+        |j AS (SELECT DISTINCT e.user_id, cohort,
+        |        datediff('day', cohort, wk) // 7 AS week_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS users
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     "html_extract" -> {
       // mirror TextOps.htmlFromDocuments + htmlExtract exactly; DuckDB

@@ -958,4 +958,28 @@ object Relational {
         .select(lit(i.toLong).as("step_idx"), lit(steps(i)).as("step"), col("users"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Weekly cohort retention — the other product-analytics classic: users
+    * grouped by first-seen week (the cohort), counted as retained in each
+    * subsequent week they were active. Week offsets are exact integer
+    * arithmetic (both weeks are Monday-truncated, so the day gap is a
+    * multiple of 7 — `div` is lossless and engine-portable).
+    *
+    * Scale shape: one user-keyed min agg for the cohort, one join back on
+    * user_id (the funnel's partitioning, reused), then a distinct +
+    * count over (cohort, offset, user) — all partial-aggregable; the
+    * output is cohorts × offsets, dimension-sized. */
+  def q54Retention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    e.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        expr("datediff(wk, cohort) div 7").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("users"))
+  }
 }

@@ -695,6 +695,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L), got.toString)
   }
 
+  test("retention offsets are whole weeks from the cohort's Monday, distinct per user-week") {
+    val out = Relational.q54Retention(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // every cohort week is a Monday, offsets non-negative, week-0 exists
+    // for every cohort (the cohort-defining event itself)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    out.foreach { case (cw, off, users) =>
+      assert(java.time.LocalDate.parse(cw, fmt).getDayOfWeek
+        == java.time.DayOfWeek.MONDAY, s"cohort $cw not a Monday")
+      assert(off >= 0 && users > 0)
+    }
+    val byCohort = out.groupBy(_._1)
+    byCohort.foreach { case (cw, rows) =>
+      assert(rows.exists(_._2 == 0L), s"cohort $cw missing week-0 row")
+      // retention can't exceed the cohort's own size
+      val week0 = rows.find(_._2 == 0L).get._3
+      rows.foreach { case (_, off, users) =>
+        assert(users <= week0, s"cohort $cw offset $off: $users > week0 $week0")
+      }
+    }
+  }
+
   test("html extraction round-trips the original text through escape/boilerplate/entities") {
     val docs = graft.Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
