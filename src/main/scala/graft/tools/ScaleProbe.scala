@@ -104,6 +104,9 @@ object ScaleProbe {
       "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
       "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
       "canonical_select" -> Dedup.qCanonicalSelect _,
+      "q53_funnel" -> Relational.qFunnel _,
+      "q54_retention" -> Relational.q54Retention _,
+      "html_extract" -> TextOps.qHtmlExtract _,
       "classifier_score" -> Curation.qClassifierScore _,
       "embedding_centroids" -> Similarity.qEmbeddingCentroids _,
       "hash_split" -> Sampling.qHashSplit _,
