@@ -959,6 +959,48 @@ object Relational {
     }.reduce(_.unionAll(_))
   }
 
+  /** One emitted funnel advance: `stage` steps are now complete for the
+    * user (1-based count), at event time `ts`. */
+  case class FunnelAdvance(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming funnel: the incremental form of [[qFunnel]] — per-user
+    * stage progression maintained in `flatMapGroupsWithState`, emitting an
+    * update whenever a user advances a step. State per user is one
+    * (completed-steps, last-completion-ts) pair — O(1) regardless of
+    * event volume, the property that lets a live funnel dashboard run on
+    * the ingest stream instead of nightly batch.
+    *
+    * Semantics match the batch funnel's greedy earliest chain when each
+    * user's events are observed in event-time order (rows are sorted
+    * within every micro-batch; cross-batch order is the replay's
+    * responsibility — same contract as [[Curation.sequencePackStream]]'s
+    * ordered replay, asserted in StreamingWindowSpec). Strict `>` on the
+    * previous completion keeps tie-stall behavior identical to batch. */
+  def funnelStream(streamingEvents: DataFrame, steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    import streamingEvents.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepOf = steps.zipWithIndex.toMap
+    streamingEvents.select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[(Int, java.sql.Timestamp)]) => {
+          var (k, tk) = state.getOption.getOrElse((0, new java.sql.Timestamp(Long.MinValue)))
+          val out = Seq.newBuilder[FunnelAdvance]
+          // sort by (millis, nanos): getTime alone truncates to millis and
+          // would scramble sub-millisecond orderings within a batch
+          rows.toSeq.sortBy(t => (t._3.getTime, t._3.getNanos)).foreach { case (_, et, ts) =>
+            if (k < steps.length && stepOf.get(et).contains(k) && (k == 0 || ts.after(tk))) {
+              k += 1; tk = ts
+              out += FunnelAdvance(user, k, ts)
+            }
+          }
+          state.update((k, tk))
+          out.result().iterator
+        })
+  }
+
   /** Weekly cohort retention — the other product-analytics classic: users
     * grouped by first-seen week (the cohort), counted as retained in each
     * subsequent week they were active. Week offsets are exact integer

@@ -287,4 +287,55 @@ class StreamingWindowSpec extends AnyFunSuite {
       Relational.sessionWindowStream,
       df => df.filter(col("user_id") =!= -1L))
   }
+
+  test("streaming funnel stage counts equal the batch funnel on an ordered replay") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+
+    // event-time-ordered replay split across two micro-batches — the
+    // contract under which the O(1)-state stage machine must agree with
+    // the batch min-chain funnel
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_type", $"ts")
+      .as[(Long, String, Timestamp)]
+      .collect().sortBy(t => (t._3.getTime, t._3.getNanos))
+    val (b1, b2) = events.splitAt(events.length / 2)
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val advances = Relational.funnelStream(
+      input.toDF().toDF("user_id", "event_type", "ts"), steps)
+    val name = "funnel_" + UUID.randomUUID().toString.replace("-", "")
+    val query = advances.toDF().writeStream
+      .outputMode("update")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData(b1.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      query.processAllAvailable()
+      // per-user final stage = max emitted advance; users at stage >= s
+      // must equal the batch funnel's step-s membership count
+      val finalStage = spark.table(name).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).max).toMap
+      val batchCounts = Relational.funnel(
+          graft.Tables.events(spark, "/root/testdata/sf0.001"), steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      steps.indices.foreach { s =>
+        val streamed = finalStage.count(_._2 >= s + 1).toLong
+        assert(streamed == batchCounts(s.toLong),
+          s"step $s: streamed $streamed vs batch ${batchCounts(s.toLong)}")
+      }
+      // and each user's advances are strictly increasing stages (no skips)
+      spark.table(name).collect().groupBy(_.getLong(0)).foreach { case (u, rows) =>
+        val stages = rows.map(_.getInt(1)).sorted
+        assert(stages.toSeq == (1 to stages.length), s"user $u advances: ${stages.toSeq}")
+      }
+    } finally query.stop()
+  }
 }
