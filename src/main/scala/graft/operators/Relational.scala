@@ -986,6 +986,11 @@ object Relational {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
          state: GroupState[(Int, java.sql.Timestamp)]) => {
+          // stage-0 sentinel stays in-memory only: tk is never read at
+          // k == 0, and persisting it would crash the state encoder —
+          // Timestamp(Long.MinValue) normalizes nanos by wrapping getTime
+          // past Long.MaxValue, and millisToMicros(multiplyExact) then
+          // overflows. State is written only once a user has advanced.
           var (k, tk) = state.getOption.getOrElse((0, new java.sql.Timestamp(Long.MinValue)))
           val out = Seq.newBuilder[FunnelAdvance]
           // sort by (millis, nanos): getTime alone truncates to millis and
@@ -996,7 +1001,7 @@ object Relational {
               out += FunnelAdvance(user, k, ts)
             }
           }
-          state.update((k, tk))
+          if (k > 0) state.update((k, tk))
           out.result().iterator
         })
   }

@@ -338,4 +338,44 @@ class StreamingWindowSpec extends AnyFunSuite {
       }
     } finally query.stop()
   }
+
+  test("streaming funnel survives a user whose first micro-batch has no entry-step event") {
+    // Regression (ADVICE r6 high): stage-0 state used a
+    // Timestamp(Long.MinValue) sentinel whose nanos normalization wraps
+    // getTime past Long.MaxValue; persisting it made the state encoder's
+    // millisToMicros overflow and kill the query. A user whose first
+    // observed event is NOT the entry step (here: a bare click) must
+    // leave batch 1 without crashing, then advance normally in batch 2.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val advances = Relational.funnelStream(
+      input.toDF().toDF("user_id", "event_type", "ts"), steps)
+    val name = "funnel0_" + UUID.randomUUID().toString.replace("-", "")
+    val query = advances.toDF().writeStream
+      .outputMode("update")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      // batch 1: user 7 sees only a click (ignored at stage 0 — and must
+      // not persist the unencodable sentinel); user 8 advances to stage 1
+      input.addData((7L, "click", ts(0)), (8L, "view", ts(1)))
+      query.processAllAvailable()
+      // batch 2: user 7 now enters and advances two stages; user 8's
+      // persisted stage-1 state carries across the batch boundary
+      input.addData((7L, "view", ts(10)), (7L, "click", ts(11)), (8L, "click", ts(12)))
+      query.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+      assert(got == Set(
+        (8L, 1, ts(1)), (7L, 1, ts(10)), (7L, 2, ts(11)), (8L, 2, ts(12))),
+        s"advances: $got")
+    } finally query.stop()
+  }
 }
