@@ -187,10 +187,9 @@ object Curation {
     *
     * Scale: one tokenize explode, one term-keyed count (map-side
     * combinable — the vocabulary table, ~millions of rows at 100 TB, is a
-    * standard shuffle join back onto tokens; Zipf makes the hot terms
-    * AQE-splittable), the 1-row total broadcasts. Scores are rounded
-    * before output so last-ulp ln/avg differences across engines and
-    * partition orders cannot flip the hash.
+    * [[saltedCountJoin]] back onto tokens), the 1-row total broadcasts.
+    * Scores are rounded before output so last-ulp ln/avg differences
+    * across engines and partition orders cannot flip the hash.
     */
   def qUnigramSurprisal(s: SparkSession, d: String): DataFrame =
     unigramSurprisal(documents(s, d))
@@ -200,13 +199,40 @@ object Curation {
       .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
     val total = toks.agg(count(lit(1)).as("t"))
-    toks.join(vocab, "w")
+    saltedCountJoin(toks, vocab, Seq("w"), col("doc_id"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
         round(avg(-log(col("cw").cast("double") / col("t").cast("double"))), 6)
           .as("avg_surprisal"))
+  }
+
+  /** Salt factor for Zipf-hot count-table lookups. */
+  val CountJoinSalt = 16
+
+  /** Zipf-safe count lookup: joins a token-grain table to an aggregated
+    * count table WITHOUT a skewable single hot partition. A plain
+    * token⋈counts shuffle join puts every occurrence of the hottest word
+    * ("the" ≈ 5-7% of English tokens) in ONE task — and AQE's skew-join
+    * rule cannot help here, because the count side is aggregated between
+    * its shuffle and the join (`OptimizeSkewedJoin` only matches a sort
+    * merge join whose children are bare shuffle stages; SkewSpec pins
+    * this). So the join is salted instead: the count table (already
+    * aggregated, vocabulary-sized) explodes into [[CountJoinSalt]]
+    * deterministic copies, the token side tags `pmod(hash(saltBy), S)`,
+    * and the hot key spreads across S partitions structurally —
+    * independent of AQE, thresholds, or compression ratios. Results are
+    * identical: every token row still meets exactly one copy of its
+    * count row. */
+  private[operators] def saltedCountJoin(
+      rows: DataFrame, counts: DataFrame, keys: Seq[String],
+      saltBy: org.apache.spark.sql.Column): DataFrame = {
+    val salted = counts.withColumn("salt",
+      explode(sequence(lit(0), lit(CountJoinSalt - 1))))
+    rows.withColumn("salt", pmod(hash(saltBy), lit(CountJoinSalt)))
+      .join(salted, keys :+ "salt")
+      .drop("salt")
   }
 
   // ---------------------------------------------------------------------
@@ -229,9 +255,10 @@ object Curation {
     * doc_id tiebreak — deterministic).
     *
     * Scale: one tokenize explode; bigram counts are (w₁,w₂)-keyed partial
-    * aggs (map-side combinable, Zipf hot keys AQE-splittable); occurrences
-    * join counts by bigram / unigram keys — standard shuffle joins; the
-    * 1-row total broadcasts. The tercile is the one inherently global step
+    * aggs (map-side combinable); occurrences join counts by bigram /
+    * unigram keys via [[saltedCountJoin]] (Zipf hot keys spread
+    * structurally — AQE's skew rule cannot match these aggregated-side
+    * joins, see SkewSpec); the 1-row total broadcasts. The tercile is the one inherently global step
     * (a rank over per-doc scores — rows = documents, not tokens); at
     * 100 TB the same cut is taken from approx-percentile cutoffs instead
     * of an exact global rank, trading tie-edge documents only.
@@ -303,10 +330,14 @@ object Curation {
       .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(byPos).as("w2"))
       .filter(col("w2").isNotNull)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val scored = bg
-      .join(c2, Seq("w1", "w2"))
-      .join(c1.select(col("w").as("w1"), col("c").as("c1w")), Seq("w1"))
-      .join(c1.select(col("w").as("w2"), col("c").as("c1u")), Seq("w2"))
+    // all three count lookups are salted: the hot bigram ("the","the")
+    // and hot unigram carry the same Zipf mass as unigramSurprisal's
+    // vocab join, and the same aggregated-side shape AQE cannot split
+    val scored = saltedCountJoin(
+      saltedCountJoin(
+        saltedCountJoin(bg, c2, Seq("w1", "w2"), col("doc_id")),
+        c1.select(col("w").as("w1"), col("c").as("c1w")), Seq("w1"), col("doc_id")),
+      c1.select(col("w").as("w2"), col("c").as("c1u")), Seq("w2"), col("doc_id"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (-log(
@@ -337,8 +368,14 @@ object Curation {
   def qBigramSurprisalScale(s: SparkSession, d: String): DataFrame =
     bigramSurprisalScale(documents(s, d))
 
-  def bigramSurprisalScale(docs: DataFrame): DataFrame = {
-    val scores = bigramScores(tokens(docs))
+  def bigramSurprisalScale(docs: DataFrame): DataFrame =
+    bigramSurprisalScaleFrom(tokens(docs))
+
+  /** See [[bigramSurprisalScale]]; takes an already-built token table so a
+    * composed pipeline (corpus_curate_scale) can share ONE tokenize with
+    * the other n-gram gates. */
+  def bigramSurprisalScaleFrom(toks: DataFrame): DataFrame = {
+    val scores = bigramScores(toks)
     val cuts = scores.agg(
       percentile_approx(col("avg_surprisal"),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))

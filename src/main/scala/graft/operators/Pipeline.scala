@@ -107,7 +107,21 @@ object Pipeline {
     * so at 100 TB each join side is |corpus| rows of a few columns — the
     * shuffle shape of the dedup keep-table join repeated, not a new shape.
     */
-  def qCorpusCurate(s: SparkSession, d: String): DataFrame = {
+  def qCorpusCurate(s: SparkSession, d: String): DataFrame =
+    corpusCurate(s, d, exactTercile = true)
+
+  /** The 100 TB form of [[qCorpusCurate]]: identical boolean algebra, but
+    * the perplexity gate buckets on [[Curation.bigramSurprisalScaleFrom]]'s
+    * percentile_approx cutoffs (one tiny broadcast, two comparisons per
+    * document) instead of the exact `ntile(3)` — which is an unpartitioned
+    * global window funneling every document through ONE task. Documents
+    * within sketch error of a boundary may land one bucket over, so this
+    * entry is rows-only by declared design; ≥95% keep-agreement with the
+    * exact composition is asserted in CurationSpec. */
+  def qCorpusCurateScale(s: SparkSession, d: String): DataFrame =
+    corpusCurate(s, d, exactTercile = false)
+
+  private def corpusCurate(s: SparkSession, d: String, exactTercile: Boolean): DataFrame = {
     // ONE tokenize explode feeds all three n-gram gates (the shared
     // shingle-table pattern applied to curation — at 100 TB tokenization
     // is a full corpus scan, paid once, not three times)
@@ -117,7 +131,8 @@ object Pipeline {
     val rep = Curation.repetitionSignalsFrom(toks).select(col("doc_id"), col("repetitive"))
     val con = Curation.contaminationFromTokens(toks).select(col("doc_id"), col("contaminated"))
     val qual = TextOps.qQualityScore(s, d).select(col("doc_id"), col("quality"))
-    val ppl = Curation.bigramSurprisalFrom(toks)
+    val ppl = (if (exactTercile) Curation.bigramSurprisalFrom(toks)
+               else Curation.bigramSurprisalScaleFrom(toks))
       .select(col("doc_id"), col("avg_surprisal"), col("ppl_bucket"))
     val mix = Pipeline.qDomainMix(s, d).select(col("doc_id"), col("kept").as("mix_kept"))
     documents(s, d).select(col("doc_id"), col("source"))

@@ -165,6 +165,22 @@ class CurationSpec extends AnyFunSuite {
     assert(frac >= 0.95, s"agreement $frac")
   }
 
+  test("corpus_curate_scale keep decisions agree with the exact composition on ≥95% of docs") {
+    // The flagship composition with the sketch-cut perplexity gate (no
+    // unpartitioned ntile window) must keep/drop the same documents as
+    // the exact pipeline except where a doc's surprisal sits within
+    // sketch error of a tercile boundary (VERDICT r6 task 1).
+    val exact = Pipeline.qCorpusCurate(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val scale = Pipeline.qCorpusCurateScale(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(scale.keySet == exact.keySet)
+    val agree = exact.count { case (id, k) => scale(id) == k }
+    val frac = agree.toDouble / exact.size
+    info(s"keep agreement = $frac ($agree/${exact.size})")
+    assert(frac >= 0.95, s"keep agreement $frac")
+  }
+
   // ----------------------------------------------------------- domain mix
 
   test("domain mix: rare domains keep everything, hot domains downsample to temperature share") {

@@ -52,4 +52,77 @@ class SkewSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("surprisal joins spread a Zipf hot token: salted count joins, exact results") {
+    // VERDICT r6 task 6: unigramSurprisal / bigramScores join tokens to
+    // vocab and bigram counts BY WORD — under a Zipf corpus the hot
+    // token's shuffle partition is the critical path. AQE's skew rule
+    // CANNOT fix this shape (the count side is aggregated between its
+    // shuffle and the join, so OptimizeSkewedJoin's pattern never
+    // matches), so the operators salt the lookup instead
+    // (Curation.saltedCountJoin): the hot key spreads across
+    // CountJoinSalt partitions structurally. This pins (a) the salted
+    // shuffle shape in the plan, (b) the structural spread of the hot
+    // key, (c) exact results on a 90%-one-token corpus.
+    val spark = graft.streaming.StreamFixture.spark
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join shape these tables take at 100 TB vocab
+      // sizes (a broadcast-able vocab has no skew problem to begin with)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      // 2000 docs × 100 tokens, 90 of each doc's tokens are "the" (the
+      // hot key: 180k of 200k rows); the remaining 10 are unique per doc,
+      // so the vocab side is real (20001 words), not broadcast-trivial
+      val docs = spark.range(2000).select($"id".as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", Seq.fill(90)(lit("the")): _*),
+          concat_ws(" ", (0 until 10).map(i =>
+            concat(lit(s"w${i}_"), $"id".cast("string"))): _*)).as("text"),
+        lit("src").as("source"))
+
+      val uni = Curation.unigramSurprisal(docs)
+      val rows = uni.collect()
+      assert(rows.length == 2000)
+      // exact LM math survives the salting: every doc scores identically
+      val expected = BigDecimal(
+        (90 * -math.log(180000.0 / 200000) + 10 * -math.log(1.0 / 200000)) / 100)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.foreach { r =>
+        assert(r.getLong(1) == 100L)
+        assert(r.getDouble(2) == expected, s"doc ${r.getLong(0)}: ${r.getDouble(2)}")
+      }
+      // (a) the token-side exchange keys on (w, salt), not bare w
+      val uniPlan = uni.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(w#\\d+, salt#".r.findFirstIn(uniPlan).isDefined,
+        s"vocab join is not salted:\n$uniPlan")
+      // (b) structural spread: the hot word's token rows land on
+      // CountJoinSalt distinct join keys, ≈1/S of the hot mass each
+      val toks = docs.select($"doc_id",
+        explode(graft.operators.TextOps.normWords($"text")).as("w"))
+      val spread = toks.filter($"w" === "the")
+        .groupBy(pmod(hash($"doc_id"), lit(Curation.CountJoinSalt)).as("salt"))
+        .count().collect().map(r => r.getLong(1))
+      assert(spread.length == Curation.CountJoinSalt, s"salt buckets: ${spread.length}")
+      val perBucket = 180000.0 / Curation.CountJoinSalt
+      assert(spread.forall(n => n < perBucket * 1.5),
+        s"hot key not spread: ${spread.toSeq.sorted.reverse}")
+
+      // (c) the bigram LM's (w1,w2)/w1/w2 lookups carry the same hot
+      // mass — ("the","the") is 89 of every doc's 99 bigrams — and are
+      // salted the same way
+      val bg = Curation.bigramScores(Curation.tokens(docs))
+      val bgRows = bg.collect()
+      assert(bgRows.length == 2000)
+      assert(bgRows.forall(_.getLong(1) == 99L)) // n_bigrams per doc
+      val bgPlan = bg.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(w1#\\d+, w2#\\d+, salt#".r.findFirstIn(bgPlan).isDefined,
+        s"bigram count join is not salted:\n$bgPlan")
+      assert("hashpartitioning\\(w2#\\d+, salt#".r.findFirstIn(bgPlan).isDefined,
+        s"unigram backoff join is not salted:\n$bgPlan")
+    } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
 }
