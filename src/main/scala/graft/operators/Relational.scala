@@ -932,15 +932,58 @@ object Relational {
     * micros don't advance the funnel, identically in the oracle). The
     * product-analytics classic the events table exists for.
     *
-    * Scale shape: every stage is filter → user-keyed min aggregation →
-    * join back on user_id — the SAME partitioning key throughout, so the
-    * per-stage exchanges reuse one hash partitioning of users and the
-    * event table is scanned once per step with the step filter pushed to
-    * the scan. Nothing is ever windowed or sorted globally. */
+    * Scale shape ([[funnelSingleScan]]): ONE scan of events (step filter
+    * pushed down) and ONE user_id exchange; the per-user stage machine
+    * folds inside each partition and everything after it is
+    * dimension-sized (≤K rows). The K-stage relational form
+    * ([[funnel]]) is kept as the equality reference — it scans events K
+    * times, which at 100 TB is K full passes (VERDICT r6 task 5). */
   def qFunnel(s: SparkSession, d: String): DataFrame =
-    funnel(events(s, d), Seq("view", "click", "purchase"))
+    funnelSingleScan(events(s, d), Seq("view", "click", "purchase"))
 
-  /** See [[qFunnel]]; `steps` is the ordered event-type sequence. */
+  /** Single-scan funnel: the batch form of [[funnelStream]]'s per-user
+    * stage machine. Events are shuffled once by user_id (groupByKey);
+    * each user's step-typed events sort in memory (per-user volume, not
+    * corpus volume) and fold greedily — earliest strict-after chain, the
+    * same semantics the min-join chain computes. Per-user final stages
+    * then roll up to the K-row funnel with exchanges that carry at most
+    * one row per (partition, stage). Equality with [[funnel]] is
+    * asserted in OperatorSpec on both the crafted order-sensitivity set
+    * and the sf0.001 events table. */
+  def funnelSingleScan(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    val stepOf = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    val finals = events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin(steps: _*))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        var k = 0
+        var tk: java.sql.Timestamp = null
+        // sort by (millis, nanos) — getTime alone truncates micros
+        rows.toSeq.sortBy(t => (t._3.getTime, t._3.getNanos)).foreach { case (_, et, ts) =>
+          if (k < nSteps && stepOf.get(et).contains(k) && (k == 0 || ts.after(tk))) {
+            k += 1; tk = ts
+          }
+        }
+        (user, k)
+      }.toDF("user_id", "final_stage")
+    val byStage = finals.filter(col("final_stage") > 0)
+      .groupBy(col("final_stage")).agg(count(lit(1)).as("n")) // ≤ K rows
+    val stepRows = steps.zipWithIndex
+      .map { case (st, i) => (i.toLong, st) }.toDF("step_idx", "step")
+    // K×K broadcast-NLJ over dimension-sized frames: step s counts every
+    // user whose final stage reached s+1
+    stepRows.join(byStage, col("final_stage") >= col("step_idx") + 1, "left")
+      .groupBy(col("step_idx"), col("step"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("users"))
+  }
+
+  /** K-stage relational funnel — see [[qFunnel]]; `steps` is the ordered
+    * event-type sequence. Reference form for [[funnelSingleScan]]. */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
     // stage 0: first occurrence of the entry step per user; stage k: first
@@ -1016,6 +1059,55 @@ object Relational {
     * user_id (the funnel's partitioning, reused), then a distinct +
     * count over (cohort, offset, user) — all partial-aggregable; the
     * output is cohorts × offsets, dimension-sized. */
+  /** One emitted retention advance: the user was active in a new week —
+    * `week_offset` whole weeks after their cohort's Monday. */
+  case class RetentionAdvance(user_id: Long, cohort_week: String, week_offset: Long)
+
+  /** Streaming retention: the incremental form of [[q54Retention]] —
+    * per-user (cohort Monday, last-emitted offset) maintained in
+    * `flatMapGroupsWithState`, emitting one advance the first time a user
+    * is seen in each new week. State per user is one (date-string, long)
+    * pair — O(1) regardless of event volume (the funnelStream pattern;
+    * VERDICT r6 task 7): under the ordered-replay contract a user's week
+    * offsets arrive nondecreasing, so deduplicating against the LAST
+    * emitted offset is enough — no per-user set of seen weeks. Counting
+    * advances per (cohort_week, week_offset) equals the batch retention
+    * triangle, asserted in StreamingWindowSpec. Week truncation matches
+    * `date_trunc("week", ts)`: Monday in the session (JVM-default)
+    * timezone. */
+  def retentionStream(streamingEvents: DataFrame): org.apache.spark.sql.Dataset[RetentionAdvance] = {
+    import streamingEvents.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def mondayOf(ts: java.sql.Timestamp): java.time.LocalDate =
+      ts.toLocalDateTime.toLocalDate.`with`(
+        java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
+    streamingEvents.select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(String, Long)]) => {
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[RetentionAdvance]
+          rows.toSeq.sortBy(t => (t._2.getTime, t._2.getNanos)).foreach { case (_, ts) =>
+            val wk = mondayOf(ts)
+            if (st == null) {
+              st = (wk.toString, 0L)
+              out += RetentionAdvance(user, st._1, 0L)
+            } else {
+              val off = java.time.temporal.ChronoUnit.DAYS.between(
+                java.time.LocalDate.parse(st._1), wk) / 7
+              if (off != st._2) {
+                st = (st._1, off)
+                out += RetentionAdvance(user, st._1, off)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
   def q54Retention(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))

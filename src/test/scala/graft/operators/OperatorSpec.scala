@@ -693,6 +693,35 @@ class OperatorSpec extends AnyFunSuite {
     val got = Relational.funnel(events, Seq("view", "click", "purchase"))
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(got == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L), got.toString)
+    // the single-scan stage-machine form agrees on the same crafted set
+    val single = Relational.funnelSingleScan(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(single == got, s"single-scan $single vs relational $got")
+  }
+
+  test("single-scan funnel equals the K-stage relational funnel and scans events once") {
+    val steps = Seq("view", "click", "purchase")
+    val single = Relational.funnelSingleScan(graft.Tables.events(spark, d), steps)
+    val relational = Relational.funnel(graft.Tables.events(spark, d), steps)
+    val a = single.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = relational.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b, s"single-scan $a vs relational $b")
+    // the 100 TB property (VERDICT r6 task 5): one events scan, one
+    // user_id exchange; everything downstream is dimension-sized
+    // an executed AQE plan prints Final AND Initial sections — count
+    // scans in the final plan only
+    val plan = single.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    assert("hashpartitioning\\(value".r.findAllIn(plan).nonEmpty
+      || "hashpartitioning\\(user_id".r.findAllIn(plan).nonEmpty,
+      s"expected a user-keyed exchange below the fold:\n$plan")
+    // the K-stage form re-scans events for every stage (each stage's
+    // lineage embeds its predecessors) — that is exactly what the
+    // single-scan form eliminates
+    val relScans = "Scan parquet".r.findAllIn(relational.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)).size
+    assert(relScans > 1, s"relational form scans per stage: $relScans")
   }
 
   test("retention offsets are whole weeks from the cohort's Monday, distinct per user-week") {

@@ -339,6 +339,48 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming retention advances equal the batch cohort triangle on an ordered replay") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts")
+      .as[(Long, Timestamp)]
+      .collect().sortBy(t => (t._2.getTime, t._2.getNanos))
+    val (b1, b2) = events.splitAt(events.length / 2)
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val advances = Relational.retentionStream(
+      input.toDF().toDF("user_id", "ts"))
+    val name = "retention_" + UUID.randomUUID().toString.replace("-", "")
+    val query = advances.toDF().writeStream
+      .outputMode("update")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      input.addData(b1.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      query.processAllAvailable()
+      // advances are unique per (user, offset) under ordered replay, so
+      // counting them per (cohort_week, week_offset) IS the triangle
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getString(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val batch = Relational.q54Retention(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed ${streamed.toSeq.sorted} vs batch ${batch.toSeq.sorted}")
+      // and no duplicate advance per (user, offset)
+      val dups = spark.table(name).collect()
+        .groupBy(r => (r.getLong(0), r.getLong(2))).filter(_._2.length > 1)
+      assert(dups.isEmpty, s"duplicate advances: ${dups.keys}")
+    } finally query.stop()
+  }
+
   test("streaming funnel survives a user whose first micro-batch has no entry-step event") {
     // Regression (ADVICE r6 high): stage-0 state used a
     // Timestamp(Long.MinValue) sentinel whose nanos normalization wraps
