@@ -48,22 +48,40 @@ final case class QueryFailure(queryId: UUID, runId: UUID, error: String)
   * `processAllAvailable` returns. Driver-side only; holds one small row
   * per live query — nothing here scales with data volume.
   */
-final class OpsMonitor(onFatal: QueryFailure => Unit = _ => ())
+final class OpsMonitor(
+    onFatal: QueryFailure => Unit = _ => (),
+    scoped: Boolean = false)
     extends StreamingQueryListener {
 
   private val names = TrieMap.empty[UUID, String]
   private val last = TrieMap.empty[UUID, BatchHealth]
   private val failed = TrieMap.empty[UUID, QueryFailure]
   private val watched = TrieMap.empty[UUID, Unit]
+  // error terminations seen in a scoped monitor before any watch() —
+  // buffered, not escalated: in the attach→watch window an unrelated
+  // query's death must not trip an exit-style onFatal, but the
+  // soon-to-be-watched query's own death must not be lost either.
+  private val pending = TrieMap.empty[UUID, QueryFailure]
 
   /** Restrict failure capture/escalation to the given query (call right
     * after `start()`). Listener events are SESSION-wide, so an unscoped
     * monitor in a process running several queries would escalate failures
     * of queries it does not own — with an exit-style onFatal that kills
-    * the whole JVM for a neighbor's death. No watches = monitor all. */
-  def watch(id: UUID): Unit = watched.put(id, ())
+    * the whole JVM for a neighbor's death. No watches = monitor all
+    * (unless constructed `scoped`, where no watches = escalate nothing
+    * yet). Replays a buffered pre-watch failure of this query. */
+  def watch(id: UUID): Unit = {
+    watched.put(id, ())
+    pending.remove(id).foreach(escalate)
+  }
 
-  private def inScope(id: UUID): Boolean = watched.isEmpty || watched.contains(id)
+  private def inScope(id: UUID): Boolean =
+    if (watched.isEmpty) !scoped else watched.contains(id)
+
+  private def escalate(f: QueryFailure): Unit = {
+    failed.put(f.queryId, f)
+    onFatal(f)
+  }
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =
     names.put(e.id, Option(e.name).getOrElse(""))
@@ -83,11 +101,9 @@ final class OpsMonitor(onFatal: QueryFailure => Unit = _ => ())
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
     e.exception.foreach { msg =>
-      if (inScope(e.id)) {
-        val f = QueryFailure(e.id, e.runId, msg)
-        failed.put(e.id, f)
-        onFatal(f)
-      }
+      val f = QueryFailure(e.id, e.runId, msg)
+      if (inScope(e.id)) escalate(f)
+      else if (scoped && watched.isEmpty) pending.put(e.id, f)
     }
 
   /** Latest committed-batch snapshot for a query, if any batch ran. */
@@ -112,8 +128,9 @@ object OpsMonitor {
     * `spark.streams.removeListener`. */
   def attach(
       spark: SparkSession,
-      onFatal: QueryFailure => Unit = _ => ()): OpsMonitor = {
-    val m = new OpsMonitor(onFatal)
+      onFatal: QueryFailure => Unit = _ => (),
+      scoped: Boolean = false): OpsMonitor = {
+    val m = new OpsMonitor(onFatal, scoped)
     spark.streams.addListener(m)
     m
   }

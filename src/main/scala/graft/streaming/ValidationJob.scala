@@ -136,7 +136,11 @@ object ValidationJob {
         * practice. */
       onFatal: QueryFailure => Unit = _ => ()): StreamingQuery = {
     import spark.implicits._
-    val monitor = OpsMonitor.attach(spark, onFatal)
+    // scoped: between this attach and the watch() after start(), a
+    // neighbor query's failure must not hit onFatal (which exits the JVM
+    // in production); the owned query's own pre-watch death is buffered
+    // and replayed by watch().
+    val monitor = OpsMonitor.attach(spark, onFatal, scoped = true)
 
     def source(topic: String): DataFrame = {
       val base0 = spark.readStream.format("kafka")

@@ -93,4 +93,47 @@ class OpsMonitorSpec extends AnyFunSuite {
       spark.streams.removeListener(monitor)
     }
   }
+
+  test("a scoped monitor buffers pre-watch failures instead of escalating them") {
+    // ADVICE r6: between attach() and the watch() after start(), `watched`
+    // is empty — an unscoped monitor would treat that as "monitor all" and
+    // a neighbor query dying in the window would hit an exit-style
+    // onFatal. Scoped mode: nothing escalates before the first watch();
+    // the owned query's own pre-watch death is buffered and replayed the
+    // moment watch() names it.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val escalated = new ConcurrentLinkedQueue[QueryFailure]()
+    val monitor = OpsMonitor.attach(spark, f => escalated.add(f), scoped = true)
+    val input = MemoryStream[Long]
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .queryName("scoped_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("pre-watch failure")
+      }
+      .start()
+    try {
+      input.addData(1L)
+      intercept[Exception](query.processAllAvailable()) // the query dies
+      // let the async terminated event land, then assert it did NOT escalate
+      Thread.sleep(500)
+      assert(escalated.isEmpty, s"scoped monitor escalated before watch(): $escalated")
+      assert(monitor.failures.isEmpty)
+      monitor.assertHealthy()
+      // naming the dead query replays its buffered failure
+      monitor.watch(query.id)
+      val esc = eventually("buffered replay on watch()") {
+        Option(escalated.peek()).filter(_.queryId == query.id)
+      }
+      assert(esc.error.contains("pre-watch failure"), esc.error)
+      assert(monitor.failures.exists(_.queryId == query.id))
+    } finally {
+      query.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
 }
