@@ -296,6 +296,10 @@ object Multimodal {
         a.copy(content = pngBytes(out), width = out.getWidth, height = out.getHeight)
       }
     case "audio" => a
+    case _ if videoFrames(a.content).isEmpty =>
+      // zero-frame container: pass through with zero dims, the same
+      // malformed-payload posture as decode()'s headOption guards
+      a.copy(width = 0, height = 0)
     case _ =>
       val frames = videoFrames(a.content).map(decodePng)
       val w0 = frames.head.getWidth
@@ -338,11 +342,14 @@ object Multimodal {
       }
     case _ =>
       val frames = videoFrames(a.content)
-      val n = math.min(k, math.max(1, frames.length))
-      (0 until n).map { i =>
-        val idx = (frames.length.toLong * i / n).toInt
-        val png = frames(idx)
-        MediaFrame(a.asset_id, idx, png.length.toLong, rasterChecksum(decodePng(png)))
+      if (frames.isEmpty) Seq.empty // zero-frame container → no frame rows
+      else {
+        val n = math.min(k, frames.length)
+        (0 until n).map { i =>
+          val idx = (frames.length.toLong * i / n).toInt
+          val png = frames(idx)
+          MediaFrame(a.asset_id, idx, png.length.toLong, rasterChecksum(decodePng(png)))
+        }
       }
   }
 

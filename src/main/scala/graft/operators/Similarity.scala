@@ -528,17 +528,29 @@ object Similarity {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"))
 
-  /** Per-subspace codebooks: seeds = the first [[PqCodes]] vectors'
-    * subvectors (deterministic, mirrors [[ivfCentroids]]), one distributed
-    * Lloyd step. Collected matrix: 8×16×8 doubles — 8 KB, fixed, never
-    * grows with the corpus. */
+  /** Per-subspace codebooks: seeds = the [[PqCodes]] lowest-ranked
+    * vectors' subvectors (deterministic, mirrors [[ivfCentroids]]), one
+    * distributed Lloyd step. Seeds are picked BY RANK (distinct ids →
+    * sort → limit, a TakeOrderedAndProject), not by a `vec_id < PqCodes`
+    * literal — a sparse or offset id space would otherwise yield ragged
+    * codebooks and out-of-bounds fallback lookups. Fewer distinct
+    * vectors than [[PqCodes]] pad by cycling the available seeds.
+    * Collected matrix: 8×16×8 doubles — 8 KB, fixed, never grows with
+    * the corpus. */
   private def pqCodebooks(sv: DataFrame): Seq[Seq[Seq[Double]]] = {
     import sv.sparkSession.implicits._
-    val seedRows = sv.filter(col("vec_id") < PqCodes)
+    val seedIds = sv.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(PqCodes)
+      .as[Long].collect()
+    require(seedIds.nonEmpty, "pqCodebooks: empty embedding corpus")
+    val idRank = seedIds.sorted.zipWithIndex.toMap
+    val seedRows = sv.filter(col("vec_id").isin(seedIds.map(Long.box): _*))
       .select(col("vec_id"), col("sub"), col("sv"))
       .as[(Long, Int, Seq[Double])].collect()
-    val seeds: Seq[Seq[Seq[Double]]] = (0 until PqSubs).map(s =>
-      seedRows.filter(_._2 == s).sortBy(_._1).map(_._3).toSeq)
+    val seeds: Seq[Seq[Seq[Double]]] = (0 until PqSubs).map { s =>
+      val have = seedRows.filter(_._2 == s).sortBy(r => idRank(r._1)).map(_._3).toSeq
+      (0 until PqCodes).map(c => have(c % have.size))
+    }
     val refined = pqAssign(sv, seeds)
       .join(sv, Seq("vec_id", "sub"))
       .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
