@@ -38,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared rows-only manifest: lets the driver artifact distinguish
+    // "no oracle BY DESIGN, verified via <twin/bound test>" from broken
+    val manifest = SparkEntry.rowsOnly
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), manifest)
     spark.stop()
   }
 }

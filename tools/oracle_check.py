@@ -63,4 +63,14 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"{name}: OK ({len(o)} rows)")
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match; fails: {fails}")
+
+# declared rows-only entries: no oracle BY DESIGN — print the manifest so
+# the artifact shows each one's twin/bound test instead of a bare no_oracle
+try:
+    rows_only = json.load(open(f"{outdir}/rows_only.json"))
+    print(f"\n{len(rows_only)} rows-only entries (declared, each verified via a twin or bound test):")
+    for name, reason in sorted(rows_only.items()):
+        print(f"  {name}: {reason}")
+except FileNotFoundError:
+    pass
 sys.exit(1 if fails else 0)
