@@ -181,6 +181,23 @@ class CurationSpec extends AnyFunSuite {
     assert(frac >= 0.95, s"keep agreement $frac")
   }
 
+  test("shared-token From variants equal the direct forms under a foreign partitioning") {
+    // corpus_curate feeds ALL n-gram gates from one tokenize
+    // (Pipeline.corpusCurate); the composition is only sound if each
+    // From-variant is insensitive to how that shared token table happens
+    // to be partitioned when it reaches the gate
+    val docs = graft.Tables.documents(spark, d)
+    val toks = Curation.tokens(docs).repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Curation.repetitionSignalsFrom(toks)) == rows(Curation.qRepetitionSignals(spark, d)))
+    assert(rows(Curation.contaminationFromTokens(toks)) == rows(Curation.qContamination(spark, d)))
+    assert(rows(Curation.bigramSurprisalFrom(toks)) == rows(Curation.qBigramSurprisal(spark, d)))
+    // the sketch cut shares the same token table (same-partitioning check:
+    // percentile_approx merge order is not guaranteed partition-invariant)
+    assert(rows(Curation.bigramSurprisalScaleFrom(Curation.tokens(docs))) ==
+      rows(Curation.bigramSurprisalScale(docs)))
+  }
+
   // ----------------------------------------------------------- domain mix
 
   test("domain mix: rare domains keep everything, hot domains downsample to temperature share") {

@@ -139,4 +139,24 @@ class LayoutSpec extends AnyFunSuite {
     case _ => ()
     }
   }
+
+  test("interleave16 is the exact Morton interleave; bucket16 clamps to [0, 65535]") {
+    val row = spark.range(1).select(
+      Layout.interleave16(lit(0xFFFF), lit(0)).as("a"),
+      Layout.interleave16(lit(0), lit(0xFFFF)).as("b"),
+      Layout.interleave16(lit(0xFFFF), lit(0xFFFF)).as("c"),
+      Layout.interleave16(lit(1), lit(2)).as("d"),
+      Layout.bucket16(lit(0.0), 0.0, 10.0).as("lo"),
+      Layout.bucket16(lit(10.0), 0.0, 10.0).as("hi"),
+      Layout.bucket16(lit(-3.0), 0.0, 10.0).as("under"),
+      Layout.bucket16(lit(99.0), 0.0, 10.0).as("over"),
+      Layout.bucket16(lit(5.0), 0.0, 10.0).as("mid")).collect()(0)
+    assert(row.getLong(0) == 0x55555555L) // a fills the even bit lanes
+    assert(row.getLong(1) == 0xAAAAAAAAL) // b the odd ones
+    assert(row.getLong(2) == 0xFFFFFFFFL)
+    assert(row.getLong(3) == (1L | (1L << 3))) // 1 -> bit0, 2 -> bit1 shifted odd
+    assert(row.getLong(4) == 0L && row.getLong(5) == 65535L)
+    assert(row.getLong(6) == 0L && row.getLong(7) == 65535L) // clamped
+    assert(row.getLong(8) == 32768L)
+  }
 }

@@ -788,4 +788,61 @@ class OperatorSpec extends AnyFunSuite {
       assert(nm == n && sm.compareTo(sx) == 0, s"merge drift at $k: $sm vs $sx")
     }
   }
+
+  test("dsum/vsum decimal-path sums are partition-invariant") {
+    // double summation is order-dependent; the decimal detour is what
+    // makes money/measure totals hash-stable across engines AND across
+    // partitionings — pin the latter explicitly
+    val li = graft.Tables.lineitem(spark, d).select(col("l_extendedprice").as("x"))
+    def agg(df: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.agg(f(col("x")).as("s")).collect()(0).getDouble(0)
+    assert(agg(li.repartition(1), Relational.dsum) == agg(li.repartition(13), Relational.dsum))
+    assert(agg(li.repartition(1), Relational.vsum) == agg(li.repartition(13), Relational.vsum))
+  }
+
+  test("minhash signatures and band keys: contracted shape, identical docs collide on every band") {
+    val s = spark; import s.implicits._
+    val ex = Seq(
+      (1L, "alpha"), (1L, "beta"), (1L, "gamma"),
+      (2L, "alpha"), (2L, "beta"), (2L, "gamma"),
+      (3L, "delta"), (3L, "epsilon")).toDF("doc_id", "shingle")
+    val sigs = Dedup.minhashSigs(ex)
+    val byDoc = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    assert(byDoc.values.forall(_.length == Dedup.MinHashPerms))
+    assert(byDoc(1L) == byDoc(2L), "identical shingle sets must have identical signatures")
+    assert(byDoc(1L) != byDoc(3L))
+    val bands = Dedup.bandKeyTable(sigs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(bands.size == 3 * Dedup.LshBands)
+    (0 until Dedup.LshBands).foreach { b =>
+      assert(bands((1L, b)) == bands((2L, b)), s"band $b keys diverge for identical docs")
+    }
+    assert((0 until Dedup.LshBands).exists(b => bands((1L, b)) != bands((3L, b))))
+  }
+
+  test("vecd casts to double arrays; embeddingCentroidsLong returns exact component means") {
+    val s = spark; import s.implicits._
+    val e = Seq((0L, Array(1.0f, 2.0f)), (0L, Array(3.0f, 4.0f)), (1L, Array(5.0f, 6.0f)))
+      .toDF("label", "embedding")
+    assert(e.select(Similarity.vecd(col("embedding")).as("v")).schema.head.dataType.simpleString
+      == "array<double>")
+    val cents = Similarity.embeddingCentroidsLong(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(cents == Map(
+      (0L, 0L) -> (2L, 2.0), (0L, 1L) -> (2L, 3.0),
+      (1L, 0L) -> (1L, 5.0), (1L, 1L) -> (1L, 6.0)))
+  }
+
+  test("TopKByValue.topK column factory matches sort-based top-k in a grouped agg") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L), ("b", 1.0, 4L))
+      .toDF("g", "v", "k")
+    val got = df.groupBy($"g")
+      .agg(graft.functions.TopKByValue.topK(2)($"v", $"k").as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    assert(got("a") == Seq((9.0, 2L), (7.0, 3L)))
+    assert(got("b") == Seq((1.0, 4L)))
+  }
 }

@@ -101,4 +101,21 @@ class ModelSpec extends AnyFunSuite {
     assert(r.batchId.contains("batch-42"))
     assert(HriRecord(Seq.empty, null, Array[Byte](), "t", 0, 0L).batchId.isEmpty)
   }
+
+  test("headerValue finds an arbitrary header by key and returns None when absent") {
+    val r = HriRecord(Seq(
+      HriHeader("originator", "mgmt-api".getBytes(UTF_8)),
+      HriHeader("batchId", "b1".getBytes(UTF_8))),
+      null, Array[Byte](), "t", 0, 0L)
+    assert(r.headerValue("originator").map(new String(_, UTF_8)).contains("mgmt-api"))
+    assert(r.headerValue("nope").isEmpty)
+  }
+
+  test("Topics.validate enforces the reference's ingest.*.in input-topic contract") {
+    assert(Topics.validate("ingest.tenant.stream.in").isRight)
+    val noPrefix = Topics.validate("tenant.stream.in")
+    assert(noPrefix.isLeft && noPrefix.swap.exists(_.contains("""must start with "ingest."""")))
+    val noSuffix = Topics.validate("ingest.tenant.stream.out")
+    assert(noSuffix.isLeft && noSuffix.swap.exists(_.contains("""must end with ".in"""")))
+  }
 }

@@ -274,4 +274,14 @@ class RecoverySpec extends AnyFunSuite {
         s"record sink for '$tag' left column space:\n$plan")
     }
   }
+
+  test("EpochCommitLog per-step markers round-trip and are scoped to their epoch") {
+    val spark = StreamFixture.spark
+    val dir = Files.createTempDirectory("graft-epochlog").toString
+    assert(!ValidationJob.EpochCommitLog.stepDone(spark, dir, 7L, "out"))
+    ValidationJob.EpochCommitLog.markStep(spark, dir, 7L, "out")
+    assert(ValidationJob.EpochCommitLog.stepDone(spark, dir, 7L, "out"))
+    assert(!ValidationJob.EpochCommitLog.stepDone(spark, dir, 7L, "invalid"))
+    assert(!ValidationJob.EpochCommitLog.stepDone(spark, dir, 8L, "out"))
+  }
 }
