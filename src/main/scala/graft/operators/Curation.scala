@@ -375,7 +375,11 @@ object Curation {
     * composed pipeline (corpus_curate_scale) can share ONE tokenize with
     * the other n-gram gates. */
   def bigramSurprisalScaleFrom(toks: DataFrame): DataFrame = {
-    val scores = bigramScores(toks)
+    // scores is consumed twice (cutoff agg + bucket select) and sits on
+    // top of the expensive token-grain joins — persist the doc-grain
+    // frame (one row per document) so the LM pipeline runs once, the
+    // same shared-table boundary as the shingle/signature tables
+    val scores = bigramScores(toks).persist()
     val cuts = scores.agg(
       percentile_approx(col("avg_surprisal"),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))

@@ -25,6 +25,17 @@ object ABProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same fixed-work kernel Bench records as calibration_s: prints the
+    // window's load context so probe numbers are comparable across runs
+    val cal = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    System.err.println(f"[ab] calibration$cal%29.2fs (fixed 20M-row groupBy kernel)")
     for (name <- args.drop(1)) {
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
