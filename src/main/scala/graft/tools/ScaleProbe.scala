@@ -83,6 +83,9 @@ object ScaleProbe {
       "pii_scrub" -> Curation.qPiiScrub _,
       "unigram_surprisal" -> Curation.qUnigramSurprisal _,
       "bigram_surprisal" -> Curation.qBigramSurprisal _,
+      "bigram_surprisal_scale" -> Curation.qBigramSurprisalScale _,
+      "corpus_curate" -> Pipeline.qCorpusCurate _,
+      "corpus_curate_scale" -> Pipeline.qCorpusCurateScale _,
       "sequence_pack" -> Curation.qSequencePack _,
       "domain_mix" -> Pipeline.qDomainMix _,
       "q44_minmax_by" -> Relational.q44MinMaxBy _,
