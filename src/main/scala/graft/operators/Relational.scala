@@ -943,13 +943,15 @@ object Relational {
 
   /** Single-scan funnel: the batch form of [[funnelStream]]'s per-user
     * stage machine. Events are shuffled once by user_id (groupByKey);
-    * each user's step-typed events sort in memory (per-user volume, not
-    * corpus volume) and fold greedily — earliest strict-after chain, the
-    * same semantics the min-join chain computes. Per-user final stages
-    * then roll up to the K-row funnel with exchanges that carry at most
-    * one row per (partition, stage). Equality with [[funnel]] is
-    * asserted in OperatorSpec on both the crafted order-sensitivity set
-    * and the sf0.001 events table. */
+    * each user's step-typed events arrive as a PRE-SORTED streaming
+    * iterator (`flatMapSortedGroups` — Spark sorts within the exchange's
+    * partitions, so no per-user buffer is materialized even for a
+    * pathological hot user) and fold greedily — earliest strict-after
+    * chain, the same semantics the min-join chain computes. Per-user
+    * final stages then roll up to the K-row funnel with exchanges that
+    * carry at most one row per (partition, stage). Equality with
+    * [[funnel]] is asserted in OperatorSpec on both the crafted
+    * order-sensitivity set and the sf0.001 events table. */
   def funnelSingleScan(events: DataFrame, steps: Seq[String]): DataFrame = {
     val session = events.sparkSession
     import session.implicits._
@@ -960,16 +962,18 @@ object Relational {
       .filter(col("event_type").isin(steps: _*))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroups { (user, rows) =>
+      // ts is TimestampType: the sort compares full micros internally
+      // (a manual getTime sort would truncate them — funnelStream's
+      // (millis, nanos) pair exists for exactly that reason)
+      .flatMapSortedGroups(col("ts")) { (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)]) =>
         var k = 0
         var tk: java.sql.Timestamp = null
-        // sort by (millis, nanos) — getTime alone truncates micros
-        rows.toSeq.sortBy(t => (t._3.getTime, t._3.getNanos)).foreach { case (_, et, ts) =>
+        rows.foreach { case (_, et, ts) =>
           if (k < nSteps && stepOf.get(et).contains(k) && (k == 0 || ts.after(tk))) {
             k += 1; tk = ts
           }
         }
-        (user, k)
+        Iterator.single((user, k))
       }.toDF("user_id", "final_stage")
     val byStage = finals.filter(col("final_stage") > 0)
       .groupBy(col("final_stage")).agg(count(lit(1)).as("n")) // ≤ K rows
