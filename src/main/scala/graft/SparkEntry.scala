@@ -100,6 +100,8 @@ object SparkEntry {
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "vocab_build"         -> (TextOps.qVocabBuild _),
+    "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
+    "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
     "html_extract"        -> (TextOps.qHtmlExtract _), // web-corpus boilerplate strip + entity decode
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
@@ -785,6 +787,16 @@ object SparkEntry {
          |  AS token_id, token, tf, df
          |FROM top""".stripMargin,
 
+    "bpe_pair_counts" ->
+      s"""WITH t AS (SELECT unnest($WORDS) AS w FROM documents),
+         |wf AS (SELECT w, count(*) AS freq FROM t WHERE len(w) > 0 GROUP BY 1),
+         |syms AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS s FROM wf),
+         |pr AS (SELECT unnest([s[i] || ' ' || s[i + 1] FOR i IN range(1, len(s))]) AS pair,
+         |              freq FROM syms),
+         |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM pr GROUP BY 1)
+         |SELECT pair, pair_freq FROM agg
+         |ORDER BY pair_freq DESC, pair ASC LIMIT 50""".stripMargin,
+
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),
          |sq AS (SELECT doc_id,
@@ -1319,6 +1331,7 @@ object SparkEntry {
     "embedding_dedup_2level" -> "bucketed near-dup: agreement vs exact embedding_dedup (ground truth, driver-matched) asserted in OperatorSpec",
     "bigram_surprisal_scale" -> "percentile_approx tercile cut: >=95% bucket agreement with exact bigram_surprisal (driver-matched) in CurationSpec",
     "corpus_curate_scale" -> "sketch-cut perplexity gate: >=95% keep-agreement with exact corpus_curate (driver-matched) in CurationSpec",
+    "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",
     "media_frames" -> "frame sampling: stride/index determinism pinned in OperatorSpec",

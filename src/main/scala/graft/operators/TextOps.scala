@@ -339,4 +339,116 @@ object TextOps {
       md5(norm.cast("binary")).as("content_fp"),
       md5(concat_ws(" ", array_sort(array_distinct(split(norm, " ")))).cast("binary")).as("bow_fp"))
   }
+
+  // ---------------------------------------------------------------------
+  // BPE merge-pair training (tokenizer vocabulary construction)
+  // ---------------------------------------------------------------------
+
+  /** Merge rounds for the registered bpe_merges entry. */
+  val BpeMergeRounds = 8
+
+  /** (word, freq) table — BPE trains on the word-FREQUENCY table, not the
+    * raw token stream: the corpus collapses to vocabulary grain in one
+    * map-side-combinable count, and every merge round after that touches
+    * only |vocab| rows. At 100 TB the corpus-sized work is this one
+    * aggregation; the iterative part never rescans documents. */
+  def bpeWordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(normWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency: the BPE
+    * scoring table. Symbols explode to rows so counting is a codegen'd
+    * shuffle agg (map-side combined), not a per-word lambda. */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("w")).orderBy(col("pos"))
+    words.select(col("w"), col("freq"), posexplode(col("syms")).as(Seq("pos", "a")))
+      .withColumn("b", lead(col("a"), 1).over(byPos))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
+  }
+
+  /** Greedy left-to-right merge of one (a,b) pair inside a symbol
+    * sequence — the standard BPE merge (non-overlapping: "aaa" with
+    * merge (a,a) → ["aa","a"]). */
+  private[operators] def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Byte-pair-encoding merge-rule training (Sennrich et al. 2016; the
+    * GPT-2/LLaMA tokenizer-construction kernel): start from characters
+    * plus an end-of-word marker, repeatedly count adjacent symbol pairs
+    * across the word-frequency table and merge the most frequent pair,
+    * emitting one merge rule per round.
+    *
+    * Scale shape: ONE corpus-sized aggregation builds [[bpeWordFreq]];
+    * each of the `rounds` iterations then runs a pair-count shuffle over
+    * the vocabulary-grain symbol table and brings exactly ONE row (the
+    * argmax pair, deterministic (count desc, pair asc) tiebreak) to the
+    * driver — the CC-labels pattern: driver state is the merge list,
+    * never data. The merge rewrite itself is a typed map over |vocab|
+    * rows (inherently sequential within a word; the table it touches is
+    * vocabulary-sized, not corpus-sized). Output is the merge-rule table:
+    * (merge_rank, left_sym, right_sym, merged, pair_freq).
+    *
+    * No oracle (iterative argmax is not SQL-expressible): the round-0
+    * scoring table IS driver-matched as bpe_pair_counts, and the full
+    * loop is pinned against a hand-computed reference (the classic
+    * low/lower/newest/widest corpus) plus invariants in TextOpsSpec. */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    var words = bpeWordFreq(docs)
+      .select(col("w"), col("freq"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      .as[(String, Long, Seq[String])]
+      .persist()
+    words.count() // materialize before the loop re-derives from it
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(words.toDF())
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).as[(String, String, Long)].collect()
+      top.headOption match {
+        case Some((a, b, c)) =>
+          merges += ((r, a, b, a + b, c))
+          val next = words.map { case (w, f, syms) => (w, f, mergePair(syms, a, b)) }
+            .toDF("w", "freq", "syms").as[(String, Long, Seq[String])].persist()
+          next.count()
+          words.unpersist()
+          words = next
+          r += 1
+        case None => exhausted = true
+      }
+    }
+    words.unpersist()
+    merges.result().toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_freq")
+  }
+
+  def qBpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMerges(documents(s, d), BpeMergeRounds)
+
+  /** The round-0 BPE scoring table, driver-checkable: top pairs by
+    * weighted count with the same total-order tiebreak the merge loop
+    * uses. The symbol pair is emitted as one space-joined string (symbols
+    * never contain a space — words come from a whitespace split). */
+  def qBpePairCounts(s: SparkSession, d: String): DataFrame = {
+    val words = bpeWordFreq(documents(s, d))
+      .select(col("w"), col("freq"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+    pairCounts(words)
+      .select(concat_ws(" ", col("a"), col("b")).as("pair"), col("c").as("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("pair").asc)
+      .limit(50)
+  }
 }

@@ -834,6 +834,52 @@ class OperatorSpec extends AnyFunSuite {
       (1L, 0L) -> (1L, 5.0), (1L, 1L) -> (1L, 6.0)))
   }
 
+  test("BPE merges reproduce the hand-computed reference on the classic corpus") {
+    // Sennrich's worked example shape: {low ×5, lower ×2, newest ×6,
+    // widest ×3}. Hand-derived merge sequence (count desc, (left, right)
+    // asc tiebreak), symbols start as chars + </w>:
+    //   r1: (e,s)  9   [newest 6 + widest 3]
+    //   r2: (es,t) 9
+    //   r3: (est,</w>) 9
+    //   r4: (l,o) 7    [low 5 + lower 2; ties (l,o)/(o,w) break on left]
+    //   r5: (lo,w) 7
+    //   r6: (e,w) 6    [newest; ties (e,w)/(n,e)/(w,est</w>) break on left]
+    //   r7: (ew,est</w>) 6  [ties (ew,est</w>)/(n,ew) break on left]
+    //   r8: (n,ewest</w>) 6
+    val s = spark; import s.implicits._
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w, "src") }
+      .toDF("doc_id", "text", "source")
+    val merges = TextOps.bpeMerges(df, 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val expected = Seq(
+      (1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L), (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L), (6, "e", "w", "ew", 6L),
+      (7, "ew", "est</w>", "ewest</w>", 6L), (8, "n", "ewest</w>", "newest</w>", 6L))
+    assert(merges.toSeq == expected, merges.mkString("\n"))
+  }
+
+  test("BPE invariants: greedy non-overlap merge, scoring-table agreement, rank monotonicity") {
+    // greedy left-to-right non-overlap: "aaa" under (a,a) -> [aa, a]
+    assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(TextOps.mergePair(Seq("x"), "a", "b") == Seq("x"))
+    // the first merge is exactly the top row of the registered scoring
+    // table (same count, same pair), tying bpe_merges to its driver-
+    // matched twin; and merge frequencies never increase with rank
+    // (each round's argmax is <= the previous corpus's max pair count)
+    val merges = TextOps.bpeMerges(graft.Tables.documents(spark, d), 4).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    val top = TextOps.qBpePairCounts(spark, d).limit(1).collect()(0)
+    assert(top.getString(0) == s"${merges(0)._1} ${merges(0)._2}")
+    assert(top.getLong(1) == merges(0)._3)
+    val freqs = merges.map(_._3)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      s"merge frequencies increased: ${freqs.toSeq}")
+  }
+
   test("TopKByValue.topK column factory matches sort-based top-k in a grouped agg") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L), ("b", 1.0, 4L))
