@@ -102,6 +102,7 @@ object SparkEntry {
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
+    "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // rows-only: tokenization depends on the merge loop; hand-derived counts + sandwich bound pinned in OperatorSpec
     "html_extract"        -> (TextOps.qHtmlExtract _), // web-corpus boilerplate strip + entity decode
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
@@ -1332,6 +1333,7 @@ object SparkEntry {
     "bigram_surprisal_scale" -> "percentile_approx tercile cut: >=95% bucket agreement with exact bigram_surprisal (driver-matched) in CurationSpec",
     "corpus_curate_scale" -> "sketch-cut perplexity gate: >=95% keep-agreement with exact corpus_curate (driver-matched) in CurationSpec",
     "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
+    "bpe_tokenize" -> "applies the bpe_merges loop's segmentation table (not SQL-expressible): hand-derived per-doc counts on the reference corpus + per-word piece-count sandwich pinned in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",
     "media_frames" -> "frame sampling: stride/index determinism pinned in OperatorSpec",

@@ -404,6 +404,18 @@ object TextOps {
     * loop is pinned against a hand-computed reference (the classic
     * low/lower/newest/widest corpus) plus invariants in TextOpsSpec. */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val (merges, words) = bpeTrain(docs, rounds)
+    words.unpersist()
+    merges
+  }
+
+  /** The merge loop itself: returns the merge-rule table AND the final
+    * (w, freq, syms) segmentation table — the latter IS every vocabulary
+    * word's tokenization under the learned rules, still persisted (caller
+    * unpersists). [[bpeMerges]] returns the rules; [[qBpeTokenize]] joins
+    * the segmentations back onto the corpus. */
+  private def bpeTrain(docs: DataFrame, rounds: Int)
+      : (DataFrame, org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
     val session = docs.sparkSession
     import session.implicits._
     var words = bpeWordFreq(docs)
@@ -431,12 +443,44 @@ object TextOps {
         case None => exhausted = true
       }
     }
-    words.unpersist()
-    merges.result().toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_freq")
+    (merges.result().toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_freq"),
+      words)
   }
 
   def qBpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMerges(documents(s, d), BpeMergeRounds)
+
+  /** Apply the learned merges to the corpus: per-document BPE token
+    * counts. The segmentation table from [[bpeTrain]] is vocabulary-grain
+    * (word → its symbol sequence under the rules), so APPLY is a count
+    * lookup join — zero per-document merge computation, and the join is
+    * [[Curation.saltedCountJoin]]ed because the token side is the same
+    * Zipf-hot word stream as the surprisal gates. Emits
+    * (doc_id, n_words, bpe_tokens, chars_saved): bpe_tokens = Σ |syms(w)|,
+    * chars_saved = how many symbols the merges removed vs the char+</w>
+    * baseline. Rows-only (tokenization depends on the merge loop); pinned
+    * in OperatorSpec against hand-derived counts on the classic corpus
+    * and a chars+1 ≥ pieces ≥ 1 sandwich per word on real data. */
+  def qBpeTokenize(s: SparkSession, d: String): DataFrame =
+    bpeTokenize(documents(s, d), BpeMergeRounds)
+
+  /** See [[qBpeTokenize]]. */
+  def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, words) = bpeTrain(docs, rounds)
+    val segs = words.toDF("w", "freq", "syms")
+      .select(col("w"), size(col("syms")).as("n_pieces"),
+        (length(col("w")) + 1 - size(col("syms"))).as("saved"))
+    val toks = docs.select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    // words stays persisted: the returned frame is lazy, and the
+    // segmentation table is its vocabulary-sized shared input (the same
+    // convention as the shingle/token tables — no unpersist-before-use)
+    Curation.saltedCountJoin(toks, segs, Seq("w"), col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("bpe_tokens"),
+        sum(col("saved")).as("chars_saved"))
+  }
 
   /** The round-0 BPE scoring table, driver-checkable: top pairs by
     * weighted count with the same total-order tiebreak the merge loop

@@ -880,6 +880,40 @@ class OperatorSpec extends AnyFunSuite {
       s"merge frequencies increased: ${freqs.toSeq}")
   }
 
+  test("BPE tokenize applies the learned segmentation: hand-derived counts, sandwich bound") {
+    val s = spark; import s.implicits._
+    // classic corpus again: after the 8 merges, low→[low,</w>],
+    // lower→[low,e,r,</w>], newest→[newest</w>], widest→[w,i,d,est</w>]
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w, "src") }
+      .toDF("doc_id", "text", "source")
+    // qBpeTokenize is registered against a directory; exercise the same
+    // composition inline: train, then the salted segmentation join
+    val trained = TextOps.bpeMerges(docs, 8) // warms nothing; counts only
+    assert(trained.count() == 8)
+    val byText = Map("low" -> 2L, "lower" -> 4L, "newest" -> 1L, "widest" -> 4L)
+    val expectSaved = Map("low" -> 2L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val got = TextOps.bpeTokenize(docs, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_tokens"), r.getAs[Long]("chars_saved"))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == texts.keySet)
+    got.foreach { case (id, (nw, bt, sv)) =>
+      assert(nw == 1L)
+      assert(bt == byText(texts(id)), s"doc $id (${texts(id)}): $bt")
+      assert(sv == expectSaved(texts(id)), s"doc $id (${texts(id)}): saved $sv")
+    }
+    // real data: every word tokenizes to between 1 and chars+1 pieces
+    val real = TextOps.qBpeTokenize(spark, d).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (nw, bt) = (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"))
+      assert(bt >= nw, s"fewer pieces than words: $r")
+      assert(r.getAs[Long]("chars_saved") >= 0L, s"negative savings: $r")
+    }
+  }
+
   test("TopKByValue.topK column factory matches sort-based top-k in a grouped agg") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L), ("b", 1.0, 4L))
