@@ -116,6 +116,8 @@ object ScaleProbe {
       "stratified_sample" -> Sampling.qStratifiedSample _,
       "global_shuffle" -> Sampling.qGlobalShuffle _,
       "vocab_build" -> TextOps.qVocabBuild _,
+      "bpe_merges" -> TextOps.qBpeMerges _,
+      "bpe_tokenize" -> TextOps.qBpeTokenize _,
       "media_features" -> ((s: SparkSession, dir: String) =>
         graft.operators.Multimodal.extractFeatures(
           graft.operators.Multimodal.mediaFromDocuments(s, dir)).toDF()))
