@@ -914,6 +914,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE mergePair properties: removes every (a,b) adjacency, preserves content (500 seeded trials)") {
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 500) {
+      // tiny alphabet forces dense pair repetition and overlap runs (aaa)
+      val alpha = Vector("a", "b", "c")
+      val syms = Vector.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size)))
+      val a = alpha(rnd.nextInt(alpha.size))
+      val b = alpha(rnd.nextInt(alpha.size))
+      val merged = TextOps.mergePair(syms, a, b)
+      // greedy left-to-right merge leaves no occurrence of the pair
+      merged.iterator.zip(merged.iterator.drop(1)).foreach { case (x, y) =>
+        assert(!(x == a && y == b), s"trial $trial: pair ($a,$b) survives in $merged from $syms")
+      }
+      // the underlying character stream is untouched
+      assert(merged.mkString == syms.mkString, s"trial $trial: content changed")
+      // and each output symbol is either an original symbol or the merge
+      merged.foreach(m => assert(m == a + b || syms.contains(m),
+        s"trial $trial: alien symbol $m"))
+    }
+  }
+
+  test("saltedCountJoin equals the plain count join on random data (seeded trials)") {
+    // the structural-skew rewrite must be invisible to results: every row
+    // meets exactly one copy of its count row regardless of salt factor
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(200)
+      val rows = Seq.fill(n)((rnd.nextInt(1000).toLong, s"w${rnd.nextInt(12)}"))
+        .toDF("doc_id", "w")
+      val counts = rows.groupBy("w").agg(count(lit(1)).as("cw"))
+      val plain = rows.join(counts, "w")
+        .groupBy("doc_id").agg(sum("cw").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val salted = Curation.saltedCountJoin(rows, counts, Seq("w"), col("doc_id"))
+        .groupBy("doc_id").agg(sum("cw").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted == plain, s"trial $trial: salted join diverges")
+    }
+  }
+
   test("TopKByValue.topK column factory matches sort-based top-k in a grouped agg") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L), ("b", 1.0, 4L))
