@@ -195,11 +195,19 @@ object Multimodal {
   def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
     val frames = Seq.newBuilder[Array[Byte]]
-    while (in.available() >= 4) {
+    var ok = true
+    while (ok && in.available() >= 4) {
       val len = in.readInt()
-      val f = new Array[Byte](len)
-      in.readFully(f)
-      frames += f
+      // corrupted length prefix: a negative or past-the-end frame length
+      // must not drive the allocation (a flipped bit would otherwise ask
+      // for a 2 GB array on an executor) — stop at the last whole frame,
+      // the truncated-container posture the zero-frame guards share
+      if (len < 0 || len > in.available()) ok = false
+      else {
+        val f = new Array[Byte](len)
+        in.readFully(f)
+        frames += f
+      }
     }
     frames.result()
   }

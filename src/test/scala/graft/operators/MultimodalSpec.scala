@@ -52,6 +52,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.asset_id == v.asset_id))
   }
 
+  test("corrupted video length prefixes stop the demux at the last whole frame") {
+    val v = Multimodal.synthesizeAsset(5L) // video
+    val good = Multimodal.videoFrames(v.content)
+    // truncate mid-frame: the partial trailing frame must be dropped,
+    // every complete frame before it kept
+    val cut = v.content.take(v.content.length - good.last.length / 2)
+    val truncated = Multimodal.videoFrames(cut)
+    assert(truncated.length == good.length - 1)
+    truncated.zip(good).foreach { case (t, g) => assert(t.sameElements(g)) }
+    // a negative length prefix (flipped sign bit) must not allocate
+    val bad = v.content.clone()
+    bad(0) = (bad(0) | 0x80).toByte
+    assert(Multimodal.videoFrames(bad).isEmpty)
+  }
+
   test("zero-frame video containers pass through resize and yield no frame rows") {
     // ADVICE r6: decode() guards the empty container with headOption;
     // resizeAsset/frameRows previously threw on frames.head
