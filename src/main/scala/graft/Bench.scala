@@ -145,7 +145,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val cal = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // locale-independent rendering: the f interpolator formats with the
+    // default locale, which under a comma-decimal locale would corrupt
+    // the machine-read JSON ("0,512" → two array elements)
+    val cal = calibrations.map(c => (math.round(c * 1000) / 1000.0).toString)
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }

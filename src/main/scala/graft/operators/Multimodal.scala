@@ -304,21 +304,26 @@ object Multimodal {
         a.copy(content = pngBytes(out), width = out.getWidth, height = out.getHeight)
       }
     case "audio" => a
-    case _ if videoFrames(a.content).isEmpty =>
-      // zero-frame container: pass through with zero dims, the same
-      // malformed-payload posture as decode()'s headOption guards
-      a.copy(width = 0, height = 0)
     case _ =>
-      val frames = videoFrames(a.content).map(decodePng)
-      val w0 = frames.head.getWidth
-      val h0 = frames.head.getHeight
-      val s = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
-      if (s >= 1.0) a.copy(width = w0, height = h0)
+      // demux ONCE and branch (frameRows' shape — a guard-pattern
+      // emptiness test would parse the whole container twice per video)
+      val raw = videoFrames(a.content)
+      if (raw.isEmpty)
+        // zero-frame container: pass through with zero dims, the same
+        // malformed-payload posture as decode()'s headOption guards
+        a.copy(width = 0, height = 0)
       else {
-        val w = math.max(1, (w0 * s).toInt)
-        val h = math.max(1, (h0 * s).toInt)
-        a.copy(content = videoBytes(frames.map(f => pngBytes(scaleNN(f, w, h)))),
-          width = w, height = h)
+        val frames = raw.map(decodePng)
+        val w0 = frames.head.getWidth
+        val h0 = frames.head.getHeight
+        val s = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+        if (s >= 1.0) a.copy(width = w0, height = h0)
+        else {
+          val w = math.max(1, (w0 * s).toInt)
+          val h = math.max(1, (h0 * s).toInt)
+          a.copy(content = videoBytes(frames.map(f => pngBytes(scaleNN(f, w, h)))),
+            width = w, height = h)
+        }
       }
   }
 

@@ -960,6 +960,11 @@ object Relational {
     val finals = events
       .select(col("user_id").cast("long"), col("event_type"), col("ts"))
       .filter(col("event_type").isin(steps: _*))
+      // a null user_id would crash the non-nullable Long encoder; the
+      // relational form would count such rows at stage 1 and then drop
+      // them (null never equi-joins into stage 2+) — neither behavior is
+      // a funnel, so null users are excluded explicitly here
+      .filter(col("user_id").isNotNull)
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       // ts is TimestampType: the sort compares full micros internally
@@ -1082,8 +1087,14 @@ object Relational {
   def retentionStream(streamingEvents: DataFrame): org.apache.spark.sql.Dataset[RetentionAdvance] = {
     import streamingEvents.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // week truncation must match the batch q54Retention's
+    // date_trunc("week", ts), which works in the SESSION timezone — NOT
+    // the executor JVM's default (toLocalDateTime would use the latter;
+    // they differ on any non-UTC JVM and shift Sunday-night events a week)
+    val zone = java.time.ZoneId.of(
+      streamingEvents.sparkSession.sessionState.conf.sessionLocalTimeZone)
     def mondayOf(ts: java.sql.Timestamp): java.time.LocalDate =
-      ts.toLocalDateTime.toLocalDate.`with`(
+      ts.toInstant.atZone(zone).toLocalDate.`with`(
         java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
     streamingEvents.select(col("user_id").cast("long"), col("ts"))
       .as[(Long, java.sql.Timestamp)]

@@ -57,10 +57,12 @@ final class OpsMonitor(
   private val last = TrieMap.empty[UUID, BatchHealth]
   private val failed = TrieMap.empty[UUID, QueryFailure]
   private val watched = TrieMap.empty[UUID, Unit]
-  // error terminations seen in a scoped monitor before any watch() —
-  // buffered, not escalated: in the attach→watch window an unrelated
-  // query's death must not trip an exit-style onFatal, but the
-  // soon-to-be-watched query's own death must not be lost either.
+  // error terminations seen in a scoped monitor for queries not (yet)
+  // watched — buffered, not escalated: in any query's attach→watch
+  // window an unrelated death must not trip an exit-style onFatal, but
+  // the soon-to-be-watched query's own death must not be lost either.
+  // watch() replays its query's entry; onQueryTerminated double-checks
+  // after buffering so a concurrent watch() cannot strand the failure.
   private val pending = TrieMap.empty[UUID, QueryFailure]
 
   /** Restrict failure capture/escalation to the given query (call right
@@ -103,7 +105,16 @@ final class OpsMonitor(
     e.exception.foreach { msg =>
       val f = QueryFailure(e.id, e.runId, msg)
       if (inScope(e.id)) escalate(f)
-      else if (scoped && watched.isEmpty) pending.put(e.id, f)
+      else if (scoped) {
+        // buffer EVERY scoped out-of-scope failure by query id (not only
+        // while no watch exists — a second query's attach-to-watch window
+        // must not lose its death just because the first is watched), then
+        // re-check: if watch() landed between the inScope test and the
+        // put, the atomic remove below fires exactly one escalation on
+        // whichever thread wins (the lost-wakeup double-check)
+        pending.put(e.id, f)
+        if (watched.contains(e.id)) pending.remove(e.id).foreach(escalate)
+      }
     }
 
   /** Latest committed-batch snapshot for a query, if any batch ran. */

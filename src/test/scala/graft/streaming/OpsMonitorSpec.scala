@@ -136,4 +136,48 @@ class OpsMonitorSpec extends AnyFunSuite {
       spark.streams.removeListener(monitor)
     }
   }
+
+  test("a scoped monitor buffers a SECOND query's pre-watch failure even while one query is watched") {
+    // review finding (r7): the buffer branch previously required
+    // watched.isEmpty, so once query A was watched, query B dying in its
+    // own attach-to-watch window was neither escalated nor buffered —
+    // watch(B) replayed nothing and B's death vanished.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val escalated = new ConcurrentLinkedQueue[QueryFailure]()
+    val monitor = OpsMonitor.attach(spark, f => escalated.add(f), scoped = true)
+    val inputA = MemoryStream[Long]
+    val healthy = inputA.toDF().writeStream
+      .outputMode("append")
+      .queryName("scopedA_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .format("memory")
+      .start()
+    val inputB = MemoryStream[Long]
+    val doomed = inputB.toDF().writeStream
+      .outputMode("append")
+      .queryName("scopedB_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("second-query pre-watch failure")
+      }
+      .start()
+    try {
+      monitor.watch(healthy.id) // A is watched; B is still in its window
+      inputB.addData(1L)
+      intercept[Exception](doomed.processAllAvailable())
+      Thread.sleep(500)
+      assert(escalated.isEmpty, s"escalated before watch(B): $escalated")
+      monitor.watch(doomed.id)
+      val esc = eventually("buffered replay of B on watch(B)") {
+        Option(escalated.peek()).filter(_.queryId == doomed.id)
+      }
+      assert(esc.error.contains("second-query pre-watch failure"), esc.error)
+    } finally {
+      healthy.stop(); doomed.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
 }
