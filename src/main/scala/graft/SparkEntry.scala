@@ -99,6 +99,7 @@ object SparkEntry {
     "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
+    "bm25_topterms"       -> (TextOps.qBm25 _),
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
@@ -147,6 +148,7 @@ object SparkEntry {
     "hash_split"          -> (Sampling.qHashSplit _),
     "stratified_sample"   -> (Sampling.qStratifiedSample _),
     "global_shuffle"      -> (Sampling.qGlobalShuffle _),
+    "split_drift"         -> (Sampling.qSplitDrift _),
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
     "domain_mix"          -> (Pipeline.qDomainMix _),
@@ -697,6 +699,34 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY bucket ORDER BY skey, doc_id) AS rn FROM b)
          |SELECT r.doc_id, CAST(o.base + r.rn - 1 AS BIGINT) AS shuffle_pos
          |FROM r JOIN o USING (bucket)""".stripMargin,
+
+    "split_drift" ->
+      s"""WITH t AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |qv AS (SELECT doc_id,
+         |        round(least(len(words) / 100.0, 1.0) *
+         |          (1.0 - CAST(len([w FOR w IN words
+         |                           IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |            / len(words)), 4) AS q FROM t),
+         |h AS (SELECT doc_id,
+         |        md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sp AS (SELECT doc_id, CAST(${duckHex("h", 8)} % 100 AS BIGINT) AS b100 FROM h),
+         |j AS (SELECT least(CAST(floor(qv.q * 10) AS BIGINT), 9) AS bucket,
+         |        CASE WHEN b100 < 90 THEN 'train' ELSE 'valid' END AS split
+         |      FROM qv JOIN sp USING (doc_id) WHERE b100 < 95),
+         |c AS (SELECT bucket,
+         |        CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |        CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+         |      FROM j GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+         |               CAST(sum(n_valid) AS BIGINT) AS tot_valid FROM c),
+         |b AS (SELECT CAST(s.r AS INT) AS bucket,
+         |        coalesce(c.n_train, 0) AS n_train, coalesce(c.n_valid, 0) AS n_valid
+         |      FROM range(10) s(r) LEFT JOIN c ON c.bucket = s.r)
+         |SELECT bucket, n_train, n_valid,
+         |  round(((n_train + 1.0) / (tot_train + 10.0) - (n_valid + 1.0) / (tot_valid + 10.0)) *
+         |    ln(((n_train + 1.0) / (tot_train + 10.0)) / ((n_valid + 1.0) / (tot_valid + 10.0))),
+         |    6) AS psi
+         |FROM b CROSS JOIN tot""".stripMargin,
 
     "canonical_select" ->
       s"""WITH RECURSIVE $NGRAM_CTES,
@@ -1293,6 +1323,27 @@ object SparkEntry {
          |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, term) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
+
+    // constants are spelled (1.2 + 1.0) etc. so each engine folds the SAME
+    // IEEE additions the Scala side computes from Bm25K1/Bm25B — a literal
+    // 2.2 is a different double than 1.2 + 1.0
+    "bm25_topterms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |df AS (SELECT w, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+         |sc AS (SELECT tf.doc_id, w AS term,
+         |         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |           (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+         |             (CAST(tot_tokens AS DOUBLE) / n_docs))), 4) AS bm25
+         |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, term, bm25, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY bm25 DESC, term) AS rn FROM sc)
          |WHERE rn <= 3""".stripMargin,
 
     "multimodal_meta" ->

@@ -96,4 +96,45 @@ object Sampling {
       .select(col(idCol),
         (col("base") + row_number().over(rankW) - 1).cast("long").as("shuffle_pos"))
   }
+
+  /** Split-drift check (split_drift): Population Stability Index between
+    * the train and valid splits over the quality-score distribution — the
+    * post-split validation a training pipeline runs to confirm a
+    * content-keyed split didn't correlate with a quality signal (and, run
+    * batch-over-batch, that a corpus refresh didn't shift the
+    * distribution). Quality ([[TextOps.qualityExpr]], already 4-dec
+    * rounded and oracle-green) lands in 10 fixed-width buckets; per-bucket
+    * shares are Laplace-smoothed ((n+1)/(N+10)) so empty buckets
+    * contribute finite PSI; psi = (p-q)·ln(p/q) per bucket (sum ≥ 0.1-0.2
+    * is the conventional drift alarm). Scale: one document scan feeding a
+    * 10-key partial agg (map-side combine does all the work — the reduce
+    * sees ≤10 rows per map task), a 10-row spine join, and a 1-row totals
+    * broadcast; nothing data-sized ever shuffles. The bucket boundary uses
+    * double `floor(q*10)` in BOTH engines, so any float boundary quirk is
+    * identical on each side. */
+  def qSplitDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = docs.select(col("doc_id"), TextOps.qualityExpr(col("text")).as("q"))
+    val splits = hashSplit(docs, "doc_id")
+      .filter(col("split").isin("train", "valid"))
+      .select(col("doc_id"), col("split"))
+    val counts = scored.join(splits, "doc_id")
+      .select(least(floor(col("q") * 10), lit(9L)).cast("int").as("bucket"), col("split"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"))
+    val totals = counts.agg(
+      sum(col("n_train")).as("tot_train"), sum(col("n_valid")).as("tot_valid"))
+    val spine = s.range(10).select(col("id").cast("int").as("bucket"))
+    val p = (col("n_train") + lit(1.0)) / (col("tot_train") + lit(10.0))
+    val q = (col("n_valid") + lit(1.0)) / (col("tot_valid") + lit(10.0))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_valid"), lit(0L)).as("n_valid"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_train"), col("n_valid"),
+        round((p - q) * log(p / q), 6).as("psi"))
+  }
 }

@@ -267,6 +267,43 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** BM25 term weighting (bm25_topterms): the 3 most characteristic terms
+    * per document under the Okapi BM25 scoring kernel (Robertson-style
+    * idf = ln(1 + (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, length
+    * normalization b=0.75) — the retrieval/quality-filter sibling of
+    * [[qTfIdf]]. Same cross-engine discipline as q31: scores are ROUNDED
+    * BEFORE RANKING and tie-broken by term, so rank order is identical
+    * regardless of last-ulp `ln` differences. Scale: one tokenize explode
+    * shared by tf and dl (both doc-keyed partial aggs), df is the standard
+    * term-keyed count, and the ONLY driver-adjacent state is the 1-row
+    * (n_docs, total_tokens) frame broadcast for avgdl. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = documents(s, d)
+      .select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+    val tf = tokens.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tokens.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val avgdl = col("tot_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * lit(Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25").desc, col("w"))
+    tf.join(dfreq, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", round(idf * sat, 4))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("bm25"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Overlapping-window document chunking (doc_chunk): each document
     * splits into fixed-size token windows with stride < window (here
     * 64/48, i.e. 16 tokens of overlap) — the step between curation and
