@@ -966,4 +966,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got("a") == Seq((9.0, 2L), (7.0, 3L)))
     assert(got("b") == Seq((1.0, 4L)))
   }
+
+  test("bm25 kernel: independently collected tf/df/dl stats reproduce every reported score") {
+    val tokens = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = tokens.groupBy(identity).view.mapValues(_.length).toMap
+    val dl = tokens.groupBy(_._1).view.mapValues(_.length).toMap
+    val dfm = tokens.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val nDocs = dl.size
+    val avgdl = tokens.length.toDouble / nDocs
+    val out = TextOps.qBm25(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, term, score, rank) =
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))
+      assert(rank >= 1 && rank <= 3 && score > 0, s"doc $id $term")
+      val t = tf((id, term)).toDouble
+      val idf = math.log(1.0 + (nDocs - dfm(term) + 0.5) / (dfm(term) + 0.5))
+      val sat = t * (TextOps.Bm25K1 + 1) /
+        (t + TextOps.Bm25K1 * (1.0 - TextOps.Bm25B + TextOps.Bm25B * dl(id) / avgdl))
+      // BigDecimal(double).setScale mirrors Spark's Round codepath exactly
+      val expect = BigDecimal(idf * sat).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == expect, s"doc $id term $term: got $score expect $expect")
+    }
+    // within a doc, ranks are dense from 1 and scores non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length), s"doc $id ranks")
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $id order")
+    }
+  }
 }

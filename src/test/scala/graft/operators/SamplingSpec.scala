@@ -127,4 +127,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(tfs == tfs.sorted.reverse, "tf must be non-increasing in id order")
     out.foreach(r => assert(r.getLong(3) <= r.getLong(2), "df cannot exceed tf"))
   }
+
+  test("split_drift: full 10-bucket spine, counts reconcile with hash_split, psi >= 0") {
+    val out = Sampling.qSplitDrift(spark, d).collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq == (0 to 9), "one row per fixed bucket")
+    // PSI buckets must partition exactly the train/valid population the
+    // split assigns — no document lost to a bucket-boundary or join bug
+    val splits = Sampling.qHashSplit(spark, d).groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getLong(1)).sum == splits.getOrElse("train", 0L))
+    assert(out.map(_.getLong(2)).sum == splits.getOrElse("valid", 0L))
+    // (p-q) and ln(p/q) always share a sign, so every term is >= 0 — and
+    // Laplace smoothing keeps both shares finite on empty buckets
+    out.foreach(r => assert(r.getDouble(3) >= 0.0, s"psi term negative: $r"))
+  }
 }
