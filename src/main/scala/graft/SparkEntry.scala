@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Curation, Dedup, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -154,6 +154,10 @@ object SparkEntry {
     "domain_mix"          -> (Pipeline.qDomainMix _),
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
+    // ---- graph analytics (iterative join+agg rounds) ----
+    "pagerank"            -> (Graph.qPageRank _),
+    // ---- cross-source distribution drift ----
+    "corpus_divergence"   -> (TextOps.qCorpusDivergence _),
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -1354,6 +1358,60 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin,
+
+    // Integer micro-unit PageRank: every division is `//` (DuckDB) / `div`
+    // (Spark) on BIGINT, sums stay integral (HUGEINT→BIGINT cast), so the
+    // 3-round recurrence is bit-exact across engines. The CTE chain is the
+    // Graph.pageRank loop unrolled (1e12 = Graph.PrScale, 3 = Graph.PrIters).
+    "pagerank" ->
+      """WITH ol AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM ol UNION ALL SELECT dst AS src, src AS dst FROM ol),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT node, outdeg, 1000000000000 // n AS pr FROM deg CROSS JOIN nn),
+        |i1 AS (SELECT e.dst AS node, CAST(sum(r.pr // r.outdeg) AS BIGINT) AS inflow
+        |       FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1),
+        |r1 AS (SELECT d.node, d.outdeg,
+        |         (15 * (1000000000000 // nn.n)) // 100 + (85 * i1.inflow) // 100 AS pr
+        |       FROM i1 JOIN deg d ON i1.node = d.node CROSS JOIN nn),
+        |i2 AS (SELECT e.dst AS node, CAST(sum(r.pr // r.outdeg) AS BIGINT) AS inflow
+        |       FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1),
+        |r2 AS (SELECT d.node, d.outdeg,
+        |         (15 * (1000000000000 // nn.n)) // 100 + (85 * i2.inflow) // 100 AS pr
+        |       FROM i2 JOIN deg d ON i2.node = d.node CROSS JOIN nn),
+        |i3 AS (SELECT e.dst AS node, CAST(sum(r.pr // r.outdeg) AS BIGINT) AS inflow
+        |       FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1),
+        |r3 AS (SELECT d.node, d.outdeg,
+        |         (15 * (1000000000000 // nn.n)) // 100 + (85 * i3.inflow) // 100 AS pr
+        |       FROM i3 JOIN deg d ON i3.node = d.node CROSS JOIN nn)
+        |SELECT node, pr FROM r3""".stripMargin,
+
+    // Per-word JS terms are doubles with the SAME expression tree as the
+    // Spark side (left-assoc 0.5*p*ln((2.0*p)/(p+q))), rounded to 12 dp
+    // and summed as DECIMAL(30,12) — order-invariant — then rounded to 6.
+    "corpus_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest($WORDS) AS w FROM documents),
+         |counts AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+         |vocab AS (SELECT DISTINCT w FROM counts),
+         |vs AS (SELECT count(*) AS v FROM vocab),
+         |pairs AS (SELECT a.source AS source_a, a.tot AS tot_a,
+         |                 b.source AS source_b, b.tot AS tot_b
+         |          FROM totals a, totals b WHERE a.source < b.source),
+         |pq AS (SELECT pa.source_a, pa.source_b,
+         |         (CAST(COALESCE(ca.c, 0) AS DOUBLE) + 1.0)
+         |           / CAST(pa.tot_a + vs.v AS DOUBLE) AS p,
+         |         (CAST(COALESCE(cb.c, 0) AS DOUBLE) + 1.0)
+         |           / CAST(pa.tot_b + vs.v AS DOUBLE) AS q
+         |       FROM vocab v CROSS JOIN pairs pa CROSS JOIN vs
+         |       LEFT JOIN counts ca ON ca.source = pa.source_a AND ca.w = v.w
+         |       LEFT JOIN counts cb ON cb.source = pa.source_b AND cb.w = v.w)
+         |SELECT source_a, source_b, count(*) AS n_terms,
+         |  round(CAST(sum(CAST(round(
+         |      0.5 * p * ln(2.0 * p / (p + q)) + 0.5 * q * ln(2.0 * q / (p + q)),
+         |    12) AS DECIMAL(30,12))) AS DOUBLE), 6) AS js
+         |FROM pq GROUP BY 1, 2""".stripMargin,
   )
 
   /** Machine-readable manifest of every registered query with NO

@@ -95,6 +95,59 @@ object TextOps {
         max(col("toks")).as("max_tokens"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the unigram distributions
+    * of every two corpus sources — the "did this crawl slice drift from
+    * the rest of the mix" check a data pipeline runs before admitting a
+    * new source into the training blend (the cross-source sibling of the
+    * train/valid PSI gate in [[Sampling.qSplitDrift]]).
+    *
+    * Scale shape: after the one shared token explode, everything is
+    * VOCAB-grain — per-(source, word) counts come out of a map-side-
+    * combined aggregation, the (pair × word) grid is vocab-sized, and the
+    * per-source totals / vocab size are 1-row broadcasts. Nothing
+    * document-sized ever shuffles, so the op costs one corpus scan plus
+    * vocab-sized joins regardless of corpus size.
+    *
+    * Determinism: each JS term is a per-word double (Laplace-smoothed over
+    * the UNION vocab so both shares are finite; a word absent from both
+    * sources of a pair contributes exactly ln(1) = 0), rounded to 12 dp
+    * and summed as decimal(30,12) — order-invariant and exact across
+    * engines — then rounded to 6 dp. JS is symmetric, so only (a < b)
+    * pairs are emitted; values live in [0, ln 2]. */
+  def qCorpusDivergence(s: SparkSession, d: String): DataFrame =
+    corpusDivergence(documents(s, d))
+
+  def corpusDivergence(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(normWords(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val vocab = counts.select(col("w")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val pairs = totals.select(col("source").as("source_a"), col("tot").as("tot_a"))
+      .crossJoin(totals.select(col("source").as("source_b"), col("tot").as("tot_b")))
+      .filter(col("source_a") < col("source_b"))
+    val grid = vocab.crossJoin(broadcast(pairs)).crossJoin(broadcast(vsize))
+    val joined = grid
+      .join(counts.select(col("source").as("source_a"), col("w"), col("c").as("c_a")),
+        Seq("source_a", "w"), "left")
+      .join(counts.select(col("source").as("source_b"), col("w"), col("c").as("c_b")),
+        Seq("source_b", "w"), "left")
+      .select(col("source_a"), col("source_b"),
+        ((coalesce(col("c_a"), lit(0L)).cast("double") + lit(1.0))
+          / (col("tot_a") + col("v")).cast("double")).as("p"),
+        ((coalesce(col("c_b"), lit(0L)).cast("double") + lit(1.0))
+          / (col("tot_b") + col("v")).cast("double")).as("q"))
+    val term =
+      lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+      lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))
+    joined
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(round(term, 12).cast("decimal(30,12)")).cast("double"), 6).as("js"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
     * digit runs / single other glyph), and unique-token count. */
   def qTokenCount(s: SparkSession, d: String): DataFrame = {
