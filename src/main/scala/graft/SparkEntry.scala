@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "dedup_incremental_bloom" -> (Dedup.qDedupIncrementalBloom _), // bloom-pruned plan, same oracle
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
+    "prefix_jaccard"      -> (Dedup.qPrefixJaccard _),
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
@@ -149,6 +150,7 @@ object SparkEntry {
     "stratified_sample"   -> (Sampling.qStratifiedSample _),
     "global_shuffle"      -> (Sampling.qGlobalShuffle _),
     "split_drift"         -> (Sampling.qSplitDrift _),
+    "domain_cap"          -> (Sampling.qDomainCap _),
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
     "domain_mix"          -> (Pipeline.qDomainMix _),
@@ -465,6 +467,16 @@ object SparkEntry {
          |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
 
+    // prefix_jaccard is output-identical to ngram_jaccard by construction
+    // (prefix filtering only prunes candidate GENERATION; verification
+    // recomputes the exact capped intersection) — same oracle, verbatim
+    "prefix_jaccard" ->
+      s"""WITH $NGRAM_CTES
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
+         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+
     "minhash_lsh_md5" ->
       // generated wide-form SQL: 64 min(md5) aggregates (lexicographic min
       // of fixed-width hex == numeric min of the permutation value), 16
@@ -703,6 +715,14 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY bucket ORDER BY skey, doc_id) AS rn FROM b)
          |SELECT r.doc_id, CAST(o.base + r.rn - 1 AS BIGINT) AS shuffle_pos
          |FROM r JOIN o USING (bucket)""".stripMargin,
+
+    "domain_cap" ->
+      """WITH k AS (SELECT doc_id, source,
+        |            md5('cap:' || CAST(doc_id AS VARCHAR)) AS ckey FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY ckey, doc_id) AS BIGINT)
+        |    AS cap_rank FROM k)
+        |SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= 30""".stripMargin,
 
     "split_drift" ->
       s"""WITH t AS (SELECT doc_id, $WORDS AS words FROM documents),

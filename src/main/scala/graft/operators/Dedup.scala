@@ -118,6 +118,74 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 3).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard join (prefix_jaccard): the SAME output
+    * as [[qNgramJaccard]] — provably, so it shares that oracle — with the
+    * candidate-generation join pruned by the positional prefix filter of
+    * the set-similarity-join literature (AllPairs/PPJoin family).
+    *
+    * Bound derivation for threshold t = 0.5, full per-doc shingle counts
+    * n_a, n_b and capped intersection i (the DF cap excludes hot shingles
+    * from i on BOTH sides, matching [[ngramJaccardFrom]]):
+    * j = i/(n_a+n_b−i) ≥ 1/2 ⟺ 3i ≥ n_a+n_b. With i ≤ n_b that gives the
+    * size filter n_b ≥ n_a/2, and substituting the smallest admissible
+    * partner back: i ≥ (n_a + n_a/2)/3 = n_a/2, so every qualifying pair
+    * overlaps doc a in ≥ α_a = ⌈n_a/2⌉ capped shingles. The single-sided
+    * prefix lemma then applies: doc a's last α_a−1 shingles (in ANY fixed
+    * global order) can cover at most α_a−1 of those, so a's first
+    * c_a−α_a+1 capped shingles (c_a = capped count) must contain at least
+    * one shared shingle — which, being shared, sits in b's FULL capped
+    * set. Hence candidates = prefix ⋈ full, NOT prefix ⋈ prefix (the
+    * tempting symmetric join is unsound for asymmetric per-record α: two
+    * suffixes of α_a−1 and α_b−1 elements can jointly hide
+    * α_a+α_b−2 ≥ α_pair shared shingles once n_a+n_b ≥ 12).
+    *
+    * Scale win: the inverted-index self-join costs Σ_s df(s)² over every
+    * shingle; here the probe side is only each doc's prefix — about half
+    * its shingles, and the RAREST half, because the global order is
+    * ascending document frequency — so the join work collapses to
+    * Σ_{s∈prefixes} df_prefix(s)·df(s) with the high-df shingles exactly
+    * the ones prefixes exclude. Verification then computes the true
+    * intersection ONLY for candidate pairs (a doc_id-keyed join, fact
+    * rows never re-join by shingle). Candidate-superset + output equality
+    * vs [[qNgramJaccard]] are pinned in OperatorSpec. */
+  def qPrefixJaccard(s: SparkSession, d: String): DataFrame =
+    prefixJaccardFrom(shingleTable(documents(s, d)).persist())
+
+  /** See [[qPrefixJaccard]]; same contract as [[ngramJaccardFrom]]. */
+  def prefixJaccardFrom(ex: DataFrame): DataFrame = {
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfs = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val exCapped = ex.join(dfs.filter(col("df") <= ShingleDfCap), Seq("shingle"))
+      .select(col("doc_id"), col("shingle"), col("df"))
+    // rarest-first global order; per-doc position and capped-set size
+    val docW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = exCapped
+      .withColumn("srank", row_number().over(docW.orderBy(col("df"), col("shingle"))))
+      .withColumn("ca", count(lit(1)).over(docW))
+      .join(counts.select(col("doc_id").as("cdoc"), col("n")),
+        col("doc_id") === col("cdoc"))
+    // α = ceil(n/2); keep the first ca − α + 1 capped shingles
+    val prefix = ranked
+      .filter(col("srank") <= col("ca") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("p").join(exCapped.as("f"),
+        col("p.shingle") === col("f.shingle") && col("p.doc_id") < col("f.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("f.doc_id").as("doc_b"))
+      .distinct()
+    val inter = exCapped.as("a")
+      .join(cand, col("a.doc_id") === col("doc_a"))
+      .join(exCapped.as("b"),
+        col("b.doc_id") === col("doc_b") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("ca.n") + col("cb.n") - col("inter")).cast("double")
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(j >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(j, 3).as("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the exact Jaccard
     * pair graph, with the canonical representative (min doc_id) as the
     * cluster id — the step a real dedup pass runs after pair generation,

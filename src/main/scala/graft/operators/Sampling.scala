@@ -97,6 +97,53 @@ object Sampling {
         (col("base") + row_number().over(rankW) - 1).cast("long").as("shuffle_pos"))
   }
 
+  /** Per-domain document cap (domain_cap): keep at most `cap` documents
+    * per source domain, chosen by content-keyed md5 rank — the standard
+    * web-corpus guard against a single crawl domain dominating the
+    * training mix. Deterministic and growth-stable like [[hashSplit]]:
+    * a kept document stays kept when the corpus grows unless cap-many
+    * better-ranked documents arrive in ITS domain.
+    *
+    * Scale shape: the naive form is one `row_number` window per domain —
+    * which serializes a billion-page domain into a single task, the exact
+    * skew this op exists to correct. Instead the rank is two-level (the
+    * [[globalShuffle]] trick): a partial top-cap within each of 256
+    * md5-prefix salt buckets (parallelism 256× per domain; a bucket's
+    * top-cap is a superset filter because the salt is a PREFIX of the
+    * rank key, so bucket-local order == global order restricted to the
+    * bucket), then the real window over the ≤ 256·cap survivors per
+    * domain. Equality with the single-window form is pinned in
+    * OperatorSpec. */
+  def qDomainCap(s: SparkSession, d: String): DataFrame =
+    domainCap(documents(s, d), "source", "doc_id", cap = 30)
+
+  /** See [[qDomainCap]]. */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    val keyed = df.select(col(domainCol), col(idCol),
+        md5(concat(lit("cap:"), col(idCol).cast("string"))).as("ckey"))
+      .withColumn("salt", conv(substring(col("ckey"), 1, 2), 16, 10).cast("int"))
+    val partialW = Window.partitionBy(col(domainCol), col("salt"))
+      .orderBy(col("ckey"), col(idCol))
+    val finalW = Window.partitionBy(col(domainCol)).orderBy(col("ckey"), col(idCol))
+    keyed
+      .withColumn("prank", row_number().over(partialW))
+      .filter(col("prank") <= cap)
+      .withColumn("cap_rank", row_number().over(finalW).cast("long"))
+      .filter(col("cap_rank") <= cap)
+      .select(col(idCol), col(domainCol), col("cap_rank"))
+  }
+
+  /** The single-window reference form of [[domainCap]] — kept for the
+    * OperatorSpec equality pin; not registered (it is the skew-prone
+    * shape the two-level form replaces). */
+  def domainCapSingleWindow(df: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    val key = md5(concat(lit("cap:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(domainCol)).orderBy(key, col(idCol))
+    df.select(col(idCol), col(domainCol))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
+
   /** Split-drift check (split_drift): Population Stability Index between
     * the train and valid splits over the quality-score distribution — the
     * post-split validation a training pipeline runs to confirm a

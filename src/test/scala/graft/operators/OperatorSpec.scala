@@ -214,6 +214,40 @@ class OperatorSpec extends AnyFunSuite {
       "near-dup must be closer than disjoint content")
   }
 
+  test("prefix_jaccard equals ngram_jaccard row-for-row on the corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.qNgramJaccard(spark, d))
+    val pref = rows(Dedup.qPrefixJaccard(spark, d))
+    assert(exact.nonEmpty, "fixture must produce pairs or the equality is vacuous")
+    assert(pref == exact,
+      s"missed=${(exact -- pref).take(3)} extra=${(pref -- exact).take(3)}")
+  }
+
+  test("prefix_jaccard: DF-capped hot shingles leave the output identical to the inverted-index join") {
+    import spark.implicits._
+    // every doc ends with the same 3 words, so 'common run here' has
+    // df = 123 > ShingleDfCap and is excluded from intersection counting
+    // on both paths; a near-dup pair and an exact-dup pair hide among
+    // 120 otherwise-unique docs
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = base.split(" ").init.mkString(" ") + " flip" // one word changed
+    val hot = "common run here"
+    val docs = ((1 to 120).map(i => (i.toLong, s"u${i}a u${i}b u${i}c u${i}d $hot")) ++
+      Seq((201L, s"$base $hot"), (202L, s"$near $hot"), (203L, s"$base $hot")))
+      .toDF("doc_id", "text")
+    val ex = Dedup.shingleTable(docs).persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inv = rows(Dedup.ngramJaccardFrom(ex))
+      val pref = rows(Dedup.prefixJaccardFrom(ex))
+      assert(inv.exists(p => p._1 == 201L && p._2 == 203L), "exact-dup pair must survive the cap")
+      assert(inv.exists(p => p._1 == 201L && p._2 == 202L), "near-dup pair must qualify")
+      assert(pref == inv, s"missed=${(inv -- pref).take(3)} extra=${(pref -- inv).take(3)}")
+    } finally ex.unpersist()
+  }
+
   test("md5-permutation MinHash (oracle twin) recovers the same true pairs as xxhash") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -35,6 +35,34 @@ class SamplingSpec extends AnyFunSuite {
     half.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved splits") }
   }
 
+  test("domain_cap: two-level rank equals the single-window reference; caps bind; ranks contiguous") {
+    val docs = graft.Tables.documents(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val two = rows(Sampling.domainCap(docs, "source", "doc_id", 7))
+    val one = rows(Sampling.domainCapSingleWindow(docs, "source", "doc_id", 7))
+    assert(two == one, "salted two-level rank must be indistinguishable from the single window")
+    val perDomain = two.groupBy(_._2).view.mapValues(_.map(_._3).toList.sorted).toMap
+    perDomain.foreach { case (src, ranks) =>
+      assert(ranks.size <= 7, s"$src over cap: ${ranks.size}")
+      assert(ranks == (1L to ranks.size).toList, s"$src ranks not contiguous: $ranks")
+    }
+    assert(two.exists(_._3 == 7L), "cap must bind at this scale for the test to mean anything")
+  }
+
+  test("domain_cap: kept documents stay kept when their domain shrinks") {
+    // removal can only promote survivors up the per-domain md5 rank —
+    // never evict them (the same growth-stability contract as hash_split,
+    // in the only direction a cap can promise)
+    val docs = graft.Tables.documents(spark, d)
+    val full = Sampling.domainCap(docs, "source", "doc_id", 7)
+      .collect().map(_.getLong(0)).toSet
+    val halfKeep = Sampling.domainCap(docs.filter(col("doc_id") % 2 === 0), "source", "doc_id", 7)
+      .collect().map(_.getLong(0)).toSet
+    full.filter(_ % 2 == 0).foreach(id =>
+      assert(halfKeep.contains(id), s"doc $id evicted by corpus shrink"))
+  }
+
   test("global_shuffle emits a permutation of 0..N-1, deterministic across evaluations") {
     val out = Sampling.qGlobalShuffle(spark, d)
     val pos = out.collect().map(_.getLong(1)).sorted
