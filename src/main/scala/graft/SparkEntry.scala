@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Curation, Dedup, Graph, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Graph, Layout, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -131,6 +131,8 @@ object SparkEntry {
     "pii_scrub"           -> (Curation.qPiiScrub _),
     "signal_projection"   -> (Curation.qSignalProjection _),
     "segment_dedup"       -> (Curation.qSegmentDedup _),
+    "boilerplate_strip"   -> (Curation.qBoilerplateStrip _), // corpus-frequency segment removal (CCNet-style)
+    "robust_outliers"     -> (Curation.qRobustOutliers _), // median/MAD per-source length gate
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
@@ -151,6 +153,9 @@ object SparkEntry {
     "global_shuffle"      -> (Sampling.qGlobalShuffle _),
     "split_drift"         -> (Sampling.qSplitDrift _),
     "domain_cap"          -> (Sampling.qDomainCap _),
+    "weighted_sample"     -> (Sampling.qWeightedSample _), // integer systematic token-weighted sampling
+    // ---- data layout (multi-dimensional clustering) ----
+    "zorder_key"          -> (Layout.qZorderKey _), // Morton key over integer min-max buckets
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
     "domain_mix"          -> (Pipeline.qDomainMix _),
@@ -175,6 +180,14 @@ object SparkEntry {
     (1 to n)
       .map(k => s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1) * ${1L << (4 * (n - k))}")
       .mkString("(", " + ", ")")
+  /** DuckDB fragment mirroring Layout.spread16's Morton magic-mask
+    * cascade ((x | x<<s) & m per step) on a BIGINT expression `e` —
+    * fully parenthesized; e is duplicated 2^4 times so pass a short
+    * column reference, not a subexpression. */
+  private def duckSpread(e: String): String =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(e) { case (x, (s, m)) => s"((($x) | (($x) << $s)) & $m)" }
+
   /** dot(a,b) over dim-64 float lists in double, sequential fold like
     * Spark's `aggregate` (same accumulation order → identical doubles). */
   private def dot(a: String, b: String) =
@@ -724,6 +737,35 @@ object SparkEntry {
         |    AS cap_rank FROM k)
         |SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= 30""".stripMargin,
 
+    // weighted_sample: one global window cumsum here; the engine's form is
+    // the two-level bucket + broadcast-prefix-sum equivalent (same answer,
+    // pinned in SamplingSpec).
+    "weighted_sample" ->
+      s"""WITH k AS (SELECT doc_id, CAST(len($WORDS) AS BIGINT) AS n_tokens,
+         |             md5('ws:' || CAST(doc_id AS VARCHAR)) AS ckey FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (ORDER BY ckey, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw
+         |      FROM k)
+         |SELECT doc_id, n_tokens,
+         |  CAST((cw + n_tokens) // ${Sampling.SampleStep} - cw // ${Sampling.SampleStep} AS BIGINT) AS n_picks
+         |FROM c WHERE (cw + n_tokens) // ${Sampling.SampleStep} > cw // ${Sampling.SampleStep}""".stripMargin,
+
+    "zorder_key" ->
+      s"""WITH d AS (SELECT o_orderkey, o_custkey,
+         |             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day
+         |           FROM orders),
+         |b AS (SELECT min(o_custkey) AS xlo, max(o_custkey) AS xhi,
+         |             min(d_day) AS ylo, max(d_day) AS yhi FROM d),
+         |k AS (SELECT o_orderkey,
+         |        ((o_custkey - xlo) * 65536) // (xhi - xlo + 1) AS bucket_x,
+         |        ((d_day - ylo) * 65536) // (yhi - ylo + 1) AS bucket_y
+         |      FROM d, b)
+         |SELECT o_orderkey, CAST(bucket_x AS BIGINT) AS bucket_x,
+         |  CAST(bucket_y AS BIGINT) AS bucket_y,
+         |  CAST(${duckSpread("bucket_x")} | (${duckSpread("bucket_y")} << 1) AS BIGINT) AS zkey
+         |FROM k""".stripMargin,
+
     "split_drift" ->
       s"""WITH t AS (SELECT doc_id, $WORDS AS words FROM documents),
          |qv AS (SELECT doc_id,
@@ -1171,6 +1213,37 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
          |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
          |FROM mark GROUP BY doc_id""".stripMargin,
+
+    // boilerplate_strip shares segment_dedup's segment grid; the policy
+    // differs (df >= BoilerplateDocFreq removes the segment EVERYWHERE,
+    // keep-first keeps one copy) so the mark CTE is the only change.
+    "boilerplate_strip" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
+         |seg AS (SELECT doc_id, s.s AS seg,
+         |    array_to_string(l[(s.s * ${Curation.SegWords} + 1):(s.s * ${Curation.SegWords} + ${Curation.SegWords})], ' ') AS seg_text
+         |  FROM w, LATERAL (SELECT unnest(range(0,
+         |    CAST(ceil(len(l) / ${Curation.SegWords}.0) AS BIGINT))) AS s) s),
+         |hot AS (SELECT seg_text FROM seg GROUP BY seg_text
+         |        HAVING count(DISTINCT doc_id) >= ${Curation.BoilerplateDocFreq}),
+         |mark AS (SELECT doc_id, seg, seg_text,
+         |    seg_text NOT IN (SELECT seg_text FROM hot) AS kept FROM seg)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
+         |FROM mark GROUP BY doc_id""".stripMargin,
+
+    // robust_outliers: interpolated medians of integer token counts end in
+    // .0/.5 (exact doubles), so every derived value and the boolean are
+    // engine-portable with no rounding guard (see Curation.robustOutliers).
+    "robust_outliers" ->
+      s"""WITH lens AS (SELECT doc_id, source, CAST(len($WORDS) AS BIGINT) AS len FROM documents),
+         |med AS (SELECT source, quantile_cont(len, 0.5) AS med FROM lens GROUP BY source),
+         |dev AS (SELECT l.doc_id, l.source, l.len, m.med, abs(l.len - m.med) AS adev
+         |        FROM lens l JOIN med m USING (source)),
+         |mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source)
+         |SELECT d.doc_id, d.source, d.len, d.med, a.mad,
+         |  CASE WHEN a.mad = 0 THEN d.adev > 0 ELSE d.adev > ${Curation.MadK} * a.mad END AS is_outlier
+         |FROM dev d JOIN mad a USING (source)""".stripMargin,
 
     "q38_edit_distance" ->
       s"""WITH $NGRAM_CTES,

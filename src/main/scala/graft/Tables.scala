@@ -13,23 +13,34 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects at analysis time. Read it as a raw long (legacy nanosAsLong —
-    * the SESSION must be built with `spark.sql.legacy.parquet.nanosAsLong=
-    * true`; Bench/Verify/PlanDump and the test fixture all set it, and this
-    * loader no longer mutates session conf as a side effect) and truncate
-    * to microseconds with INTEGER division (`div`) — a double division
-    * would lose precision above 2^53 ns and drift the truncation by a few
-    * microseconds vs the DuckDB oracle. Oracle SQL reads nanos natively, so
-    * any query emitting `ts`-derived values must truncate at or above
-    * microsecond granularity on both sides. */
+  /** events.parquet has shipped `ts` both as parquet TIMESTAMP(NANOS)
+    * (rounds ≤ 7) and as plain TIMESTAMP(MICROS) (driver regeneration,
+    * round 8) — this loader adapts on the READ SCHEMA so either vintage
+    * of the table works:
+    *
+    *  - nanos: Spark 4 rejects TIMESTAMP(NANOS) at analysis time, so the
+    *    session must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (Bench/Verify/PlanDump and the test fixture all do), the column
+    *    arrives as a raw long, and we truncate to microseconds with
+    *    INTEGER division (`div` — a double division would lose precision
+    *    above 2^53 ns and drift vs the oracle).
+    *  - micros: the column arrives as a timestamp (NTZ under the default
+    *    inference) and is cast to the session-UTC TimestampType — the
+    *    same wall-clock instants the nanos path produced.
+    *
+    * The DuckDB oracle side is width-agnostic already: every events oracle
+    * goes through `epoch_ns(ts)//1000`, which yields identical micros for
+    * TIMESTAMP_NS and TIMESTAMP inputs. Any query emitting `ts`-derived
+    * values must keep truncating at or above microsecond granularity on
+    * both sides. */
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -537,4 +537,102 @@ object Curation {
           x => x.getField("seg_text")),
         " ").as("clean_text"))
   }
+
+  // ---------------------------------------------------------------------
+  // Corpus-frequency boilerplate removal (CCNet/RefinedWeb line dedup)
+  // ---------------------------------------------------------------------
+
+  /** A segment is boilerplate when it appears in at least this many
+    * DISTINCT documents. */
+  val BoilerplateDocFreq = 3
+
+  /** Frequency-thresholded boilerplate strip: the CCNet-style "remove
+    * lines that repeat across the corpus" pass (the corpus has no line
+    * breaks, so the unit is the same [[SegWords]]-word segment grid as
+    * [[segmentDedup]]). Differs from segment_dedup's keep-first policy in
+    * BOTH direction and threshold: a segment seen in ≥ [[BoilerplateDocFreq]]
+    * distinct documents is removed from EVERY document — including the
+    * first — because cross-site boilerplate (cookie banners, nav text,
+    * license footers) is noise wherever it appears, while a one-off
+    * duplicated span is kept in all documents below the threshold.
+    *
+    * Scale shape: the hot-segment table is the df ≥ K HEAD of the segment
+    * frequency distribution — at most (total segments)/K entries and in
+    * practice tiny — but the mark join deliberately stays a plain equi
+    * join on seg_text (AQE broadcasts it when small) rather than a
+    * hard-coded broadcast, because "boilerplate head is small" is an
+    * empirical property, not an invariant. Everything else is the
+    * segment_dedup shuffle shape: one (doc_id, seg) agg, one seg_text
+    * join, one doc_id reassembly agg. Nothing quadratic, no driver data.
+    */
+  def qBoilerplateStrip(s: SparkSession, d: String): DataFrame =
+    boilerplateStrip(documents(s, d))
+
+  def boilerplateStrip(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), posexplode(TextOps.normWords(col("text"))).as(Seq("pos", "w")))
+    val segs = toks
+      .groupBy(col("doc_id"), floor(col("pos") / SegWords).cast("long").as("seg"))
+      .agg(concat_ws(" ",
+        (0 until SegWords).map(k => max(when(col("pos") % SegWords === k, col("w")))): _*)
+        .as("seg_text"))
+    val hot = segs.groupBy(col("seg_text"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerplateDocFreq)
+      .select(col("seg_text"), lit(true).as("hot"))
+    segs.join(hot, Seq("seg_text"), "left")
+      .withColumn("kept", col("hot").isNull)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("seg"), col("seg_text"))))),
+            x => x.getField("seg_text")),
+          " ").as("clean_text"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Robust outlier gate (median / MAD)
+  // ---------------------------------------------------------------------
+
+  /** MAD multiplier: |len − median| > MadK·MAD flags an outlier. */
+  val MadK = 3.0
+
+  /** Robust per-source length-outlier gate: median and median-absolute-
+    * deviation of the whitespace token count within each source domain,
+    * flagging documents more than [[MadK]]·MAD from their source's median.
+    * The robust (median/MAD) form survives exactly the contamination it
+    * screens for — a handful of pathological giant or empty documents
+    * shifts a mean/stddev gate but leaves the median untouched.
+    *
+    * Degenerate MAD = 0 (over half the source is one length) falls back to
+    * "any deviation is an outlier" — the standard modified-z-score
+    * convention, pinned in CurationSpec.
+    *
+    * Exactness: token counts are integers, so the interpolated medians end
+    * in .0/.5 — exact in binary doubles — and every derived value
+    * (|len − med|, its median, MadK·mad) is exact, making the boolean
+    * engine-portable with no rounding guard. Scale shape: two per-source
+    * exact-percentile aggs (source is dimension-sized; each group's sort
+    * is a partial agg per source, not a global window) and two broadcast
+    * joins of the dimension-sized stat tables back to the corpus. */
+  def qRobustOutliers(s: SparkSession, d: String): DataFrame =
+    robustOutliers(documents(s, d))
+
+  def robustOutliers(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("doc_id"), col("source"),
+      size(TextOps.normWords(col("text"))).cast("long").as("len"))
+    val med = lens.groupBy(col("source"))
+      .agg(percentile(col("len"), lit(0.5)).as("med"))
+    val dev = lens.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs(col("len") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .select(col("doc_id"), col("source"), col("len"),
+        col("med"), col("mad"),
+        when(col("mad") === 0.0, col("adev") > 0.0)
+          .otherwise(col("adev") > lit(MadK) * col("mad")).as("is_outlier"))
+  }
 }

@@ -48,6 +48,42 @@ object Layout {
       lit(0L)), lit(65535L))
   }
 
+  /** Integer-exact min-max bucketization: ((x − lo)·2^16) div (hi − lo + 1)
+    * for integer `c` with integer column bounds — pure BIGINT arithmetic
+    * (no doubles, so the result is engine-portable to the digit), onto
+    * [0, 2^16) because x − lo ≤ hi − lo < hi − lo + 1. */
+  def bucketInt16(c: Column, lo: Column, hi: Column): Column =
+    call_function("div",
+      (c.cast("long") - lo) * lit(65536L), hi - lo + lit(1L)).cast("long")
+
+  /** Z-order clustering key over orders (zorder_key): the registered,
+    * oracle-exact face of [[writeZOrdered]] — Morton-interleaves integer
+    * min-max buckets of the customer key and the order date's epoch-day,
+    * the two columns an orders fact is actually range-filtered on. A
+    * rewrite job range-partitions on `zkey` (see [[writeZOrdered]]) and
+    * every file then covers a compact rectangle of (customer, date) space,
+    * so min-max footer stats prune scans on EITHER dimension; LayoutSpec
+    * measures the pruning.
+    *
+    * Scale shape: the global min/max is a 1-row agg CROSS-JOINED back
+    * broadcast-style — no driver collect in the plan — and the key itself
+    * is a codegen'd shift/and/or chain ([[spread16]]); the whole query is
+    * scan → 1-row agg broadcast → map. Exactness: [[bucketInt16]] is pure
+    * integer math, `div`/`//` agree on non-negative operands. */
+  def qZorderKey(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+      .withColumn("d_day",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01"))).cast("long"))
+    val bounds = o.agg(
+      min(col("o_custkey")).as("xlo"), max(col("o_custkey")).as("xhi"),
+      min(col("d_day")).as("ylo"), max(col("d_day")).as("yhi"))
+    val bx = bucketInt16(col("o_custkey"), col("xlo"), col("xhi"))
+    val by = bucketInt16(col("d_day"), col("ylo"), col("yhi"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"), bx.as("bucket_x"), by.as("bucket_y"),
+        interleave16(bx, by).as("zkey"))
+  }
+
   /** Z-order `df` on two numeric columns and write `nFiles` parquet files,
     * each covering a compact rectangle of (colA, colB) space. The global
     * min/max agg is the only driver-visible data (4 doubles); the rewrite

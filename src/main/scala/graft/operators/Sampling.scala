@@ -144,6 +144,66 @@ object Sampling {
       .filter(col("cap_rank") <= cap)
   }
 
+  /** Tokens of sampling interval per pick for [[weightedSample]]. */
+  val SampleStep = 1000L
+
+  /** Weight-proportional systematic sampling (weighted_sample): pick
+    * documents with probability proportional to token count, in EXACT
+    * integer arithmetic — no RNG state, no floating-point keys, no
+    * rejection loop. Documents are laid end-to-end on an integer token
+    * axis in content-key order (md5, so the order is corpus-growth-stable
+    * and uncorrelated with weight); a document is picked once for every
+    * multiple of [[SampleStep]] its [cum, cum+w) interval covers, so
+    * n_picks is its exact systematic-sampling multiplicity (a 2·step
+    * document gets ≥ 2 picks — the with-replacement semantics temperature
+    * samplers expect), and Σ n_picks = totalTokens div step identically.
+    *
+    * Scale shape: the cumulative sum is NOT a global window — the md5
+    * key's first byte buckets rows 256 ways, per-bucket sums come from a
+    * hash-partitioned window (bucket is a PREFIX of the order key, so
+    * bucket-local order == global order restricted to the bucket), and
+    * the 256 bucket totals prefix-sum in a broadcast dimension table —
+    * the [[globalShuffle]] trick. Equality with the single-window form is
+    * pinned in SamplingSpec. */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(
+      documents(s, d).select(col("doc_id"),
+        size(graft.operators.TextOps.normWords(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", SampleStep)
+
+  /** See [[qWeightedSample]]; `df` must carry unique `idCol` + integer
+    * weight `wCol`. */
+  def weightedSample(df: DataFrame, idCol: String, wCol: String, step: Long): DataFrame = {
+    val keyed = df
+      .select(col(idCol), col(wCol),
+        md5(concat(lit("ws:"), col(idCol).cast("string"))).as("ckey"))
+      .withColumn("bucket", conv(substring(col("ckey"), 1, 2), 16, 10).cast("long"))
+    val offW = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket")).agg(sum(col(wCol)).as("wsum"))
+      .select(col("bucket"), coalesce(sum(col("wsum")).over(offW), lit(0L)).as("base"))
+    val cumW = Window.partitionBy(col("bucket")).orderBy(col("ckey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offsets), "bucket")
+      .withColumn("cw", col("base") + coalesce(sum(col(wCol)).over(cumW), lit(0L)))
+      .withColumn("n_picks",
+        (expr(s"(cw + $wCol) div $step") - expr(s"cw div $step")).cast("long"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col(wCol), col("n_picks"))
+  }
+
+  /** Single-global-window reference form of [[weightedSample]] — kept for
+    * the SamplingSpec equality pin; not registered. */
+  def weightedSampleSingleWindow(df: DataFrame, idCol: String, wCol: String, step: Long): DataFrame = {
+    val key = md5(concat(lit("ws:"), col(idCol).cast("string")))
+    val cumW = Window.orderBy(key, col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(wCol))
+      .withColumn("cw", coalesce(sum(col(wCol)).over(cumW), lit(0L)))
+      .withColumn("n_picks",
+        (expr(s"(cw + $wCol) div $step") - expr(s"cw div $step")).cast("long"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col(wCol), col("n_picks"))
+  }
+
   /** Split-drift check (split_drift): Population Stability Index between
     * the train and valid splits over the quality-score distribution — the
     * post-split validation a training pipeline runs to confirm a

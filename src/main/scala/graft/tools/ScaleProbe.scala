@@ -120,7 +120,13 @@ object ScaleProbe {
       "bpe_tokenize" -> TextOps.qBpeTokenize _,
       "media_features" -> ((s: SparkSession, dir: String) =>
         graft.operators.Multimodal.extractFeatures(
-          graft.operators.Multimodal.mediaFromDocuments(s, dir)).toDF()))
+          graft.operators.Multimodal.mediaFromDocuments(s, dir)).toDF()),
+      "prefix_jaccard" -> Dedup.qPrefixJaccard _,
+      "domain_cap" -> Sampling.qDomainCap _,
+      "weighted_sample" -> Sampling.qWeightedSample _,
+      "boilerplate_strip" -> Curation.qBoilerplateStrip _,
+      "robust_outliers" -> Curation.qRobustOutliers _,
+      "zorder_key" -> graft.operators.Layout.qZorderKey _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

@@ -330,4 +330,75 @@ class CurationSpec extends AnyFunSuite {
     // documents can cross the 0.5 threshold, and most docs aren't dups
     assert(flagged < n / 2, s"$flagged of $n flagged — threshold degenerate")
   }
+
+  // ------------------------------------------- boilerplate strip (df >= K)
+
+  test("boilerplate_strip removes a >=3-doc segment from EVERY document and keeps 2-doc repeats everywhere") {
+    val boiler = (1 to 10).map(i => s"cookie$i").mkString(" ")
+    val twice = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val u = (1 to 5).map(k => (1 to 10).map(i => s"u${k}w$i").mkString(" "))
+    val docs = docsDf(
+      (1L, s"$boiler ${u(0)}", "s"),
+      (2L, s"$boiler ${u(1)}", "s"),
+      (3L, s"$boiler ${u(2)}", "s"), // boiler df=3 -> stripped everywhere
+      (4L, s"$twice ${u(3)}", "s"),
+      (5L, s"$twice ${u(4)}", "s"))  // twice df=2 -> kept everywhere
+    val out = Curation.boilerplateStrip(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, u(0))))
+    assert(out(2L) == ((2L, 1L, u(1))))
+    assert(out(3L) == ((2L, 1L, u(2))), "the FIRST occurrence is stripped too (unlike segment_dedup)")
+    assert(out(4L) == ((2L, 0L, s"$twice ${u(3)}")))
+    assert(out(5L) == ((2L, 0L, s"$twice ${u(4)}")))
+  }
+
+  test("boilerplate_strip counts a within-doc repeat once toward document frequency") {
+    val seg = (1 to 10).map(i => s"rep$i").mkString(" ")
+    // seg appears twice in doc 1 and once in doc 2: df = 2 distinct docs,
+    // below the threshold of 3 — nothing may be stripped
+    val docs = docsDf((1L, s"$seg $seg", "s"), (2L, seg, "s"))
+    val out = Curation.boilerplateStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
+  // ------------------------------------------- robust outliers (median/MAD)
+
+  /** A document of exactly n whitespace tokens. */
+  private def nTok(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+
+  test("robust_outliers matches hand-computed median/MAD and flags only the planted giant") {
+    val docs = docsDf(
+      (1L, nTok(10), "a"), (2L, nTok(10), "a"), (3L, nTok(10), "a"),
+      (4L, nTok(11), "a"), (5L, nTok(12), "a"), (6L, nTok(13), "a"),
+      (7L, nTok(100), "a")) // lens 10,10,10,11,12,13,100: med 11, MAD 1
+    val out = Curation.robustOutliers(docs).collect()
+      .map(r => (r.getLong(0), (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    out.values.foreach { case (med, mad, _) => assert(med == 11.0 && mad == 1.0) }
+    assert((1L to 6L).forall(!out(_)._3))
+    assert(out(7L)._3, "adev 89 > 3*MAD must flag")
+    // with the 8th doc the stats shift to med 11.5, MAD 1.5 (both exact
+    // .5 doubles); len 16 sits at adev 4.5 == 3*MAD exactly and must NOT
+    // flag: the gate is a strict inequality
+    val edge = Curation.robustOutliers(docs.union(docsDf((8L, nTok(16), "a"))))
+      .filter(col("doc_id") === 8L).collect()(0)
+    assert(edge.getDouble(3) == 11.5 && edge.getDouble(4) == 1.5 && !edge.getBoolean(5))
+  }
+
+  test("robust_outliers MAD=0 degenerates to 'any deviation flags' per source, sources independent") {
+    val docs = docsDf(
+      (1L, nTok(5), "b"), (2L, nTok(5), "b"), (3L, nTok(5), "b"),
+      (4L, nTok(5), "b"), (5L, nTok(9), "b"),  // med 5, MAD 0 -> only 9 flags
+      (6L, nTok(50), "c"), (7L, nTok(60), "c"), (8L, nTok(70), "c")) // med 60, MAD 10
+    val out = Curation.robustOutliers(docs).collect()
+      .map(r => (r.getLong(0), (r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((0.0, false)) && out(5L) == ((0.0, true)))
+    assert(Seq(6L, 7L, 8L).forall(id => out(id)._1 == 10.0 && !out(id)._2))
+  }
+
+  test("plan shape: robust_outliers joins the dimension-sized stat tables via broadcast") {
+    val plan = Curation.qRobustOutliers(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stat joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$plan")
+  }
 }

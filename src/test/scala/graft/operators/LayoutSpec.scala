@@ -159,4 +159,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(row.getLong(6) == 0L && row.getLong(7) == 65535L) // clamped
     assert(row.getLong(8) == 32768L)
   }
+
+  /** Bit-by-bit reference Morton interleave (the definition, not the
+    * magic-mask cascade the production code uses). */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zorder_key: integer min-max buckets are tight and zkey equals the bit-by-bit Morton definition") {
+    val rows = Layout.qZorderKey(spark, d).collect()
+    assert(rows.nonEmpty)
+    val bx = rows.map(_.getLong(1))
+    val by = rows.map(_.getLong(2))
+    // bucketInt16 maps lo -> 0 and hi -> 65536 - ceil(65536/span): with the
+    // sf0.01 spans (thousands of custkeys / ~2400 days) both ends are tight
+    assert(bx.min == 0L && by.min == 0L)
+    assert(bx.max > 60000L && bx.max < 65536L)
+    assert(by.max > 60000L && by.max < 65536L)
+    rows.foreach { r =>
+      assert(r.getLong(3) == mortonRef(r.getLong(1), r.getLong(2)),
+        s"zkey mismatch for order ${r.getLong(0)}")
+    }
+  }
+
+  test("zorder_key has no driver collect: the bounds agg is a broadcast cross join in-plan") {
+    val plan = Layout.qZorderKey(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected in-plan broadcast of the 1-row bounds agg:\n$plan")
+  }
 }

@@ -169,4 +169,35 @@ class SamplingSpec extends AnyFunSuite {
     // Laplace smoothing keeps both shares finite on empty buckets
     out.foreach(r => assert(r.getDouble(3) >= 0.0, s"psi term negative: $r"))
   }
+
+  test("weighted_sample: two-level cumsum equals the global window; pick mass and multiplicity are exact") {
+    val w = graft.Tables.documents(spark, d).select(col("doc_id"),
+      size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+    val step = 200L // small enough that picks bind on the sf0.001 corpus
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val two = rows(Sampling.weightedSample(w, "doc_id", "n_tokens", step))
+    val one = rows(Sampling.weightedSampleSingleWindow(w, "doc_id", "n_tokens", step))
+    assert(two == one, "bucketed prefix-sum must be indistinguishable from the global window")
+    assert(two.nonEmpty)
+    val total = w.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(two.toSeq.map(_._3).sum == total / step,
+      "systematic sampling emits exactly floor(totalTokens/step) picks")
+    // interval of width w crosses floor(w/step) or floor(w/step)+1 multiples
+    two.foreach { case (id, wt, p) =>
+      assert(p >= 1L && p >= wt / step && p <= wt / step + 1,
+        s"doc $id: weight $wt, picks $p out of systematic bounds")
+    }
+  }
+
+  test("weighted_sample gives a heavy document its proportional multiplicity") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 20L).map(i => (i, 10L)) :+ (99L, 1000L)).toDF("doc_id", "n_tokens")
+    val out = Sampling.weightedSample(df, "doc_id", "n_tokens", step = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // total mass 1200 -> exactly 12 picks; the 1000-token doc spans ten
+    // full intervals so it must take 10 or 11 of them
+    assert(out.values.sum == 12L)
+    assert(out(99L) >= 10L && out(99L) <= 11L)
+  }
 }
