@@ -91,6 +91,7 @@ object SparkEntry {
     "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
     "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // rows-only: coarse cells + compressed-code ADC; recall asserted in OperatorSpec
     "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
+    "embedding_quantize"  -> (Similarity.qEmbeddingQuantize _), // int8 symmetric quantization, integer-exact kernel
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
     "quality_score"       -> (TextOps.qQualityScore _),
@@ -165,6 +166,8 @@ object SparkEntry {
     "pagerank"            -> (Graph.qPageRank _),
     // ---- cross-source distribution drift ----
     "corpus_divergence"   -> (TextOps.qCorpusDivergence _),
+    // ---- corpus diversity ----
+    "novelty_score"       -> (TextOps.qNoveltyScore _), // df=1 fraction of each doc's 3-grams
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -661,6 +664,39 @@ object SparkEntry {
         |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr
         |FROM orders""".stripMargin,
+
+    // embedding_quantize: all-integer kernel — floor(double(float)*1e6)
+    // is identical in both engines (floats widen losslessly), and both
+    // `div` (Spark) and `//` (DuckDB) truncate toward zero, so codes,
+    // saturation counts and L1 error match exactly with no float policy.
+    "embedding_quantize" ->
+      s"""WITH x AS (SELECT vec_id, unnest(embedding) AS v FROM embeddings),
+         |xi AS (SELECT vec_id,
+         |         CAST(floor(CAST(v AS DOUBLE) * ${Similarity.QuantGrain}) AS BIGINT) AS xi
+         |       FROM x),
+         |m AS (SELECT vec_id, greatest(max(abs(xi)), 1) AS maxabs FROM xi GROUP BY 1),
+         |c AS (SELECT xi.vec_id, xi.xi, m.maxabs,
+         |        (xi.xi * 127) // m.maxabs AS code
+         |      FROM xi JOIN m ON xi.vec_id = m.vec_id)
+         |SELECT vec_id, max(maxabs) AS scale_micro,
+         |  CAST(sum(code) AS BIGINT) AS code_sum,
+         |  CAST(sum(abs(code)) AS BIGINT) AS code_abs_sum,
+         |  CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+         |  CAST(sum(abs(xi - (code * maxabs) // 127)) AS BIGINT) AS l1_err_micro
+         |FROM c GROUP BY vec_id""".stripMargin,
+
+    "novelty_score" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([concat_ws(' ', words[i], words[i+1], words[i+2])
+         |                        FOR i IN range(1, len(words) - 1)]) AS sh
+         |       FROM w WHERE len(words) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |dfs AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 3) AS novelty
+         |FROM ex JOIN dfs USING (shingle) GROUP BY doc_id""".stripMargin,
 
     "embedding_centroids" ->
       """WITH tok AS (SELECT label,

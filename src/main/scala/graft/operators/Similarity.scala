@@ -734,4 +734,57 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
       .select(col("label"), col("n_vectors"),
         transform(col("s"), p => p.getField("m")).as("centroid"))
+
+  // ---------------------------------------------------------------------
+  // Int8 symmetric quantization (the embedding storage/serving format)
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point grain for [[embeddingQuantize]]: one unit = 1e-6 of the
+    * float value, applied as floor(double(x)·1e6) — exact and identical
+    * in both engines because a float widens to double losslessly and the
+    * product of a double by 1e6 rounds the same everywhere (IEEE). */
+  val QuantGrain = 1000000L
+
+  /** Per-vector symmetric int8 quantization (embedding_quantize): the
+    * compression a 100 TB embedding store actually ships — 4 bytes/dim
+    * float32 → 1 byte/dim code + one per-vector scale. code_i =
+    * (x_i·127) div max|x| on an integer micro-unit axis, so EVERY number
+    * in the kernel (codes, scale, saturation count, L1 reconstruction
+    * error) is exact integer arithmetic: `div` truncates toward zero in
+    * Spark and DuckDB alike, making the whole dataflow hash-matchable —
+    * no float rounding policy to reconcile. A zero vector quantizes to
+    * scale 1 (greatest(maxabs, 1)) and all-zero codes.
+    *
+    * Emitted per vector: the scale, signed/absolute code sums (the
+    * checksum a reader can re-verify a decoded vector against),
+    * saturation count (|code| = 127, always ≥ 1 for a nonzero vector —
+    * the max component saturates by construction), and the total L1
+    * reconstruction error in micro-units (bounded by dim·scale/127:
+    * per-component truncation error < scale/127 + 1).
+    *
+    * Scale shape: one explode + ONE vec_id shuffle — the max|x| window
+    * and the final aggregate share the same hash partitioning, so the
+    * plan has a single exchange; everything between is codegen'd integer
+    * arithmetic. Per-vector work is O(dim); nothing corpus-relative. */
+  def qEmbeddingQuantize(s: SparkSession, d: String): DataFrame =
+    embeddingQuantize(embeddings(s, d))
+
+  def embeddingQuantize(em: DataFrame): DataFrame = {
+    val vecW = Window.partitionBy(col("vec_id"))
+    val xi = em
+      .select(col("vec_id"), explode(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        floor(col("v").cast("double") * QuantGrain).cast("long").as("xi"))
+      .withColumn("maxabs", greatest(max(abs(col("xi"))).over(vecW), lit(1L)))
+    val code = call_function("div", col("xi") * 127L, col("maxabs"))
+    val recon = call_function("div", code * col("maxabs"), lit(127L))
+    xi.select(col("vec_id"), col("maxabs"), code.as("code"), recon.as("recon"), col("xi"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(col("maxabs")).as("scale_micro"),
+        sum(col("code")).as("code_sum"),
+        sum(abs(col("code"))).as("code_abs_sum"),
+        sum(when(abs(col("code")) === 127L, 1L).otherwise(0L)).as("n_saturated"),
+        sum(abs(col("xi") - col("recon"))).as("l1_err_micro"))
+  }
 }

@@ -585,4 +585,38 @@ object TextOps {
       .orderBy(col("pair_freq").desc, col("pair").asc)
       .limit(50)
   }
+
+  // ---------------------------------------------------------------------
+  // N-gram novelty (corpus-diversity signal)
+  // ---------------------------------------------------------------------
+
+  /** Per-document n-gram novelty (novelty_score): the fraction of a
+    * document's distinct word 3-grams that occur in NO other document —
+    * the diversity face of the same inverted index the dedup cascade
+    * probes. Near-duplicates and template text score near 0, genuinely
+    * novel documents near 1; a curation mix targeting coverage wants this
+    * HIGH where contamination/dedup want their overlaps LOW. Documents
+    * shorter than 3 words carry no 3-gram and are absent, exactly like
+    * the jaccard family.
+    *
+    * Scale shape: reuses [[Dedup.shingleTable]] (UNCAPPED document
+    * frequency — novelty needs true df, and this df table is an
+    * aggregation, not the self-join the cap exists for), one
+    * shingle-grain count, one shingle-keyed join back, one doc_id agg —
+    * the TF-IDF shuffle shape (q31), Zipf-head keys split by AQE skew
+    * handling, nothing quadratic. */
+  def qNoveltyScore(s: SparkSession, d: String): DataFrame =
+    noveltyScore(graft.Tables.documents(s, d))
+
+  def noveltyScore(docs: DataFrame): DataFrame = {
+    val ex = Dedup.shingleTable(docs)
+    val dfs = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    ex.join(dfs, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 3).as("novelty"))
+  }
 }

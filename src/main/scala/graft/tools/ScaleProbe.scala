@@ -126,7 +126,9 @@ object ScaleProbe {
       "weighted_sample" -> Sampling.qWeightedSample _,
       "boilerplate_strip" -> Curation.qBoilerplateStrip _,
       "robust_outliers" -> Curation.qRobustOutliers _,
-      "zorder_key" -> graft.operators.Layout.qZorderKey _)
+      "zorder_key" -> graft.operators.Layout.qZorderKey _,
+      "embedding_quantize" -> Similarity.qEmbeddingQuantize _,
+      "novelty_score" -> TextOps.qNoveltyScore _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

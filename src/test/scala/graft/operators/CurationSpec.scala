@@ -401,4 +401,14 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"stat joins must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$plan")
   }
+
+  test("plan shape: boilerplate_strip is pure hash joins/aggs — no cartesian, no global window") {
+    val plan = Curation.qBoilerplateStrip(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"seg_text mark must stay an equi join:\n$plan")
+    // the segment grid is a groupBy pivot, not a window: no Window
+    // operator may appear anywhere (the unpartitioned kind would
+    // serialize the corpus into one task)
+    assert(!plan.contains("Window ["), s"unexpected window operator in:\n$plan")
+  }
 }

@@ -1032,4 +1032,51 @@ class OperatorSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $id order")
     }
   }
+
+  test("embedding_quantize matches a hand-computed vector and zero-vector fallback") {
+    val s = spark; import s.implicits._
+    val em = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingQuantize(em).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // xi = (1000000, -500000, 250000, 0), maxabs 1e6; codes (127, -63, 31, 0)
+    // (div truncates toward zero: -63.5 -> -63); recon errors 0 + 3938 +
+    // 5906 + 0 (e.g. -63*1e6 div 127 = -496062, |−500000 − −496062| = 3938)
+    assert(out(1L) == ((1000000L, 95L, 221L, 1L, 9844L)))
+    // zero vector: scale clamps to 1, codes all zero, zero error
+    assert(out(2L) == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("embedding_quantize on the real table: saturation always fires, error within the truncation bound") {
+    val out = Similarity.qEmbeddingQuantize(spark, d).collect()
+    assert(out.length == graft.Tables.embeddings(spark, d).count())
+    out.foreach { r =>
+      val (scale, absSum, nSat, l1) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      // the max-|x| component quantizes to exactly +-127 by construction
+      assert(nSat >= 1, s"vec ${r.getLong(0)}: no saturated code")
+      assert(absSum <= 127L * 64, s"vec ${r.getLong(0)}: code mass over dim*127")
+      // per-component truncation error < scale/127 + 1 micro-units
+      assert(l1 <= 64L * (scale / 127L + 1L), s"vec ${r.getLong(0)}: l1 $l1 over bound")
+    }
+  }
+
+  test("novelty_score: unique doc scores 1, exact twins 0, half-shared doc 0.5; short docs absent") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4", "s"),  // shingles: a1a2a3 (shared w/ doc4), a2a3a4
+      (2L, "b1 b2 b3", "s"),     // identical to doc 3 -> df 2 everywhere
+      (3L, "b1 b2 b3", "s"),
+      (4L, "a1 a2 a3 c1", "s"),  // shares a1a2a3, owns a2a3c1
+      (5L, "u1 u2 u3 u4 u5", "s"), // fully unique
+      (6L, "x y", "s")           // < 3 words: no shingle, absent
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((1L, 0L, 0.0)) && out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 1L, 0.5)))
+    assert(out(5L) == ((3L, 3L, 1.0)))
+  }
 }
