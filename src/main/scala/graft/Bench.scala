@@ -79,6 +79,11 @@ object Bench {
       val shinglePipeline = Seq(
         "shingle_table" -> time { shingles.queryExecution.toRdd.count() },
         "ngram_jaccard" -> time { pairs.queryExecution.toRdd.count() },
+        // the prefix-filtered variant probes the SAME cached shingle table
+        // (its standalone registration builds its own; here the table is
+        // billed once as shingle_table like every other consumer)
+        "prefix_jaccard" -> time {
+          operators.Dedup.prefixJaccardFrom(shingles).queryExecution.toRdd.count() },
         "minhash_lsh" -> time {
           operators.Dedup.minHashLshFrom(shingles).queryExecution.toRdd.count() },
         "minhash_lsh_md5" -> time {
@@ -113,9 +118,10 @@ object Bench {
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
-      val shared = Set("ngram_jaccard", "minhash_lsh", "minhash_lsh_md5",
-        "minhash_incremental", "dedup_clusters", "canonical_select",
-        "q38_edit_distance", "simhash_md5", "simhash_pairs_md5")
+      val shared = Set("ngram_jaccard", "prefix_jaccard", "minhash_lsh",
+        "minhash_lsh_md5", "minhash_incremental", "dedup_clusters",
+        "canonical_select", "q38_edit_distance", "simhash_md5",
+        "simhash_pairs_md5")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>
