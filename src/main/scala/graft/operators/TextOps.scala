@@ -619,4 +619,46 @@ object TextOps {
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         round(col("n_unique").cast("double") / col("n_shingles"), 3).as("novelty"))
   }
+
+  // ---------------------------------------------------------------------
+  // Trending tokens (windowed heavy hitters over a timestamped feed)
+  // ---------------------------------------------------------------------
+
+  /** Hourly (window, token) counts over a timestamped document feed
+    * (`ingest_ts` timestamp + `text`) — the shared core of the batch and
+    * streaming trending-token forms, the monitoring face of
+    * [[qHeavyHitters]]: "what is the ingest pipeline seeing RIGHT NOW",
+    * per closed hour, instead of one all-time rollup.
+    *
+    * The streaming state is deliberately ONLY this count — open windows ×
+    * distinct tokens, dropped as the watermark closes each window. The
+    * top-k rank runs over the emitted counts ([[trendingTopK]], a
+    * window-partitioned rank of closed windows): ranking inside the
+    * stream would buffer every window's full token table in state for an
+    * answer that is only final at window close anyway. */
+  def trendingTokenCounts(docsWithTs: DataFrame): DataFrame =
+    docsWithTs
+      .select(col("ingest_ts"), explode(normWords(col("text"))).as("w"))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("w"), col("n"))
+
+  /** Streaming form: watermarked, append-mode-safe (each (window, token)
+    * row emitted exactly once when its window finalizes). Agreement with
+    * the batch core on a bounded replay is asserted in
+    * StreamingWindowSpec. */
+  def trendingTokensStream(streamingDocs: DataFrame): DataFrame =
+    trendingTokenCounts(streamingDocs.withWatermark("ingest_ts", "10 minutes"))
+
+  /** Top-k tokens per closed window over [[trendingTokenCounts]] output
+    * (deterministic count-desc, token-asc order). */
+  def trendingTopK(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start")).orderBy(col("n").desc, col("w"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

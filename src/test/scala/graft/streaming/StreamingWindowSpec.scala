@@ -420,4 +420,54 @@ class StreamingWindowSpec extends AnyFunSuite {
         s"advances: $got")
     } finally query.stop()
   }
+
+  test("streaming trending tokens agree with the batch core; top-k ranks identical per closed window") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // replay sf0.001 documents as a timestamped ingest feed spanning 3 hours
+    val base = 1700000000000L
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (new Timestamp(base + (id % 180) * 60000L), text) }
+    assert(docs.nonEmpty)
+    val sentinel = (new Timestamp(base + 7L * 24 * 3600 * 1000), "zzsentinel")
+
+    val input = MemoryStream[(Timestamp, String)]
+    val streamed = graft.operators.TextOps.trendingTokensStream(
+      input.toDF().toDF("ingest_ts", "text"))
+    val name = "trend_" + UUID.randomUUID().toString.replace("-", "")
+    val query = streamed.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData(docs: _*)
+      input.addData(sentinel)
+      query.processAllAvailable()
+      input.addData(sentinel)
+      query.processAllAvailable()
+
+      val expected = graft.operators.TextOps.trendingTokenCounts(docs.toDF("ingest_ts", "text"))
+        .collect().map(_.toSeq).toSet
+      val got = spark.table(name).filter($"w" =!= "zzsentinel")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+      // and the downstream rank over the emitted counts is deterministic:
+      // identical top-5 per window from either side
+      val topStream = graft.operators.TextOps.trendingTopK(
+        spark.table(name).filter($"w" =!= "zzsentinel"), 5)
+        .collect().map(_.toSeq).toSet
+      val topBatch = graft.operators.TextOps.trendingTopK(
+        graft.operators.TextOps.trendingTokenCounts(docs.toDF("ingest_ts", "text")), 5)
+        .collect().map(_.toSeq).toSet
+      assert(topStream == topBatch)
+      assert(topStream.nonEmpty)
+    } finally query.stop()
+  }
 }
