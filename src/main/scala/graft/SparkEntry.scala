@@ -134,6 +134,8 @@ object SparkEntry {
     "segment_dedup"       -> (Curation.qSegmentDedup _),
     "boilerplate_strip"   -> (Curation.qBoilerplateStrip _), // corpus-frequency segment removal (CCNet-style)
     "robust_outliers"     -> (Curation.qRobustOutliers _), // median/MAD per-source length gate
+    "rtbf_purge"          -> (Curation.qRtbfPurge _), // opt-out purge by content hash + per-source audit
+    "corpus_diff"         -> (R.qCorpusDiff _), // snapshot diff: added/removed/changed/unchanged
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
@@ -1267,6 +1269,31 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
          |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
          |FROM mark GROUP BY doc_id""".stripMargin,
+
+    "rtbf_purge" ->
+      s"""WITH f AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),
+         |opt AS (SELECT DISTINCT fp AS opt_fp FROM f WHERE doc_id % 17 = 0)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN opt_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN opt_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         |  count(DISTINCT CASE WHEN opt_fp IS NOT NULL THEN fp END) AS n_matched_fps
+         |FROM f LEFT JOIN opt ON fp = opt_fp GROUP BY source""".stripMargin,
+
+    "corpus_diff" ->
+      s"""WITH f AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),
+         |new AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 0 THEN md5(fp || ':v2') ELSE fp END AS fp
+         |  FROM f WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, md5(fp || ':new') FROM f WHERE doc_id % 13 = 0)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  coalesce(o.source, n.source) AS source,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status,
+         |  coalesce(o.fp, '') AS old_fp, coalesce(n.fp, '') AS new_fp
+         |FROM f o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""".stripMargin,
 
     // robust_outliers: interpolated medians of integer token counts end in
     // .0/.5 (exact doubles), so every derived value and the boolean are

@@ -635,4 +635,49 @@ object Curation {
         when(col("mad") === 0.0, col("adev") > 0.0)
           .otherwise(col("adev") > lit(MadK) * col("mad")).as("is_outlier"))
   }
+
+  // ---------------------------------------------------------------------
+  // Opt-out purge (right-to-be-forgotten, content-hash granularity)
+  // ---------------------------------------------------------------------
+
+  /** Opt-out purge audit (rtbf_purge): remove every document whose
+    * CONTENT fingerprint appears on an opt-out list, and account for the
+    * removal per source. Purging by content hash rather than doc id is
+    * the point — a web corpus holds near-verbatim copies of an opted-out
+    * page under many ids, and a compliance pass must take them all, not
+    * just the id the request named. The stand-in opt-out list here is
+    * the fingerprints of every 17th document (a deterministic proxy for
+    * the external request table; [[rtbfPurge]] takes any fingerprint
+    * frame).
+    *
+    * Output: per-source kept/purged counts plus the number of DISTINCT
+    * opted-out fingerprints that actually matched in that source — the
+    * number a compliance report needs ("N of the requested contents were
+    * found and removed here").
+    *
+    * Scale shape: the opt-out list is request-table-sized (tiny against
+    * the corpus) → broadcast; the corpus pays one scan and never
+    * shuffles for the membership test; only source-grain counts
+    * aggregate. A plan test pins the broadcast. */
+  def qRtbfPurge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val optOut = docs.filter(col("doc_id") % 17 === 0)
+      .select(md5(TextOps.normText(col("text")).cast("binary")).as("opt_fp"))
+      .distinct()
+    rtbfPurge(docs, optOut)
+  }
+
+  /** See [[qRtbfPurge]]; `optOut` is a 1-column frame of opted-out
+    * content fingerprints (md5 of normalized text). */
+  def rtbfPurge(docs: DataFrame, optOut: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(TextOps.normText(col("text")).cast("binary")).as("fp"))
+      .join(broadcast(optOut.withColumn("hit", lit(true))),
+        col("fp") === col("opt_fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_purged"),
+        countDistinct(when(col("hit"), col("fp"))).as("n_matched_fps"))
 }

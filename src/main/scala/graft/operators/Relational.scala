@@ -925,6 +925,51 @@ object Relational {
         col("valid_to_ts").isNull.as("is_current"))
   }
 
+  /** Corpus snapshot diff (corpus_diff): the audit a corpus refresh runs
+    * between two fingerprint snapshots — which documents were added,
+    * removed, changed (same id, different content hash), or untouched.
+    * The companion to [[qScd2Snapshot]]: SCD2 compacts a CHANGELOG into
+    * validity intervals; the diff derives the changelog when all you
+    * have is two materialized snapshots (the common case for a crawl
+    * refresh). The "next" snapshot here is a deterministic simulation
+    * over the same table (every 11th id removed, every 7th edited, every
+    * 13th re-added under a new id) so the op is self-contained and
+    * oracle-exact; [[corpusDiff]] takes any two (doc_id, source, fp)
+    * frames.
+    *
+    * Scale shape: ONE full-outer hash join on doc_id — the minimal
+    * shuffle a two-snapshot diff can pay; with both snapshots stored in
+    * the same id-bucketed layout ([[graft.operators.Layout]]) even that
+    * exchange disappears into a co-partitioned join. Nothing else moves;
+    * status is a per-row case over the joined fingerprints. */
+  def qCorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val f = documents(s, d).select(col("doc_id"), col("source"),
+      md5(TextOps.normText(col("text")).cast("binary")).as("fp"))
+    val kept = f.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0,
+          md5(concat(col("fp"), lit(":v2")).cast("binary")))
+          .otherwise(col("fp")).as("fp"))
+    val added = f.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        md5(concat(col("fp"), lit(":new")).cast("binary")).as("fp"))
+    corpusDiff(f, kept.unionByName(added))
+  }
+
+  /** See [[qCorpusDiff]]; `oldSnap`/`newSnap` are (doc_id, source, fp). */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    oldSnap.as("o")
+      .join(newSnap.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(
+        coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+        coalesce(col("o.source"), col("n.source")).as("source"),
+        when(col("o.doc_id").isNull, "added")
+          .when(col("n.doc_id").isNull, "removed")
+          .when(col("o.fp") =!= col("n.fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("o.fp"), lit("")).as("old_fp"),
+        coalesce(col("n.fp"), lit("")).as("new_fp"))
+
   /** Ordered funnel analysis (view → click → purchase): per step, the
     * users who completed the step sequence IN ORDER — each stage keeps a
     * user only if a step-k event exists STRICTLY after their first

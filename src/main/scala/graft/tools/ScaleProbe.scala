@@ -128,7 +128,9 @@ object ScaleProbe {
       "robust_outliers" -> Curation.qRobustOutliers _,
       "zorder_key" -> graft.operators.Layout.qZorderKey _,
       "embedding_quantize" -> Similarity.qEmbeddingQuantize _,
-      "novelty_score" -> TextOps.qNoveltyScore _)
+      "novelty_score" -> TextOps.qNoveltyScore _,
+      "rtbf_purge" -> Curation.qRtbfPurge _,
+      "corpus_diff" -> Relational.qCorpusDiff _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

@@ -402,6 +402,29 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$plan")
   }
 
+  // ------------------------------------------------- RTBF / opt-out purge
+
+  test("rtbf_purge takes every copy of opted-out content, not just the requested id") {
+    val s = spark; import s.implicits._
+    val docs = docsDf(
+      (1L, "secret page content here x", "a"),
+      (2L, "Secret   page CONTENT here x", "a"), // same normalized content, different id
+      (3L, "innocent doc one", "a"),
+      (4L, "secret page content here x", "b"),   // copy in ANOTHER source
+      (5L, "innocent doc two", "b"))
+    val optOut = Seq("secret page content here x").toDF("t")
+      .select(md5(graft.operators.TextOps.normText(col("t")).cast("binary")).as("opt_fp"))
+    val out = Curation.rtbfPurge(docs, optOut).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((1L, 2L, 1L)), s"source a: ${out("a")}") // ids 1+2 purged, one fp matched
+    assert(out("b") == ((1L, 1L, 1L)), s"source b: ${out("b")}") // the cross-source copy too
+  }
+
+  test("plan shape: rtbf_purge broadcasts the opt-out list — the corpus never shuffles for membership") {
+    val plan = Curation.qRtbfPurge(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"opt-out membership must broadcast:\n$plan")
+  }
+
   test("plan shape: boilerplate_strip is pure hash joins/aggs — no cartesian, no global window") {
     val plan = Curation.qBoilerplateStrip(spark, d).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -1061,6 +1061,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_diff labels every transition correctly on hand-built snapshots") {
+    val s = spark; import s.implicits._
+    val old = Seq((1L, "s", "fA"), (2L, "s", "fB"), (3L, "s", "fC"))
+      .toDF("doc_id", "source", "fp")
+    val nw = Seq((1L, "s", "fA"), (2L, "s", "fB2"), (9L, "s", "fN"))
+      .toDF("doc_id", "source", "fp")
+    val out = Relational.corpusDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(out(1L) == (("unchanged", "fA", "fA")))
+    assert(out(2L) == (("changed", "fB", "fB2")))
+    assert(out(3L) == (("removed", "fC", "")))
+    assert(out(9L) == (("added", "", "fN")))
+  }
+
+  test("corpus_diff on the simulated refresh reconciles with the modulo rules") {
+    val byStatus = Relational.qCorpusDiff(spark, d).groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = graft.Tables.documents(spark, d).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(byStatus.getOrElse("removed", 0L) == ids.count(_ % 11 == 0))
+    assert(byStatus.getOrElse("added", 0L) == ids.count(_ % 13 == 0))
+    // changed = edited ids that were NOT removed and whose re-hash differs
+    // (it always differs: md5(fp||':v2') != fp)
+    assert(byStatus.getOrElse("changed", 0L) == ids.count(i => i % 7 == 0 && i % 11 != 0))
+    assert(byStatus.values.sum == ids.length + ids.count(_ % 13 == 0))
+  }
+
   test("novelty_score: unique doc scores 1, exact twins 0, half-shared doc 0.5; short docs absent") {
     val s = spark; import s.implicits._
     val docs = Seq(
