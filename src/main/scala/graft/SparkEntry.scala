@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Curation, Dedup, Graph, Layout, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
+import graft.operators.{Audit, Curation, Dedup, Graph, Layout, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -136,6 +136,7 @@ object SparkEntry {
     "robust_outliers"     -> (Curation.qRobustOutliers _), // median/MAD per-source length gate
     "rtbf_purge"          -> (Curation.qRtbfPurge _), // opt-out purge by content hash + per-source audit
     "corpus_diff"         -> (R.qCorpusDiff _), // snapshot diff: added/removed/changed/unchanged
+    "rollup_incremental"  -> (R.qRollupIncremental _), // mergeable-partials ETL; == direct recompute
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
@@ -170,6 +171,8 @@ object SparkEntry {
     "corpus_divergence"   -> (TextOps.qCorpusDivergence _),
     // ---- corpus diversity ----
     "novelty_score"       -> (TextOps.qNoveltyScore _), // df=1 fraction of each doc's 3-grams
+    // ---- warehouse data-quality audit ----
+    "dq_audit"            -> (Audit.qDqAudit _), // Deequ-style constraint metrics (nulls/keys/FK/ranges)
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -1269,6 +1272,33 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
          |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
          |FROM mark GROUP BY doc_id""".stripMargin,
+
+    // rollup_incremental: the oracle is the DIRECT recompute — the Spark
+    // side runs the split-partials-and-merge path, so the hash match IS
+    // the merged==direct equivalence proof.
+    "rollup_incremental" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "dq_audit" ->
+      """SELECT 'customer' AS tbl, 'row_count' AS metric, CAST(count(*) AS BIGINT) AS value FROM customer
+        |UNION ALL SELECT 'customer', 'dup_custkey', CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'customer', 'null_name', CAST(count(CASE WHEN c_name IS NULL THEN 1 END) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'orders', 'row_count', CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'null_custkey', CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'dup_orderkey', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'negative_total', CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'null_orderdate', CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem', 'row_count', CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'qty_out_of_range', CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'negative_price', CAST(count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'discount_out_of_range', CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders', 'orphan_custkey', CAST(count(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL SELECT 'lineitem', 'orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
 
     "rtbf_purge" ->
       s"""WITH f AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint audit — the validation layer an ingest
+  * pipeline runs over a warehouse before anything downstream trusts it
+  * (the Deequ/expectations pattern): completeness (null counts), key
+  * uniqueness, referential integrity, and domain-range checks, emitted as
+  * one narrow (tbl, metric, value) frame a monitoring system can diff
+  * across loads.
+  *
+  * This is the relational face of the reference's per-record validation
+  * job (SURVEY §2.2: routing records that fail a validator) — batch
+  * constraint metrics over whole tables instead of per-record verdicts
+  * over a stream.
+  *
+  * Scale shape: every per-table metric family is ONE scan with
+  * conditional aggregates (count(when(...))) — map-side combined, no
+  * shuffle beyond the 1-row agg; the two referential-integrity checks
+  * count anti-join survivors against dimension-sized key sets (customer,
+  * orders-keys) which broadcast. All values are exact BIGINT counts, so
+  * the frame is engine-portable with no float policy.
+  */
+object Audit {
+
+  /** Constraint metrics over the TPC-H-ish warehouse at `d`. */
+  def qDqAudit(s: SparkSession, d: String): DataFrame =
+    dqAudit(customer(s, d), orders(s, d), lineitem(s, d))
+
+  /** See [[qDqAudit]]; takes the three frames so tests can plant
+    * violations and assert the exact metric deltas. */
+  def dqAudit(cust: DataFrame, ord: DataFrame, li: DataFrame): DataFrame = {
+    def metrics(tbl: String, df: DataFrame, cols: (String, org.apache.spark.sql.Column)*) =
+      df.agg(cols.head._2.as(cols.head._1), cols.tail.map { case (n, c) => c.as(n) }: _*)
+        .select(lit(tbl).as("tbl"),
+          expr(s"stack(${cols.size}, ${cols.map(c => s"'${c._1}', ${c._1}").mkString(", ")})")
+            .as(Seq("metric", "value")))
+
+    val custM = metrics("customer", cust,
+      "row_count"    -> count(lit(1)),
+      "dup_custkey"  -> (count(lit(1)) - countDistinct(col("c_custkey"))),
+      "null_name"    -> count(when(col("c_name").isNull, 1)))
+
+    val ordM = metrics("orders", ord,
+      "row_count"        -> count(lit(1)),
+      "null_custkey"     -> count(when(col("o_custkey").isNull, 1)),
+      "dup_orderkey"     -> (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "negative_total"   -> count(when(col("o_totalprice") < 0, 1)),
+      "null_orderdate"   -> count(when(col("o_orderdate").isNull, 1)))
+
+    val liM = metrics("lineitem", li,
+      "row_count"        -> count(lit(1)),
+      "qty_out_of_range" -> count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)),
+      "negative_price"   -> count(when(col("l_extendedprice") < 0, 1)),
+      "discount_out_of_range" -> count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)))
+
+    // referential integrity: fact keys with no dimension partner. The key
+    // sets are dimension-sized -> broadcast anti joins; the fact side
+    // never shuffles for the membership test.
+    val orphanOrders = ord.join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("orders").as("tbl"), lit("orphan_custkey").as("metric"), col("v").as("value"))
+    val orphanLines = li.join(broadcast(ord.select(col("o_orderkey").as("ok"))),
+        col("l_orderkey") === col("ok"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("lineitem").as("tbl"), lit("orphan_orderkey").as("metric"), col("v").as("value"))
+
+    custM.unionByName(ordM).unionByName(liM)
+      .unionByName(orphanOrders).unionByName(orphanLines)
+  }
+}

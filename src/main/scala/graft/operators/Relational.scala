@@ -925,6 +925,42 @@ object Relational {
         col("valid_to_ts").isNull.as("is_current"))
   }
 
+  /** Incremental rollup maintenance (rollup_incremental): the nightly-ETL
+    * pattern — a served aggregate (revenue by order-year × priority) is
+    * maintained as MERGEABLE partials instead of recomputed from source.
+    * The state table carries closed years already aggregated; a fresh
+    * load contributes only its own year's partial; serving re-aggregates
+    * the union — sums of decimal sums, so merged == direct recompute
+    * exactly (the oracle runs the direct form; the Spark side runs the
+    * split-and-merge path, making the equivalence the thing the driver
+    * hash-checks). Same mergeability family as q43 (HLL distinct) and
+    * embedding_centroids (decimal means), here for the plain-additive
+    * case that powers most dashboards.
+    *
+    * Scale shape: the historical partial is year×priority-grain (tiny,
+    * read not recomputed in a real deployment); only the fresh year scans
+    * fact rows; the merge agg moves dimension-grain rows only. */
+  def qRollupIncremental(s: SparkSession, d: String): DataFrame =
+    rollupIncremental(orders(s, d), split = 1996)
+
+  /** See [[qRollupIncremental]]; the split year is the state/fresh
+    * boundary — the output is split-invariant (RelationalSpec pins it). */
+  def rollupIncremental(ord: DataFrame, split: Int): DataFrame = {
+    val o = ord.select(
+      year(col("o_orderdate")).as("order_year"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,4)").as("rev"), col("o_orderkey"))
+    def partial(df: DataFrame) = df.groupBy(col("order_year"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_orders"))
+    val state = partial(o.filter(col("order_year") < split))   // closed years: pre-agg state
+    val fresh = partial(o.filter(col("order_year") >= split))  // new load's partial
+    state.unionByName(fresh)
+      .groupBy(col("order_year"), col("o_orderpriority"))
+      .agg(sum(col("revenue")).as("rev2"), sum(col("n_orders")).as("n2"))
+      .select(col("order_year"), col("o_orderpriority"),
+        col("rev2").cast("decimal(18,4)").cast("double").as("revenue"),
+        col("n2").cast("long").as("n_orders"))
+  }
+
   /** Corpus snapshot diff (corpus_diff): the audit a corpus refresh runs
     * between two fingerprint snapshots — which documents were added,
     * removed, changed (same id, different content hash), or untouched.

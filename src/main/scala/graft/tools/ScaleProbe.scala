@@ -130,7 +130,9 @@ object ScaleProbe {
       "embedding_quantize" -> Similarity.qEmbeddingQuantize _,
       "novelty_score" -> TextOps.qNoveltyScore _,
       "rtbf_purge" -> Curation.qRtbfPurge _,
-      "corpus_diff" -> Relational.qCorpusDiff _)
+      "corpus_diff" -> Relational.qCorpusDiff _,
+      "dq_audit" -> graft.operators.Audit.qDqAudit _,
+      "rollup_incremental" -> Relational.qRollupIncremental _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

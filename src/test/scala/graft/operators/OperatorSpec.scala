@@ -1061,6 +1061,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup_incremental is split-invariant: any state/fresh boundary yields the identical served rollup") {
+    val ord = graft.Tables.orders(spark, d)
+    def rows(split: Int) = Relational.rollupIncremental(ord, split).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val all = Seq(1990, 1994, 1996, 1999, 2010).map(rows)
+    // 1990 = everything is "fresh" (pure direct); 2010 = everything is
+    // pre-agg state; the interior splits exercise the real merge
+    all.tail.foreach(s => assert(s == all.head, "merge must equal direct recompute exactly"))
+    assert(all.head.nonEmpty)
+  }
+
+  test("dq_audit: clean warehouse scores zero on every violation metric; planted violations count exactly") {
+    val s = spark; import s.implicits._
+    val clean = Audit.qDqAudit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the driver warehouse is referentially intact and in-range
+    clean.foreach { case ((tbl, m), v) =>
+      if (m != "row_count") assert(v == 0L, s"$tbl.$m expected clean, got $v")
+    }
+    assert(clean(("orders", "row_count")) > 0)
+
+    // plant one violation of each class and demand exact counts
+    val cust = graft.Tables.customer(spark, d)
+    val ord = graft.Tables.orders(spark, d)
+    val li = graft.Tables.lineitem(spark, d)
+    val badOrd = ord.unionByName(
+      ord.limit(1).select(
+        lit(-1L).as("o_orderkey"), lit(999999999L).as("o_custkey"), // orphan FK
+        col("o_orderstatus"), lit(-5.0).as("o_totalprice"),          // negative total
+        lit(null).cast("timestamp").as("o_orderdate"),               // null date
+        col("o_orderpriority")))
+    val dirty = Audit.dqAudit(cust, badOrd, li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(dirty(("orders", "row_count")) == clean(("orders", "row_count")) + 1)
+    assert(dirty(("orders", "orphan_custkey")) == 1L)
+    assert(dirty(("orders", "negative_total")) == 1L)
+    assert(dirty(("orders", "null_orderdate")) == 1L)
+    // one NEW orderkey (-1): no duplicate introduced
+    assert(dirty(("orders", "dup_orderkey")) == 0L)
+    // lineitem untouched except... nothing: its metrics must be unchanged
+    assert(dirty(("lineitem", "orphan_orderkey")) == 0L)
+  }
+
+  test("plan shape: dq_audit FK checks broadcast the key sets — fact tables never shuffle") {
+    val plan = Audit.qDqAudit(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"FK anti-joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$plan")
+  }
+
   test("corpus_diff labels every transition correctly on hand-built snapshots") {
     val s = spark; import s.implicits._
     val old = Seq((1L, "s", "fA"), (2L, "s", "fB"), (3L, "s", "fC"))
