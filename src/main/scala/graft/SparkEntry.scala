@@ -102,6 +102,7 @@ object SparkEntry {
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "bm25_topterms"       -> (TextOps.qBm25 _),
+    "bm25_search"         -> (TextOps.qBm25Search _), // sparse top-k retrieval (decimal-exact ranking)
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
@@ -1535,6 +1536,28 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY bm25 DESC, term) AS rn FROM sc)
          |WHERE rn <= 3""".stripMargin,
+
+    // bm25_search: per-(doc, term) scores rounded to 6 dp and summed as
+    // DECIMAL, so the rank key is order-independent and engine-exact —
+    // the k-boundary cannot flip on a float-accumulation ulp.
+    "bm25_search" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |df AS (SELECT w, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+         |q AS (SELECT unnest([${TextOps.Bm25Query.map(t => s"'$t'").mkString(", ")}]) AS w),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |           (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+         |             (CAST(tot_tokens AS DOUBLE) / n_docs))), 6) AS DECIMAL(12,6)) AS s
+         |       FROM tf JOIN q USING (w) JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, n_matched, CAST(sd AS DOUBLE) AS score FROM (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, sum(s) AS sd
+         |  FROM sc GROUP BY doc_id)
+         |ORDER BY sd DESC, doc_id LIMIT 10""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

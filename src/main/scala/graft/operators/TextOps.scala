@@ -357,6 +357,52 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Fixed retrieval query for [[qBm25Search]] (three common corpus
+    * words, so the scoring exercises multi-term accumulation). */
+  val Bm25Query = Seq("spark", "join", "stream")
+
+  /** BM25 top-k retrieval (bm25_search): score every document against a
+    * query and return the k best — the sparse-retrieval half of a RAG
+    * stack, completing [[qBm25]] (which emits per-doc term WEIGHTS; this
+    * runs an actual SEARCH with them).
+    *
+    * Ranking determinism across engines: each (doc, term) partial score
+    * is rounded to 6 dp and cast to decimal BEFORE the per-doc sum, so
+    * the accumulation is order-independent (decimal addition) and the
+    * order-by key is exactly equal in both engines — no float-sum
+    * tie-break hazard at the k boundary. doc_id breaks genuine ties.
+    *
+    * Scale shape: the query-term filter is an `isin` over a handful of
+    * literals — pushed into the tf scan, so the corpus-sized frames never
+    * carry non-query terms past the first aggregation; the final top-k is
+    * orderBy+limit = TakeOrderedAndProject (no global sort). df/dl/stats
+    * reuse the same one-scan aggregations as [[qBm25]]. */
+  def qBm25Search(s: SparkSession, d: String): DataFrame =
+    bm25Search(documents(s, d), Bm25Query, 10)
+
+  def bm25Search(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+    val tf = tokens.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tokens.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val avgdl = col("tot_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * lit(Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+    tf.filter(col("w").isin(query: _*))
+      .join(dfreq, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(idf * sat, 6).cast("decimal(12,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("s")).as("sd"))
+      .orderBy(col("sd").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_matched"), col("sd").cast("double").as("score"))
+  }
+
   /** Overlapping-window document chunking (doc_chunk): each document
     * splits into fixed-size token windows with stride < window (here
     * 64/48, i.e. 16 tokens of overlap) — the step between curation and

@@ -132,7 +132,8 @@ object ScaleProbe {
       "rtbf_purge" -> Curation.qRtbfPurge _,
       "corpus_diff" -> Relational.qCorpusDiff _,
       "dq_audit" -> graft.operators.Audit.qDqAudit _,
-      "rollup_incremental" -> Relational.qRollupIncremental _)
+      "rollup_incremental" -> Relational.qRollupIncremental _,
+      "bm25_search" -> TextOps.qBm25Search _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

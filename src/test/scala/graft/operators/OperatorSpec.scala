@@ -1061,6 +1061,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25_search matches an independently-computed BM25 ranking on a crafted corpus") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark join other filler words", "s"),
+      (2L, "join stream join agg table", "s"),
+      (3L, "no relevant terms at all here", "s"),
+      (4L, "spark", "s")).toDF("doc_id", "text", "source")
+    val out = TextOps.bm25Search(docs, Seq("spark", "join", "stream"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // independent reference: plain Scala BM25 with the same constants
+    val corpus = Map(
+      1L -> Seq("spark", "spark", "join", "other", "filler", "words"),
+      2L -> Seq("join", "stream", "join", "agg", "table"),
+      3L -> Seq("no", "relevant", "terms", "at", "all", "here"),
+      4L -> Seq("spark"))
+    val nDocs = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / nDocs
+    def dfOf(t: String) = corpus.values.count(_.contains(t))
+    def score(id: Long): (Long, Double) = {
+      val toks = corpus(id)
+      val parts = Seq("spark", "join", "stream").flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None else {
+          val df = dfOf(t)
+          val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+          val sat = (tf * (TextOps.Bm25K1 + 1)) /
+            (tf + TextOps.Bm25K1 * (1.0 - TextOps.Bm25B + TextOps.Bm25B * toks.size / avgdl))
+          Some(BigDecimal(idf * sat).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+      (parts.size.toLong, parts.sum.toDouble)
+    }
+    val expect = Seq(1L, 2L, 4L).map(id => (id, score(id)._1, score(id)._2))
+      .sortBy { case (id, _, sc) => (-sc, id) }
+    assert(out.toSeq == expect, s"got ${out.toSeq}, expect $expect")
+    assert(!out.exists(_._1 == 3L), "doc with no query terms must not appear")
+  }
+
+  test("plan shape: bm25_search top-k is TakeOrderedAndProject — no global sort") {
+    val plan = TextOps.qBm25Search(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
   test("rollup_incremental is split-invariant: any state/fresh boundary yields the identical served rollup") {
     val ord = graft.Tables.orders(spark, d)
     def rows(split: Int) = Relational.rollupIncremental(ord, split).collect()
