@@ -138,6 +138,7 @@ object SparkEntry {
     "rtbf_purge"          -> (Curation.qRtbfPurge _), // opt-out purge by content hash + per-source audit
     "corpus_diff"         -> (R.qCorpusDiff _), // snapshot diff: added/removed/changed/unchanged
     "rollup_incremental"  -> (R.qRollupIncremental _), // mergeable-partials ETL; == direct recompute
+    "equidepth_hist"      -> (R.qEquidepthHist _), // exact-decile equal-mass buckets (optimizer stats)
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
@@ -1273,6 +1274,16 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
          |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
          |FROM mark GROUP BY doc_id""".stripMargin,
+
+    "equidepth_hist" ->
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice,
+         |             [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS bs FROM lineitem),
+         |a AS (SELECT l_extendedprice AS x,
+         |        (${(1 to 9).map(i => s"CASE WHEN l_extendedprice >= bs[$i] THEN 1 ELSE 0 END").mkString(" + ")}) AS bucket
+         |      FROM lineitem, b)
+         |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS lo, max(x) AS hi
+         |FROM a GROUP BY 1""".stripMargin,
 
     // rollup_incremental: the oracle is the DIRECT recompute — the Spark
     // side runs the split-partials-and-merge path, so the hash match IS

@@ -925,6 +925,33 @@ object Relational {
         col("valid_to_ts").isNull.as("is_current"))
   }
 
+  /** Equi-depth histogram (equidepth_hist): ten same-population buckets
+    * of lineitem prices bounded by the EXACT interpolated deciles — the
+    * optimizer-statistics shape (selectivity estimation wants equal-mass
+    * buckets; [[q46Histogram]] is the fixed-WIDTH complement). Bucket id
+    * = how many decile boundaries the value has passed, computed as a
+    * conditional sum against the broadcast 1-row boundary agg — the
+    * zorder_key bounds pattern: no driver collect, and the assignment
+    * compares doubles both engines derived identically (exact
+    * interpolation over the same inputs, q28 precedent), so the oracle
+    * matches bucket-for-bucket.
+    *
+    * Scale shape: one exact-percentile agg (single-column sort
+    * distributed over partials), one broadcast cross join, one 10-key
+    * map-side-combined count agg. */
+  def qEquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(
+      percentile(col("x"), lit((1 to 9).map(_ / 10.0).toArray)).as("bs"))
+    val bucket = (1 to 9)
+      .map(i => when(col("x") >= element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    li.crossJoin(broadcast(bounds))
+      .select(col("x"), bucket.cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+  }
+
   /** Incremental rollup maintenance (rollup_incremental): the nightly-ETL
     * pattern — a served aggregate (revenue by order-year × priority) is
     * maintained as MERGEABLE partials instead of recomputed from source.

@@ -1061,6 +1061,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("equidepth_hist: ten contiguous near-equal-mass buckets covering every row") {
+    val out = Relational.qEquidepthHist(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0 to 9), "all ten buckets populated")
+    val total = graft.Tables.lineitem(spark, d).count()
+    assert(out.map(_._2).sum == total, "buckets must partition the table")
+    // equi-depth: each bucket within 2% of total/10 (exact-decile cuts;
+    // only ties at a boundary can skew, and prices are near-distinct)
+    out.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) <= total * 0.02, s"bucket $b has $n of $total")
+    }
+    // bucket value ranges are disjoint and ordered: hi(b) <= lo(b+1)
+    out.sliding(2).foreach { case Array((_, _, _, hi0), (_, _, lo1, _)) =>
+      assert(hi0 <= lo1, "bucket ranges must be ordered and disjoint")
+    }
+  }
+
   test("bm25_search matches an independently-computed BM25 ranking on a crafted corpus") {
     val s = spark; import s.implicits._
     val docs = Seq(
