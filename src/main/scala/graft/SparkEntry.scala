@@ -143,6 +143,7 @@ object SparkEntry {
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
     "sequence_pack"       -> (Curation.qSequencePack _),
+    "pack_assemble"       -> (Curation.qPackAssemble _), // packed bins -> actual training examples
     "classifier_score"    -> (Curation.qClassifierScore _), // broadcast-model linear scoring
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
@@ -1242,6 +1243,24 @@ object SparkEntry {
          |  CAST(cum_excl // ${Curation.PackBudget} AS BIGINT) AS bin,
          |  CAST(cum_excl % ${Curation.PackBudget} AS BIGINT) AS bin_offset
          |FROM packed""".stripMargin,
+
+    // pack_assemble: the sequence_pack CTE chain + ordered reassembly of
+    // each (bucket, bin)'s normalized texts into one training example.
+    "pack_assemble" ->
+      s"""WITH sized AS (SELECT doc_id,
+         |    substr(md5($NORM), 1, 2) AS bucket,
+         |    len($WORDS) AS n_tokens,
+         |    $NORM AS nt
+         |  FROM documents),
+         |packed AS (SELECT doc_id, bucket, n_tokens, nt,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+         |  FROM sized)
+         |SELECT bucket, CAST(cum_excl // ${Curation.PackBudget} AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(nt, '${Curation.PackSep}'
+         |    ORDER BY cum_excl % ${Curation.PackBudget}) AS seq_text
+         |FROM packed GROUP BY 1, 2""".stripMargin,
 
     "segment_dedup" ->
       s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),

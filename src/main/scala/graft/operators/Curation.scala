@@ -463,6 +463,38 @@ object Curation {
         (col("cum_excl") % PackBudget).as("bin_offset"))
   }
 
+  /** Separator written between packed documents by [[qPackAssemble]]. */
+  val PackSep = " <doc> "
+
+  /** Training-example assembly (pack_assemble): materialize the sequences
+    * [[sequencePack]] laid out — each (bucket, bin) becomes one example
+    * whose text is its documents' normalized text joined in bin-offset
+    * order with a separator token. The step between packing and the
+    * training reader: sequence_pack answers WHERE each document goes,
+    * this emits the actual examples (plus their doc/token counts so a
+    * reader can assert budget adherence without re-tokenizing).
+    *
+    * Scale shape: one doc_id join to attach text, one (bucket, bin) agg
+    * whose collect_list holds only a bin's documents (bounded by
+    * PackBudget tokens — this is the one op where a bounded collect_list
+    * is the POINT: an example must exist as one row); sort+join runs over
+    * tens of elements per bin. 256 buckets × bins shuffle keys. */
+  def qPackAssemble(s: SparkSession, d: String): DataFrame =
+    packAssemble(documents(s, d))
+
+  def packAssemble(docs: DataFrame): DataFrame =
+    sequencePack(docs)
+      .join(docs.select(col("doc_id"), TextOps.normText(col("text")).as("nt")), Seq("doc_id"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("bin_offset"), col("nt")))),
+            x => x.getField("nt")),
+          PackSep).as("seq_text"))
+
   // ---------------------------------------------------------------------
   // Streaming signal projection (batch/stream-agnostic curation front end)
   // ---------------------------------------------------------------------

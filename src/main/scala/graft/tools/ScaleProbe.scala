@@ -134,7 +134,8 @@ object ScaleProbe {
       "dq_audit" -> graft.operators.Audit.qDqAudit _,
       "rollup_incremental" -> Relational.qRollupIncremental _,
       "bm25_search" -> TextOps.qBm25Search _,
-      "equidepth_hist" -> Relational.qEquidepthHist _)
+      "equidepth_hist" -> Relational.qEquidepthHist _,
+      "pack_assemble" -> Curation.qPackAssemble _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

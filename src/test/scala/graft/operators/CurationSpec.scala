@@ -402,6 +402,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$plan")
   }
 
+  test("pack_assemble reconstructs every document exactly once, in bin-offset order") {
+    val docs = graft.Tables.documents(spark, d)
+    val out = Curation.packAssemble(docs).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getString(4))))
+    // every packed doc appears in exactly one example; splitting on the
+    // separator recovers the per-bin doc counts
+    val splitCounts = out.map { case (_, (nDocs, _, txt)) =>
+      (nDocs, txt.split(java.util.regex.Pattern.quote(Curation.PackSep), -1).length.toLong)
+    }
+    splitCounts.foreach { case (n, m) => assert(n == m, s"bin claims $n docs, text holds $m") }
+    assert(out.map(_._2._1).sum == docs.count(), "every document packed exactly once")
+    // reconciles with sequence_pack's layout: same (bucket, bin) spine,
+    // same token mass per bin
+    val packed = Curation.qSequencePack(spark, d).collect()
+      .map(r => ((r.getString(1), r.getLong(3)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    out.foreach { case (key, (nDocs, nTokens, _)) =>
+      assert(packed(key) == ((nDocs, nTokens)), s"bin $key disagrees with sequence_pack")
+    }
+  }
+
   // ------------------------------------------------- RTBF / opt-out purge
 
   test("rtbf_purge takes every copy of opted-out content, not just the requested id") {
