@@ -125,4 +125,29 @@ class SkewSpec extends AnyFunSuite {
     } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
       conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
+
+  test("boilerplate_strip on a 90%-one-segment corpus: hot key stays correct, nothing quadratic") {
+    // the pathological input this op exists FOR: a single boilerplate
+    // segment in (nearly) every document. The seg_text df count is a
+    // partial-agg (map-side combined — the hot key never concentrates raw
+    // rows), and the mark join fans out 1:1 (hot table holds ONE row per
+    // seg_text), so correctness and plan shape must both survive.
+    val spark = graft.streaming.StreamFixture.spark
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"hot$i").mkString(" ")
+    val docs = (1L to 500L).map { id =>
+      val own = (1 to 10).map(i => s"d${id}w$i").mkString(" ")
+      if (id <= 450) (id, s"$boiler $own", "s") else (id, own, "s")
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.boilerplateStrip(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 500)
+    (1L to 450L).foreach { id =>
+      assert(out(id)._1 == 1L, s"doc $id must lose exactly the hot segment")
+      assert(!out(id)._2.contains("hot1"), s"doc $id still carries boilerplate")
+    }
+    (451L to 500L).foreach(id => assert(out(id)._1 == 0L))
+    // per-doc unique segments all survive: no over-strip under the hot key
+    assert(out.values.forall(_._2.nonEmpty))
+  }
 }
