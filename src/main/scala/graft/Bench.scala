@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver. A failed query records sec = -1 and
+  * prints one short JSON line PER QUERY ({"query":name,"sec":min}) followed
+  * by a compact summary line ({"metric":"total",...}) — multi-line since
+  * round 9 because the single all-queries line outgrew the driver's tail
+  * capture (BENCH_r08 parsed:null). A failed query records sec = -1 and
   * is listed in "failed" — a broken query must never masquerade as a fast
   * one (VERDICT r01 §wrong-6).
   *
@@ -146,17 +149,22 @@ object Bench {
       val xs = passes.map(_.toMap.apply(n)).filter(_ >= 0)
       n -> (if (xs.isEmpty) -1.0 else xs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // locale-independent rendering: the f interpolator formats with the
     // default locale, which under a comma-decimal locale would corrupt
     // the machine-read JSON ("0,512" → two array elements)
-    val cal = calibrations.map(c => (math.round(c * 1000) / 1000.0).toString)
+    def r3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
+    // One short line per query, then the summary line LAST (VERDICT r8
+    // task 3): the single all-queries line outgrew the driver's tail
+    // capture and r8's artifact came back parsed:null with half the
+    // per-query numbers lost. Short lines keep every entry inside any
+    // line- or byte-bounded tail; the summary stays compact (no repeated
+    // per-query map) so it can never outgrow the capture again.
+    results.foreach { case (k, v) => println(s"""{"query":"$k","sec":${r3(v)}}""") }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val cal = calibrations.map(r3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

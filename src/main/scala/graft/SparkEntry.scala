@@ -103,6 +103,7 @@ object SparkEntry {
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "bm25_topterms"       -> (TextOps.qBm25 _),
     "bm25_search"         -> (TextOps.qBm25Search _), // sparse top-k retrieval (decimal-exact ranking)
+    "bm25_incremental"    -> (TextOps.qBm25Incremental _), // merged state+fresh partials == direct (shared oracle)
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
@@ -127,6 +128,7 @@ object SparkEntry {
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
     "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
+    "heavy_hitters_exact" -> (TextOps.qHeavyHittersExact _), // hash-green twin of the sketch entry
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
@@ -182,6 +184,29 @@ object SparkEntry {
   // TextOps.normText / normWords exactly).
   private val NORM  = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val WORDS = s"string_split($NORM, ' ')"
+
+  /** Direct whole-corpus BM25 top-k — the oracle for BOTH bm25_search
+    * (direct Spark form) and bm25_incremental (merged-partials Spark
+    * form: the shared SQL makes the hash match the merged==direct
+    * equivalence proof). */
+  private lazy val Bm25SearchSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT w, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+       |q AS (SELECT unnest([${TextOps.Bm25Query.map(t => s"'$t'").mkString(", ")}]) AS w),
+       |sc AS (SELECT tf.doc_id,
+       |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |           (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+       |             (CAST(tot_tokens AS DOUBLE) / n_docs))), 6) AS DECIMAL(12,6)) AS s
+       |       FROM tf JOIN q USING (w) JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+       |SELECT doc_id, n_matched, CAST(sd AS DOUBLE) AS score FROM (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, sum(s) AS sd
+       |  FROM sc GROUP BY doc_id)
+       |ORDER BY sd DESC, doc_id LIMIT 10""".stripMargin
 
   /** DuckDB fragment parsing the first `n` lowercase-hex digits of string
     * expression `h` into a BIGINT — mirrors Spark's
@@ -802,8 +827,8 @@ object SparkEntry {
          |b AS (SELECT min(o_custkey) AS xlo, max(o_custkey) AS xhi,
          |             min(d_day) AS ylo, max(d_day) AS yhi FROM d),
          |k AS (SELECT o_orderkey,
-         |        ((o_custkey - xlo) * 65536) // (xhi - xlo + 1) AS bucket_x,
-         |        ((d_day - ylo) * 65536) // (yhi - ylo + 1) AS bucket_y
+         |        (CAST(o_custkey - xlo AS BIGINT) * 65536) // (xhi - xlo + 1) AS bucket_x,
+         |        (CAST(d_day - ylo AS BIGINT) * 65536) // (yhi - ylo + 1) AS bucket_y
          |      FROM d, b)
          |SELECT o_orderkey, CAST(bucket_x AS BIGINT) AS bucket_x,
          |  CAST(bucket_y AS BIGINT) AS bucket_y,
@@ -918,6 +943,15 @@ object SparkEntry {
          |  trim(regexp_replace($chain, '\\s+', ' ', 'g')) AS clean_text
          |FROM page""".stripMargin
     },
+
+    "heavy_hitters_exact" ->
+      s"""WITH tok AS (SELECT source, unnest($WORDS) AS term FROM documents),
+         |c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (SELECT source, term, n,
+         |       row_number() OVER (PARTITION BY source ORDER BY n DESC, term) - 1 AS rank
+         |     FROM c)
+         |SELECT source, CAST(rank AS INT) AS rank, term, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rank < 10""".stripMargin,
 
     "vocab_build" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS token FROM documents),
@@ -1259,7 +1293,7 @@ object SparkEntry {
          |SELECT bucket, CAST(cum_excl // ${Curation.PackBudget} AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  string_agg(nt, '${Curation.PackSep}'
-         |    ORDER BY cum_excl % ${Curation.PackBudget}) AS seq_text
+         |    ORDER BY cum_excl % ${Curation.PackBudget}, doc_id) AS seq_text
          |FROM packed GROUP BY 1, 2""".stripMargin,
 
     "segment_dedup" ->
@@ -1295,10 +1329,10 @@ object SparkEntry {
          |FROM mark GROUP BY doc_id""".stripMargin,
 
     "equidepth_hist" ->
-      s"""WITH b AS (SELECT quantile_cont(l_extendedprice,
+      s"""WITH b AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
          |             [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS bs FROM lineitem),
-         |a AS (SELECT l_extendedprice AS x,
-         |        (${(1 to 9).map(i => s"CASE WHEN l_extendedprice >= bs[$i] THEN 1 ELSE 0 END").mkString(" + ")}) AS bucket
+         |a AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         |        (${(1 to 9).map(i => s"CASE WHEN CAST(l_extendedprice AS DOUBLE) >= bs[$i] THEN 1 ELSE 0 END").mkString(" + ")}) AS bucket
          |      FROM lineitem, b)
          |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
          |  min(x) AS lo, max(x) AS hi
@@ -1326,10 +1360,10 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem', 'qty_out_of_range', CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'lineitem', 'negative_price', CAST(count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'lineitem', 'discount_out_of_range', CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT) FROM lineitem
-        |UNION ALL SELECT 'orders', 'orphan_custkey', CAST(count(*) AS BIGINT) FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-        |UNION ALL SELECT 'lineitem', 'orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem
-        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+        |UNION ALL SELECT 'orders', 'orphan_custkey', CAST(count(*) AS BIGINT) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL SELECT 'lineitem', 'orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o2 WHERE l.l_orderkey = o2.o_orderkey)""".stripMargin,
 
     "rtbf_purge" ->
       s"""WITH f AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),
@@ -1570,24 +1604,13 @@ object SparkEntry {
     // bm25_search: per-(doc, term) scores rounded to 6 dp and summed as
     // DECIMAL, so the rank key is order-independent and engine-exact —
     // the k-boundary cannot flip on a float-accumulation ulp.
-    "bm25_search" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         |df AS (SELECT w, count(*) AS df
-         |       FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |              CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
-         |q AS (SELECT unnest([${TextOps.Bm25Query.map(t => s"'$t'").mkString(", ")}]) AS w),
-         |sc AS (SELECT tf.doc_id,
-         |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |           (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
-         |             (CAST(tot_tokens AS DOUBLE) / n_docs))), 6) AS DECIMAL(12,6)) AS s
-         |       FROM tf JOIN q USING (w) JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
-         |SELECT doc_id, n_matched, CAST(sd AS DOUBLE) AS score FROM (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, sum(s) AS sd
-         |  FROM sc GROUP BY doc_id)
-         |ORDER BY sd DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_search" -> Bm25SearchSql,
+
+    // bm25_incremental: the oracle is the DIRECT whole-corpus recompute —
+    // the Spark side merges state + fresh-load partials, so the hash
+    // match IS the merged==direct equivalence proof (rollup_incremental
+    // precedent).
+    "bm25_incremental" -> Bm25SearchSql,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -59,6 +59,12 @@ object Audit {
     // referential integrity: fact keys with no dimension partner. The key
     // sets are dimension-sized -> broadcast anti joins; the fact side
     // never shuffles for the membership test.
+    // NULL-key policy: a NULL FK has no dimension partner, so the
+    // anti-join counts it as an orphan IN ADDITION to null_custkey —
+    // deliberate, the two metrics answer different questions (missing
+    // value vs broken reference). The oracle uses NOT EXISTS, which
+    // shares this semantics; NOT IN would silently zero the count when
+    // any NULL appears on either side.
     val orphanOrders = ord.join(broadcast(cust.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("v"))

@@ -491,7 +491,11 @@ object Curation {
         sum(col("n_tokens")).as("n_tokens"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("bin_offset"), col("nt")))),
+            // doc_id as the deterministic tiebreak: two docs in a bin can
+            // share a bin_offset when one normalizes to 0 tokens; without
+            // it the sort falls through to text and the oracle's ORDER BY
+            // would be free to disagree.
+            array_sort(collect_list(struct(col("bin_offset"), col("doc_id"), col("nt")))),
             x => x.getField("nt")),
           PackSep).as("seq_text"))
 

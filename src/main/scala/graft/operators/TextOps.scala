@@ -381,12 +381,30 @@ object TextOps {
     bm25Search(documents(s, d), Bm25Query, 10)
 
   def bm25Search(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val (tf, dl, dfreq, stats) = bm25Stats(docs)
+    bm25SearchFrom(tf, dl, dfreq, stats, query, k)
+  }
+
+  /** The four BM25 statistics frames for a document set: per-(doc, term)
+    * tf, per-doc length, per-term document frequency, and the 1-row
+    * (n_docs, tot_tokens) corpus stats. All four are MERGEABLE across
+    * disjoint document sets — tf/dl by union (doc-keyed, disjoint keys),
+    * df and the corpus stats by sum — which is what makes
+    * [[bm25Incremental]] possible without rescanning the state corpus. */
+  def bm25Stats(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tokens = docs.select(col("doc_id"), explode(normWords(col("text"))).as("w"))
     val tf = tokens.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val dfreq = tokens.select(col("doc_id"), col("w")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    (tf, dl, dfreq, stats)
+  }
+
+  /** Score + top-k over prebuilt statistics frames ([[bm25Stats]] shape —
+    * direct or merged from incremental partials). */
+  def bm25SearchFrom(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+                     stats: DataFrame, query: Seq[String], k: Int): DataFrame = {
     val avgdl = col("tot_tokens").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val sat = (col("tf") * lit(Bm25K1 + 1)) /
@@ -401,6 +419,42 @@ object TextOps {
       .orderBy(col("sd").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("n_matched"), col("sd").cast("double").as("score"))
+  }
+
+  /** Incremental BM25 maintenance (bm25_incremental): a grown corpus is
+    * served without rescanning the state half — the state corpus's
+    * statistics frames are MERGED with the fresh load's partials (tf/dl
+    * union on disjoint doc keys; df and corpus stats summed — the
+    * rollup_incremental mergeable-partials shape) and the same scorer
+    * runs over the merged frames. The registered entry's oracle is the
+    * DIRECT whole-corpus recompute (bm25_search's SQL), so the driver's
+    * hash match IS the merged == direct equivalence proof; OperatorSpec
+    * additionally pins split-invariance across a different split.
+    *
+    * Scale shape: in production the state frames are READ, not
+    * recomputed — only the fresh load is tokenized; the df merge moves
+    * vocabulary-grain rows and the stats merge 1-row frames. Exactness:
+    * every merged statistic is an integer count, so merged scoring is
+    * bit-identical to direct scoring. */
+  def bm25Incremental(stateDocs: DataFrame, freshDocs: DataFrame,
+                      query: Seq[String], k: Int): DataFrame = {
+    val (tfA, dlA, dfA, stA) = bm25Stats(stateDocs)
+    val (tfB, dlB, dfB, stB) = bm25Stats(freshDocs)
+    val tf = tfA.unionByName(tfB)
+    val dl = dlA.unionByName(dlB)
+    val dfreq = dfA.unionByName(dfB).groupBy(col("w"))
+      .agg(sum(col("df")).as("df"))
+    val stats = stA.unionByName(stB)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tokens")).as("tot_tokens"))
+    bm25SearchFrom(tf, dl, dfreq, stats, query, k)
+  }
+
+  /** Registered bm25_incremental entry: state = docs with doc_id % 3 != 0,
+    * fresh load = the rest. */
+  def qBm25Incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    bm25Incremental(docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0), Bm25Query, 10)
   }
 
   /** Overlapping-window document chunking (doc_chunk): each document
@@ -450,6 +504,31 @@ object TextOps {
       .select(posexplode(col("top")).as(Seq("rank", "entry")))
       .select(col("rank").cast("int").as("rank"),
         col("entry.item").as("term"), col("entry.count").as("n"))
+
+  /** Exact per-source heavy hitters (heavy_hitters_exact): the oracle-
+    * checkable twin of [[qHeavyHitters]] — true top-10 terms per source
+    * by exact count, ties broken lexicographically so both engines agree
+    * row-for-row. The sketch entry stays rows-only (its binary is
+    * engine-specific); this entry puts the family under the driver's
+    * hash gate, the same twin pattern as minhash_lsh_md5 (VERDICT r8
+    * task 4).
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined
+    * (source, term) count; the rank window then runs over VOCABULARY-
+    * grain rows partitioned by source (an external sort that spills —
+    * never corpus grain). When even per-source vocab is too wide, the
+    * per-group heap form is [[graft.functions.TopKAggregator]] (q51). */
+  def qHeavyHittersExact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(col("source"), explode(normWords(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", (row_number().over(w) - 1).cast("int"))
+      .filter(col("rank") < 10)
+      .select(col("source"), col("rank"), col("term"), col("n"))
+  }
 
   /** Array set operations (q39): each document's distinct tokens
     * intersected/excepted/unioned against a fixed stopword vocabulary —

@@ -1079,6 +1079,44 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("equidepthBounds: two-pass refinement is bit-identical to single-agg exact percentile") {
+    val s = spark; import s.implicits._
+    // sf0.001 lineitem prices (near-unique doubles) ...
+    val li = graft.Tables.lineitem(spark, d).select(col("l_extendedprice").as("x"))
+    val direct = li.agg(percentile(col("x"), lit((1 to 9).map(_ / 10.0).toArray)))
+      .collect()(0).getSeq[Double](0)
+    val twoPass = Relational.equidepthBoundsArray(li).collect()(0).getSeq[Double](0)
+    assert(twoPass == direct, s"lineitem: $twoPass != $direct")
+    // ... plus a crafted frame stressing ties, integral ranks (n=11 puts
+    // every decile rank on a whole value), and a heavy duplicate run
+    // crossing coarse-cell edges
+    val crafted = (Seq.fill(40)(5.0) ++ (1 to 11).map(_.toDouble) ++
+      Seq(2.5, 2.5, 7.75)).toDF("x")
+    val d2 = crafted.agg(percentile(col("x"), lit((1 to 9).map(_ / 10.0).toArray)))
+      .collect()(0).getSeq[Double](0)
+    val t2 = Relational.equidepthBoundsArray(crafted, coarse = 4).collect()(0).getSeq[Double](0)
+    assert(t2 == d2, s"crafted: $t2 != $d2")
+    // degenerate: constant column (hi == lo path)
+    val const = Seq.fill(7)(3.0).toDF("x")
+    val t3 = Relational.equidepthBoundsArray(const).collect()(0).getSeq[Double](0)
+    assert(t3 == Seq.fill(9)(3.0), s"constant column: $t3")
+  }
+
+  test("bm25_incremental: merged state+fresh partials equal the direct recompute, split-invariant") {
+    val docs = graft.Tables.documents(spark, d)
+    val direct = TextOps.bm25Search(docs, TextOps.Bm25Query, 10).collect().toSeq
+    // two different state/fresh splits must both reproduce the direct
+    // ranking exactly (every merged statistic is an integer count)
+    val byParity = TextOps.bm25Incremental(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      TextOps.Bm25Query, 10).collect().toSeq
+    val byFifth = TextOps.bm25Incremental(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      TextOps.Bm25Query, 10).collect().toSeq
+    assert(byParity == direct, s"parity split diverged: $byParity vs $direct")
+    assert(byFifth == direct, s"fifth split diverged: $byFifth vs $direct")
+  }
+
   test("bm25_search matches an independently-computed BM25 ranking on a crafted corpus") {
     val s = spark; import s.implicits._
     val docs = Seq(
