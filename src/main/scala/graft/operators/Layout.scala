@@ -123,6 +123,58 @@ object Layout {
       .sortWithinPartitions("shuffle_pos")
       .write.mode("overwrite").parquet(path)
 
+  /** Equi-depth-bucketed rewrite: hive-partition `df` into `nBuckets`
+    * directories cut at the EXACT interpolated quantile boundaries of
+    * `valueCol` ([[Relational.equidepthBounds]], the bounded two-pass
+    * refinement) — the layout that turns the optimizer-statistics
+    * operator into what optimizer statistics are FOR. Unlike fixed-width
+    * cuts, every bucket holds the same row count, so no directory is a
+    * hot file under value skew, and a value-range predicate prunes
+    * proportionally to its selectivity. The boundary table itself is
+    * written alongside as `_bounds` (underscore-prefixed, so data reads
+    * ignore it) for [[readValueRange]] to rewrite predicates with.
+    *
+    * Scale shape: boundary discovery is the bounded two-pass; the rewrite
+    * is one broadcast of the 9-double array + one partitioned write —
+    * the same job shape as [[writeZOrdered]], no driver data path. */
+  def writeEquidepthBucketed(df: DataFrame, valueCol: String, path: String,
+      nBuckets: Int = 10): Unit = {
+    val bucketCol = s"${valueCol}_bucket"
+    val bounds = Relational.equidepthBoundsArray(
+      df.select(col(valueCol).cast("double").as("x")), nBuckets)
+    val bucket = (1 until nBuckets)
+      .map(i => when(col(valueCol).cast("double") >= element_at(col("bs"), i), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(bucketCol, bucket.cast("int"))
+      .drop("bs")
+      .repartition(col(bucketCol)) // one shuffle → one writer task per bucket
+      .write.partitionBy(bucketCol).mode("overwrite").parquet(path)
+    Relational.equidepthBounds(
+      df.select(col(valueCol).cast("double").as("x")), nBuckets)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_bounds")
+  }
+
+  /** Read a [[writeEquidepthBucketed]] layout under a value-range
+    * predicate REWRITTEN onto the partition column: the stored `_bounds`
+    * table (≤ nBuckets−1 rows — a bounded control-plane collect) maps
+    * [lo, hi] to the bucket ids that can contain it, so the scan carries
+    * a PartitionFilters entry and never lists the other directories; the
+    * residual value predicate still applies inside surviving buckets.
+    * This is the read half of the layout contract LayoutSpec asserts. */
+  def readValueRange(spark: org.apache.spark.sql.SparkSession, path: String,
+      valueCol: String, lo: Double, hi: Double): DataFrame = {
+    val bucketCol = s"${valueCol}_bucket"
+    val bs = spark.read.parquet(s"$path/_bounds")
+      .orderBy("i").collect().map(_.getAs[Double]("bound"))
+    val loB = bs.count(lo >= _) // bucket id = #boundaries the value passed
+    val hiB = bs.count(hi >= _)
+    spark.read.parquet(path)
+      .filter(col(bucketCol) >= loB && col(bucketCol) <= hiB)
+      .filter(col(valueCol) >= lo && col(valueCol) <= hi)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files — the maintenance job every streaming-
     * sink corpus needs (a 1-second trigger writing for a week leaves

@@ -72,6 +72,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(prunedRead == full, s"pruned read lost rows: $prunedRead vs $full")
   }
 
+  test("equi-depth bucketed layout: equal-mass directories, plan-level pruning, sound range reads") {
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("price"))
+    val path = Files.createTempDirectory("graft-edb").toString + "/li"
+    Layout.writeEquidepthBucketed(li, "price", path, nBuckets = 10)
+
+    // equal-population: every bucket directory within 2% of total/10
+    val perBucket = spark.read.parquet(path).groupBy("price_bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = li.count()
+    assert(perBucket.keySet == (0 to 9).toSet, s"buckets: ${perBucket.keySet}")
+    perBucket.foreach { case (b, n) =>
+      assert(math.abs(n - total / 10.0) <= total * 0.02, s"bucket $b holds $n of $total")
+    }
+
+    // a range spanning roughly deciles 4-5 must prune the other eight
+    // directories AT THE PLAN (PartitionFilters), not just at row filter
+    val Array(bounds) = li.agg(
+      expr("percentile(price, 0.42)"), expr("percentile(price, 0.58)")).collect()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val rr = Layout.readValueRange(spark, path, "price", lo, hi)
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("price_bucket"),
+      s"bucket predicate must reach PartitionFilters:\n$plan")
+    // the rewritten read touches only the buckets the range can occupy
+    val filesRead = rr.select(input_file_name().as("f")).distinct().count()
+    val filesAll = spark.read.parquet(path)
+      .select(input_file_name().as("f")).distinct().count()
+    assert(filesRead * 4 <= filesAll,
+      s"range read should touch ≤1/4 of files: $filesRead of $filesAll")
+    // soundness: rewritten read == direct filter over the full table
+    val expected = li.filter(col("price") >= lo && col("price") <= hi).count()
+    assert(rr.count() == expected && expected > 0,
+      s"pruned read returned ${rr.count()} rows, expected $expected")
+  }
+
   test("writeShuffled lays files out as contiguous, internally-ordered position ranges") {
     val docs = graft.Tables.documents(spark, d)
     val path = Files.createTempDirectory("graft-shuffled").toString + "/docs"
