@@ -53,6 +53,7 @@ object SparkEntry {
     "q26_session_window"  -> (R.q26SessionWindow _),
     "q27_asof_join"       -> (R.qAsofJoin _),
     "q28_percentiles"     -> (R.q28Percentiles _),
+    "q28_percentiles_scale" -> (R.q28PercentilesScale _), // bounded two-pass == single-agg (shared oracle)
     "q29_grouping_sets"   -> (R.q29GroupingSets _),
     "q30_pivot"           -> (R.q30Pivot _),
     "q32_scalar_subquery" -> (R.q32ScalarSubquery _),
@@ -184,6 +185,15 @@ object SparkEntry {
   // TextOps.normText / normWords exactly).
   private val NORM  = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val WORDS = s"string_split($NORM, ' ')"
+
+  /** Shared oracle for q28_percentiles (single exact-percentile agg) and
+    * q28_percentiles_scale (bounded two-pass refinement). */
+  private val Q28PercentilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont("value", 0.5), 6) AS p50,
+      |  round(quantile_cont("value", 0.95), 6) AS p95,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Direct whole-corpus BM25 top-k — the oracle for BOTH bm25_search
     * (direct Spark form) and bm25_incremental (merged-partials Spark
@@ -622,12 +632,12 @@ object SparkEntry {
         |  CAST(prev_click_val AS DOUBLE) AS prev_click_value
         |FROM m WHERE event_type = 'purchase'""".stripMargin,
 
-    "q28_percentiles" ->
-      """SELECT event_type,
-        |  round(quantile_cont("value", 0.5), 6) AS p50,
-        |  round(quantile_cont("value", 0.95), 6) AS p95,
-        |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
+    "q28_percentiles" -> Q28PercentilesSql,
+
+    // q28_percentiles_scale: same oracle as q28 — the Spark side runs the
+    // bounded two-pass refinement, so the hash match IS the equivalence
+    // proof (the bm25_incremental / rollup_incremental precedent).
+    "q28_percentiles_scale" -> Q28PercentilesSql,
 
     "q29_grouping_sets" ->
       """WITH t AS (

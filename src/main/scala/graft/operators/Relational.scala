@@ -388,10 +388,10 @@ object Relational {
     * Scale honesty: exact `percentile` merges a distinct-value-sized
     * value→count buffer per GROUP on one executor — bounded here only by
     * the per-event-type value space. For a near-unique column at 100×,
-    * use [[equidepthBounds]]'s two-pass refinement (per-group variant of
-    * the same shape) or the percentile_approx twin; this entry keeps the
-    * single-agg form because the oracle contract is exact interpolation
-    * and the group cardinality at the tested scales is safe. */
+    * the registered [[q28PercentilesScale]] twin runs
+    * [[groupedEquidepthBounds]] (bounded per-group two-pass, same
+    * output, same oracle); this entry keeps the single-agg form as the
+    * reference the twin is hash-checked against. */
   def q28Percentiles(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
@@ -961,52 +961,94 @@ object Relational {
     *
     * Returns one row per interior boundary: (i, bound). */
   def equidepthBounds(vals: DataFrame, nBuckets: Int = 10,
-                      coarse: Int = 8192): DataFrame = {
+                      coarse: Int = 8192): DataFrame =
+    groupedEquidepthBounds(vals.withColumn("grp", lit(0)),
+      (1 until nBuckets).map(i => (i, i.toDouble / nBuckets)), coarse)
+      .drop("grp")
+
+  /** Per-GROUP form of the bounded two-pass refinement (the general
+    * implementation [[equidepthBounds]] delegates to with a constant
+    * group): exact interpolated quantiles of `x` within every `grp`,
+    * with the same memory story — the per-(group, cell) count agg is
+    * map-side combined over ≤ groups·coarse keys, every window is
+    * partitioned (cumulative counts over ≤coarse rows per group; rank
+    * selection over boundary-cell rows only, an external sort that
+    * spills), and nothing ever buffers a distinct-value map. This is
+    * what replaces per-group exact `percentile` (whose final merge holds
+    * one value→count map PER GROUP on one executor — q28's honesty note)
+    * when group value spaces are near-unique at scale.
+    *
+    * `pcts` is (id, fraction) so callers control both the quantiles and
+    * the output labels. Returns (grp, i, bound). */
+  def groupedEquidepthBounds(vals: DataFrame, pcts: Seq[(Int, Double)],
+                             coarse: Int = 8192): DataFrame = {
     val s  = vals.sparkSession
-    val mm = vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-      count(lit(1)).as("n"))
-    // order-preserving coarse cell id (monotone in x; exactness of the
-    // linear map is irrelevant — only monotonicity + bounded key range)
+    val mm = vals.groupBy(col("grp")).agg(min(col("x")).as("lo"),
+      max(col("x")).as("hi"), count(lit(1)).as("n"))
+    // order-preserving coarse cell id (monotone in x within each group;
+    // exactness of the linear map is irrelevant — only monotonicity +
+    // bounded key range)
     val cb = when(col("hi") === col("lo"), lit(0)).otherwise(
       least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * coarse),
         lit(coarse - 1))).cast("int")
-    val cells  = vals.crossJoin(broadcast(mm)).select(col("x"), cb.as("cb"))
-    val counts = cells.groupBy(col("cb")).agg(count(lit(1)).as("cnt"))
-    val wCum   = Window.orderBy(col("cb"))
-      .rowsBetween(Window.unboundedPreceding, -1)  // ≤`coarse` rows: tiny
-    val cum = counts.select(col("cb"), col("cnt"),
+    val cells  = vals.join(broadcast(mm), Seq("grp"))
+      .select(col("grp"), col("x"), cb.as("cb"))
+    val counts = cells.groupBy(col("grp"), col("cb")).agg(count(lit(1)).as("cnt"))
+    val wCum   = Window.partitionBy(col("grp")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)  // ≤`coarse` rows per group
+    val cum = counts.select(col("grp"), col("cb"), col("cnt"),
       coalesce(sum(col("cnt")).over(wCum), lit(0L)).as("below"))
-    // pct literals built in Scala as i/nBuckets Double division — the
-    // same arithmetic Percentile uses for `percentage * (count - 1)`
+    // pct literals built in Scala Double division — the same arithmetic
+    // Percentile uses for `percentage * (count - 1)`
     import s.implicits._
-    val needs = (1 until nBuckets).map(i => (i, i.toDouble / nBuckets))
-      .toDF("i", "pct")
-      .crossJoin(broadcast(mm.select(col("n"))))
-      .select(col("i"), (col("pct") * (col("n") - 1).cast("double")).as("r"),
-        col("n"))
-      .select(col("i"), col("r"), floor(col("r")).cast("long").as("kLo"),
+    val needs = pcts.toDF("i", "pct")
+      .crossJoin(mm.select(col("grp"), col("n")))  // |pcts| × groups rows
+      .select(col("grp"), col("i"),
+        (col("pct") * (col("n") - 1).cast("double")).as("r"), col("n"))
+      .select(col("grp"), col("i"), col("r"),
+        floor(col("r")).cast("long").as("kLo"),
         least(floor(col("r")) + 1, col("n") - 1).cast("long").as("kHi"))
-    val ranks = needs.select(col("i"), col("r"), explode(array(
+    val ranks = needs.select(col("grp"), col("i"), col("r"), explode(array(
         struct(lit("lo").as("which"), col("kLo").as("k")),
         struct(lit("hi").as("which"), col("kHi").as("k")))).as("e"))
-      .select(col("i"), col("r"), col("e.which").as("which"), col("e.k").as("k"))
-    // locate each needed global rank: its cell + 1-based within-cell rank
-    val located = ranks.join(cum,
-        col("k") >= col("below") && col("k") < col("below") + col("cnt"))
-      .select(col("i"), col("r"), col("which"), col("cb"),
+      .select(col("grp"), col("i"), col("r"),
+        col("e.which").as("which"), col("e.k").as("k"))
+    // locate each needed within-group rank: its cell + 1-based cell rank
+    val located = ranks.join(cum.withColumnRenamed("grp", "g2"),
+        col("grp") === col("g2") &&
+          col("k") >= col("below") && col("k") < col("below") + col("cnt"))
+      .select(col("grp"), col("i"), col("r"), col("which"), col("cb"),
         (col("k") - col("below") + 1).as("rk"))
-    val neededCells = located.select(col("cb")).distinct()
-    val wRank = Window.partitionBy(col("cb")).orderBy(col("x"))
-    val picked = cells.join(broadcast(neededCells), Seq("cb"))
+    val neededCells = located.select(col("grp"), col("cb")).distinct()
+    val wRank = Window.partitionBy(col("grp"), col("cb")).orderBy(col("x"))
+    val picked = cells.join(broadcast(neededCells), Seq("grp", "cb"))
       .withColumn("rk", row_number().over(wRank).cast("long"))
-      .join(broadcast(located), Seq("cb", "rk"))
-      .groupBy(col("i"), col("r"))
+      .join(broadcast(located), Seq("grp", "cb", "rk"))
+      .groupBy(col("grp"), col("i"), col("r"))
       .agg(max(when(col("which") === "lo", col("x"))).as("vLo"),
            max(when(col("which") === "hi", col("x"))).as("vHi"))
-    picked.select(col("i"),
+    picked.select(col("grp"), col("i"),
       when(col("r") === floor(col("r")), col("vLo")).otherwise(
         (floor(col("r")) + lit(1.0) - col("r")) * col("vLo") +
           (col("r") - floor(col("r"))) * col("vHi")).as("bound"))
+  }
+
+  /** q28's exact percentiles via [[groupedEquidepthBounds]]
+    * (q28_percentiles_scale): identical output to [[q28Percentiles]] —
+    * it shares q28's DuckDB oracle, so the driver hash match IS the
+    * bounded-form == single-agg equivalence proof — with no per-group
+    * distinct-value buffer anywhere in the plan. This retires the last
+    * exact-`percentile` aggregate from the registered scale paths. */
+  def q28PercentilesScale(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type").as("grp"), col("value").as("x"))
+    val bounds = groupedEquidepthBounds(ev, Seq(1 -> 0.5, 2 -> 0.95))
+    val n = ev.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    bounds.groupBy(col("grp"))
+      .agg(round(max(when(col("i") === 1, col("bound"))), 6).as("p50"),
+           round(max(when(col("i") === 2, col("bound"))), 6).as("p95"))
+      .join(n, Seq("grp"))
+      .select(col("grp").as("event_type"), col("p50"), col("p95"), col("n"))
   }
 
   /** [[equidepthBounds]] gathered into the 1-row broadcastable array

@@ -134,7 +134,10 @@ object ScaleProbe {
       "dq_audit" -> graft.operators.Audit.qDqAudit _,
       "rollup_incremental" -> Relational.qRollupIncremental _,
       "bm25_search" -> TextOps.qBm25Search _,
+      "bm25_incremental" -> TextOps.qBm25Incremental _,
+      "heavy_hitters_exact" -> TextOps.qHeavyHittersExact _,
       "equidepth_hist" -> Relational.qEquidepthHist _,
+      "q28_percentiles_scale" -> Relational.q28PercentilesScale _,
       "pack_assemble" -> Curation.qPackAssemble _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe

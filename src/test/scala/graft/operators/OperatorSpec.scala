@@ -1102,6 +1102,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(t3 == Seq.fill(9)(3.0), s"constant column: $t3")
   }
 
+  test("q28_percentiles_scale: grouped two-pass equals the single-agg percentiles bit-for-bit") {
+    val direct = Relational.q28Percentiles(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    val scaled = Relational.q28PercentilesScale(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(scaled.toSeq == direct.toSeq, s"$scaled vs $direct")
+    // and the scale plan carries no Percentile aggregate at all
+    val plan = Relational.q28PercentilesScale(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), s"two-pass plan must not buffer percentiles:\n$plan")
+  }
+
   test("bm25_incremental: merged state+fresh partials equal the direct recompute, split-invariant") {
     val docs = graft.Tables.documents(spark, d)
     val direct = TextOps.bm25Search(docs, TextOps.Bm25Query, 10).collect().toSeq
