@@ -488,6 +488,45 @@ object TextOps {
       docs.filter(col("doc_id") % 3 === 0), Bm25Query, 10)
   }
 
+  /** Streaming BM25 index maintenance — the ingest-side of
+    * [[bm25Incremental]]: a `foreachBatch` sink that materializes each
+    * micro-batch's four statistics partials ([[bm25Stats]] shape) as
+    * parquet under `statePath`, one `batch=<id>` directory per partial
+    * per micro-batch. Append-only mergeable partials, merged ON READ by
+    * [[bm25ServeFromIndex]] — the production shape: ingest never rewrites
+    * history, compaction is a separate maintenance job ([[Layout.compact]]).
+    *
+    * Exactly-once: a retried micro-batch OVERWRITES its own `batch=<id>`
+    * directory (the epoch-commit idempotence pattern RecoverySpec pins
+    * for the reference pipeline), so replays cannot double-count.
+    * Correctness requires only that each document arrives in one
+    * micro-batch — the same disjointness [[bm25Incremental]] needs. */
+  def bm25IndexSink(statePath: String)(batch: DataFrame, id: Long): Unit = {
+    val toks = tokenTable(batch).persist()
+    try {
+      val (tf, dl, dfreq, stats) = bm25StatsFromTokens(toks)
+      Seq("tf" -> tf, "dl" -> dl, "df" -> dfreq, "st" -> stats).foreach {
+        case (name, frame) =>
+          frame.write.mode("overwrite").parquet(s"$statePath/$name/batch=$id")
+      }
+    } finally toks.unpersist()
+  }
+
+  /** Serve a BM25 top-k query from a [[bm25IndexSink]] state directory:
+    * tf/dl partials are doc-keyed and disjoint across batches (plain
+    * union-on-read); df and the corpus stats are summed — vocabulary- and
+    * 1-row-grain merges. The search itself is [[bm25SearchFrom]], so a
+    * served result equals the direct whole-corpus recompute exactly
+    * (Bm25StreamSpec pins it after every ingested chunk). */
+  def bm25ServeFromIndex(s: SparkSession, statePath: String,
+                         query: Seq[String], k: Int): DataFrame = {
+    def part(name: String) = s.read.parquet(s"$statePath/$name").drop("batch")
+    val dfreq = part("df").groupBy(col("w")).agg(sum(col("df")).as("df"))
+    val stats = part("st")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tokens")).as("tot_tokens"))
+    bm25SearchFrom(part("tf"), part("dl"), dfreq, stats, query, k)
+  }
+
   /** Overlapping-window document chunking (doc_chunk): each document
     * splits into fixed-size token windows with stride < window (here
     * 64/48, i.e. 16 tokens of overlap) — the step between curation and
