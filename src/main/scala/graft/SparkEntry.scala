@@ -54,6 +54,7 @@ object SparkEntry {
     "q27_asof_join"       -> (R.qAsofJoin _),
     "q28_percentiles"     -> (R.q28Percentiles _),
     "q28_percentiles_scale" -> (R.q28PercentilesScale _), // bounded two-pass == single-agg (shared oracle)
+    "q55_sessionize"      -> (R.q55Sessionize _), // labeled sessions + cross-session features
     "q29_grouping_sets"   -> (R.q29GroupingSets _),
     "q30_pivot"           -> (R.q30Pivot _),
     "q32_scalar_subquery" -> (R.q32ScalarSubquery _),
@@ -633,6 +634,28 @@ object SparkEntry {
         |FROM m WHERE event_type = 'purchase'""".stripMargin,
 
     "q28_percentiles" -> Q28PercentilesSql,
+
+    "q55_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events),
+         |l AS (SELECT user_id, event_id, us,
+         |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+         |      FROM e),
+         |m AS (SELECT user_id, event_id, us,
+         |        CASE WHEN prev_us IS NULL OR us - prev_us > ${R.SessionGapUs}
+         |             THEN 1 ELSE 0 END AS new_sess
+         |      FROM l),
+         |x AS (SELECT user_id, us,
+         |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |      FROM m),
+         |sess AS (SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+         |        min(us) AS start_us, max(us) AS end_us
+         |      FROM x GROUP BY 1, 2)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, n_events,
+         |  CAST(end_us - start_us AS BIGINT) AS duration_us,
+         |  CAST(coalesce(start_us - lag(end_us) OVER
+         |    (PARTITION BY user_id ORDER BY session_idx), -1) AS BIGINT) AS gap_us
+         |FROM sess""".stripMargin,
 
     // q28_percentiles_scale: same oracle as q28 — the Spark side runs the
     // bounded two-pass refinement, so the hash match IS the equivalence

@@ -378,6 +378,47 @@ object Relational {
   def sessionWindowStream(streamingEvents: DataFrame): DataFrame =
     sessionWindowAgg(streamingEvents.withWatermark("ts", "10 minutes"))
 
+  /** Inactivity gap that closes a session in [[q55Sessionize]] (30 min,
+    * in integer microseconds). */
+  val SessionGapUs = 1800L * 1000000L
+
+  /** Gap-based sessionization with session features (q55_sessionize):
+    * every user's event stream is cut into sessions at >30-minute
+    * inactivity gaps and emitted at SESSION grain with a per-user session
+    * INDEX, event count, duration, and the idle gap since the user's
+    * previous session. [[q26SessionWindow]] aggregates sessions
+    * anonymously ("what do sessions look like"); this LABELS them —
+    * session_idx is the join key per-session feature pipelines and
+    * engagement models need, and gap_us is the first such feature (it
+    * spans sessions, which the windowed aggregate cannot see).
+    *
+    * Scale shape: one user_id exchange serves everything — the lag chain
+    * and running session counter share one (user, ts) sort; the feature
+    * window then runs over SESSION-grain rows (≤ sessions per user). All
+    * arithmetic is integer microseconds (unix_micros vs the oracle's
+    * epoch_ns//1000) — engine-portable to the digit; ties on ts are
+    * ordered by event_id so the chain is total. First session's gap is
+    * the -1 sentinel (NULL would need a nullable long on both sides). */
+  def q55Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id")).orderBy(col("session_idx"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+      .withColumn("new_sess", when(col("prev_us").isNull ||
+        col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("gap_us", col("start_us") - lag(col("end_us"), 1).over(bySess))
+      .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
+        col("n_events"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
+  }
+
   /** Exact percentiles (q28): median and p95 of event value per type.
     * Spark's `percentile` and DuckDB's `quantile_cont` both do linear
     * interpolation on the sorted values; rounding to 6 decimals absorbs

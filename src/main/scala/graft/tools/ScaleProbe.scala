@@ -138,6 +138,7 @@ object ScaleProbe {
       "heavy_hitters_exact" -> TextOps.qHeavyHittersExact _,
       "equidepth_hist" -> Relational.qEquidepthHist _,
       "q28_percentiles_scale" -> Relational.q28PercentilesScale _,
+      "q55_sessionize" -> Relational.q55Sessionize _,
       "pack_assemble" -> Curation.qPackAssemble _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe

@@ -1102,6 +1102,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(t3 == Seq.fill(9)(3.0), s"constant column: $t3")
   }
 
+  test("q55_sessionize: contiguous per-user indices, gap threshold respected, events partitioned") {
+    val out = Relational.q55Sessionize(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (u, sessions) =>
+      val idx = sessions.map(_._2).sorted.toSeq
+      assert(idx == (1L to idx.length), s"user $u indices: $idx")
+      // every non-first session opens after an idle gap STRICTLY over the
+      // threshold; the first session carries the -1 sentinel
+      sessions.foreach { sess =>
+        if (sess._2 == 1L) assert(sess._5 == -1L, s"user $u first-session gap ${sess._5}")
+        else assert(sess._5 > Relational.SessionGapUs, s"user $u session ${sess._2} gap ${sess._5}")
+      }
+    }
+    // sessions partition the event table: counts sum to the full table
+    val totalEvents = graft.Tables.events(spark, d).count()
+    assert(out.map(_._3).sum == totalEvents)
+  }
+
   test("q28_percentiles_scale: grouped two-pass equals the single-agg percentiles bit-for-bit") {
     val direct = Relational.q28Percentiles(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
