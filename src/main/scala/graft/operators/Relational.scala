@@ -419,6 +419,50 @@ object Relational {
         coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
   }
 
+  /** One emitted CLOSED session: `session_idx`-th session of the user,
+    * with its event count, duration, and idle gap since the previous
+    * session (-1 for the first) — the [[q55Sessionize]] row shape. */
+  case class SessionClose(user_id: Long, session_idx: Long, n_events: Long,
+                          duration_us: Long, gap_us: Long)
+
+  /** Streaming sessionization: the incremental form of [[q55Sessionize]]
+    * — per-user open-session state (index, start, last-event, count) in
+    * `flatMapGroupsWithState`, emitting a session the moment a later
+    * event proves it closed (arrival-driven close; a production job adds
+    * an event-time timeout to flush the final open session — here the
+    * open tail simply stays in state, and the equality spec accounts for
+    * it). State per user is ONE 5-long tuple — O(1) at any event volume,
+    * the funnelStream/retentionStream property. Under the ordered-replay
+    * contract the emitted closed sessions equal the batch q55 rows minus
+    * each user's final (still-open) session — SessionStreamSpec pins it. */
+  def sessionizeStream(streamingEvents: DataFrame): org.apache.spark.sql.Dataset[SessionClose] = {
+    import streamingEvents.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    streamingEvents.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) => {
+          // state = (session_idx, start_us, end_us, n_events, prev_end_us)
+          // — the open session plus the previous session's close (for the
+          // gap feature; -1 = no previous session, matching batch q55)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionClose]
+          rows.toSeq.sortBy(t => (t._3, t._2)).foreach { case (_, _, us) =>
+            if (st == null) st = (1L, us, us, 1L, -1L)
+            else if (us - st._3 > SessionGapUs) {
+              out += SessionClose(user, st._1, st._4, st._3 - st._2,
+                if (st._5 < 0L) -1L else st._2 - st._5)
+              st = (st._1 + 1, us, us, 1L, st._3)
+            } else st = (st._1, st._2, math.max(st._3, us), st._4 + 1, st._5)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** Exact percentiles (q28): median and p95 of event value per type.
     * Spark's `percentile` and DuckDB's `quantile_cont` both do linear
     * interpolation on the sorted values; rounding to 6 decimals absorbs
