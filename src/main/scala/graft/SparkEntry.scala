@@ -129,6 +129,7 @@ object SparkEntry {
     "doc_chunk"           -> (TextOps.qDocChunk _),
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
+    "merge_apply"         -> (R.qMergeApply _), // CDC MERGE: changelog -> next snapshot, last writer wins
     "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
     "heavy_hitters_exact" -> (TextOps.qHeavyHittersExact _), // hash-green twin of the sketch entry
     // ---- LLM-pipeline: corpus curation ----
@@ -1406,6 +1407,25 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN opt_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
          |  count(DISTINCT CASE WHEN opt_fp IS NOT NULL THEN fp END) AS n_matched_fps
          |FROM f LEFT JOIN opt ON fp = opt_fp GROUP BY source""".stripMargin,
+
+    "merge_apply" ->
+      s"""WITH base AS (SELECT doc_id, source, md5($NORM) AS fp,
+         |        0 AS version, 'upsert' AS op FROM documents),
+         |u1 AS (SELECT doc_id, source, md5(fp || ':v1') AS fp, 1 AS version, 'upsert' AS op
+         |       FROM base WHERE doc_id % 7 = 0),
+         |del AS (SELECT doc_id, source, '' AS fp, 2 AS version, 'delete' AS op
+         |       FROM base WHERE doc_id % 11 = 0),
+         |ins AS (SELECT doc_id + 1000000 AS doc_id, source, md5(fp || ':new') AS fp,
+         |        1 AS version, 'upsert' AS op FROM base WHERE doc_id % 13 = 0),
+         |u2 AS (SELECT doc_id, source, md5(fp || ':v2') AS fp, 3 AS version, 'upsert' AS op
+         |       FROM base WHERE doc_id % 21 = 0),
+         |a AS (SELECT * FROM base UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM del
+         |      UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM u2),
+         |r AS (SELECT doc_id, source, fp, version, op,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+         |      FROM a)
+         |SELECT doc_id, source, fp, CAST(version AS BIGINT) AS version
+         |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
     "corpus_diff" ->
       s"""WITH f AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),

@@ -1253,6 +1253,60 @@ object Relational {
         coalesce(col("o.fp"), lit("")).as("old_fp"),
         coalesce(col("n.fp"), lit("")).as("new_fp"))
 
+  /** CDC MERGE application (merge_apply): apply a versioned changelog of
+    * upserts and delete tombstones to a base snapshot — the highest
+    * version per key wins, and a winning tombstone removes the row. The
+    * write side of the CDC triangle this engine already covers:
+    * [[qScd2Snapshot]] compacts a changelog into validity intervals,
+    * [[qCorpusDiff]] derives a changelog from two snapshots, and this
+    * MATERIALIZES the next snapshot — the operation every table-format
+    * MERGE (upsert compaction) runs per ingest cycle, expressed
+    * engine-agnostically as union + per-key argmax.
+    *
+    * The registered entry simulates the changelog deterministically over
+    * the documents fingerprint snapshot (corpus_diff convention): every
+    * 7th id updated at v1, every 11th tombstoned at v2, every 13th id
+    * inserted fresh at v1, every 21st updated AGAIN at v3 — so
+    * last-writer-wins is exercised through update→update chains and
+    * update→delete races (id % 77: the v2 tombstone beats the v1
+    * update; id % 231: the v3 update resurrects past the tombstone).
+    *
+    * Scale shape: one union + one doc_id-keyed `max_by` agg — a single
+    * key shuffle, map-side combined (each partition keeps one winner per
+    * key before the exchange); a changelog is normally a fraction of the
+    * base, and a base bucketed by doc_id (BucketingSpec) makes its side
+    * exchange-free. Determinism: versions are unique per key by
+    * construction, and max_by orders by the bare integer version. */
+  def qMergeApply(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("source"),
+      md5(TextOps.normText(col("text")).cast("binary")).as("fp"),
+      lit(0L).as("version"), lit("upsert").as("op"))
+    def bump(tag: String, version: Long) =
+      Seq(md5(concat(col("fp"), lit(tag)).cast("binary")).as("fp"),
+        lit(version).as("version"), lit("upsert").as("op"))
+    val u1  = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id") +: col("source") +: bump(":v1", 1L): _*)
+    val del = base.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("source"), lit("").as("fp"),
+        lit(2L).as("version"), lit("delete").as("op"))
+    val ins = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id") +: col("source") +: bump(":new", 1L): _*)
+    val u2  = base.filter(col("doc_id") % 21 === 0)
+      .select(col("doc_id") +: col("source") +: bump(":v2", 3L): _*)
+    mergeApply(base, Seq(u1, del, ins, u2).reduce(_.unionByName(_)))
+  }
+
+  /** See [[qMergeApply]]; both frames are (doc_id, source, fp, version,
+    * op) with op ∈ {upsert, delete} and versions unique per key. */
+  def mergeApply(base: DataFrame, changelog: DataFrame): DataFrame =
+    base.unionByName(changelog)
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("source"), col("fp"), col("op")), col("version")).as("w"),
+           max(col("version")).as("version"))
+      .filter(col("w.op") =!= "delete")
+      .select(col("doc_id"), col("w.source").as("source"),
+        col("w.fp").as("fp"), col("version"))
+
   /** Ordered funnel analysis (view → click → purchase): per step, the
     * users who completed the step sequence IN ORDER — each stage keeps a
     * user only if a step-k event exists STRICTLY after their first

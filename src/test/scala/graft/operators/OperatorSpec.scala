@@ -1102,6 +1102,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(t3 == Seq.fill(9)(3.0), s"constant column: $t3")
   }
 
+  test("merge_apply: tombstone beats older update, later update resurrects, inserts land") {
+    val s = spark; import s.implicits._
+    val base = Seq(
+      (1L, "a", "f1", 0L, "upsert"),   // untouched
+      (2L, "a", "f2", 0L, "upsert"),   // updated at v1
+      (3L, "a", "f3", 0L, "upsert"),   // deleted at v2
+      (4L, "a", "f4", 0L, "upsert"),   // updated v1, deleted v2 -> gone
+      (5L, "a", "f5", 0L, "upsert"))   // deleted v2, re-upserted v3 -> back
+      .toDF("doc_id", "source", "fp", "version", "op")
+    val changelog = Seq(
+      (2L, "a", "f2b", 1L, "upsert"),
+      (3L, "a", "",    2L, "delete"),
+      (4L, "a", "f4b", 1L, "upsert"),
+      (4L, "a", "",    2L, "delete"),
+      (5L, "a", "",    2L, "delete"),
+      (5L, "a", "f5c", 3L, "upsert"),
+      (6L, "a", "f6",  1L, "upsert")) // fresh insert
+      .toDF("doc_id", "source", "fp", "version", "op")
+    val out = Relational.mergeApply(base, changelog).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> ("f1", 0L), 2L -> ("f2b", 1L), 5L -> ("f5c", 3L), 6L -> ("f6", 1L)),
+      s"got $out")
+  }
+
   test("q55_sessionize: contiguous per-user indices, gap threshold respected, events partitioned") {
     val out = Relational.q55Sessionize(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
