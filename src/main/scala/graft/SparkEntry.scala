@@ -170,6 +170,7 @@ object SparkEntry {
     "zorder_key"          -> (Layout.qZorderKey _), // Morton key over integer min-max buckets
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
+    "release_manifest"    -> (Pipeline.qReleaseManifest _), // per-(source, split, band) accounting + order-free checksum
     "domain_mix"          -> (Pipeline.qDomainMix _),
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
@@ -1005,6 +1006,24 @@ object SparkEntry {
          |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM pr GROUP BY 1)
          |SELECT pair, pair_freq FROM agg
          |ORDER BY pair_freq DESC, pair ASC LIMIT 50""".stripMargin,
+
+    "release_manifest" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $NORM AS norm, $WORDS AS words FROM documents),
+         |s AS (SELECT source, text, words,
+         |  round(least(len(words) / 100.0, 1.0) *
+         |    (1.0 - CAST(len([w FOR w IN words IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |      / len(words)), 4) AS q,
+         |  CAST(${duckHex("md5('split:' || CAST(doc_id AS VARCHAR))", 8)} % 100 AS BIGINT) AS bucket,
+         |  CAST(${duckHex("md5(norm)", 15)} AS DECIMAL(38,0)) AS fp_dec
+         |  FROM t)
+         |SELECT source,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+         |  CASE WHEN q < 0.2 THEN 'low' WHEN q < 0.5 THEN 'mid' ELSE 'high' END AS quality_band,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(words)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(CAST(sum(fp_dec) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         |FROM s GROUP BY 1, 2, 3""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

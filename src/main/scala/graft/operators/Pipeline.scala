@@ -176,4 +176,46 @@ object Pipeline {
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         col("ws_tokens"), col("sample_bucket"))
   }
+
+  /** Corpus release manifest (release_manifest): the accounting artifact
+    * a training-data release ships — per (source, split, quality band):
+    * document / whitespace-token / character counts and an
+    * ORDER-INDEPENDENT content checksum (each document's md5 prefix as a
+    * decimal, summed in decimal(38,0) — any partitioning, row order, or
+    * merge schedule yields the same digest, the rollup_incremental
+    * mergeability discipline). A consumer re-derives the digest from
+    * delivered files to prove the release complete and unaltered without
+    * trusting row order or a manifest-side sort.
+    *
+    * Composes the deterministic content-keyed split ([[Sampling.hashSplit]]
+    * convention), FIXED quality-score bands (corpus-free cutoffs — no
+    * global rank, so the manifest of a shard equals the shard of the
+    * manifest), and the md5 fingerprint family. One scan, one
+    * (source, split, band) agg — map-side combined, dimension-grain out. */
+  def qReleaseManifest(s: SparkSession, d: String): DataFrame =
+    releaseManifest(documents(s, d))
+
+  /** See [[qReleaseManifest]]; OperatorSpec pins shard-mergeability
+    * (union of shard manifests re-aggregated == whole-corpus manifest). */
+  def releaseManifest(docs: DataFrame): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    val split = when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    val q = TextOps.qualityExpr(col("text"))
+    val band = when(q < 0.2, "low").when(q < 0.5, "mid").otherwise("high")
+    val fpDec = conv(substring(md5(TextOps.normText(col("text")).cast("binary")), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    docs
+      .select(col("source"), split.as("split"), band.as("quality_band"),
+        size(TextOps.normWords(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"), fpDec.as("fp_dec"))
+      .groupBy(col("source"), col("split"), col("quality_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        // checksum travels as STRING: a decimal(38,0) crosses engine
+        // boundaries with engine-specific numeric rendering (float on
+        // one side, exact decimal on the other) — digits are portable
+        sum(col("fp_dec")).cast("decimal(38,0)").cast("string").as("checksum"))
+  }
 }

@@ -1102,6 +1102,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(t3 == Seq.fill(9)(3.0), s"constant column: $t3")
   }
 
+  test("release_manifest: union of shard manifests re-aggregated equals the whole-corpus manifest") {
+    val docs = graft.Tables.documents(spark, d)
+    val whole = Pipeline.releaseManifest(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), BigInt(r.getString(6)))).toMap
+    val shards = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .map(sh => Pipeline.releaseManifest(sh).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), BigInt(r.getString(6)))).toMap)
+    val merged = (shards(0).keySet ++ shards(1).keySet).map { k =>
+      val a = shards(0).getOrElse(k, (0L, 0L, 0L, BigInt(0)))
+      val b = shards(1).getOrElse(k, (0L, 0L, 0L, BigInt(0)))
+      k -> (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
+    }.toMap
+    assert(merged == whole, "shard manifests must merge to the whole manifest")
+  }
+
   test("merge_apply: tombstone beats older update, later update resurrects, inserts land") {
     val s = spark; import s.implicits._
     val base = Seq(
