@@ -1163,6 +1163,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == totalEvents)
   }
 
+  test("equidepthBounds edge battery: two-pass == single-agg on degenerate and adversarial inputs") {
+    val s = spark; import s.implicits._
+    val cases: Seq[Seq[Double]] = Seq(
+      Seq(1.0),                                  // n = 1: every rank clamps to row 0
+      Seq(1.0, 2.0),                             // n = 2: every decile interpolates the same pair
+      Seq(5.0, 5.0, 5.0, 5.0),                   // all ties (hi == lo cell path)
+      Seq(-3.0, -1.0, 7.0),                      // negatives + tiny n
+      Seq(1e300, -1e300, 0.0),                   // extreme magnitudes (coarse map degenerates)
+      (1 to 10).map(_ * 0.1),                    // n = 10: integral rank at every decile
+      Seq(1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 100.0),  // heavy ties + outlier
+      (1 to 97).map(i => math.sin(i.toDouble) * 50)) // irregular spread
+    cases.zipWithIndex.foreach { case (xs, ci) =>
+      val df = xs.toDF("x")
+      val direct = df.agg(percentile(col("x"), lit((1 to 9).map(_ / 10.0).toArray)))
+        .collect()(0).getSeq[Double](0)
+      Seq(4, 8192).foreach { coarse =>
+        val twoPass = Relational.equidepthBoundsArray(df, coarse = coarse)
+          .collect()(0).getSeq[Double](0)
+        assert(twoPass == direct, s"case $ci coarse=$coarse: $twoPass != $direct")
+      }
+    }
+  }
+
   test("q28_percentiles_scale: grouped two-pass equals the single-agg percentiles bit-for-bit") {
     val direct = Relational.q28Percentiles(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
