@@ -52,6 +52,7 @@ object SparkEntry {
     "q25_sliding_window"  -> (R.q25SlidingWindow _),
     "q26_session_window"  -> (R.q26SessionWindow _),
     "q27_asof_join"       -> (R.qAsofJoin _),
+    "pit_join"            -> (R.qPitJoin _), // SCD2 point-in-time dimension lookup (DuckDB ASOF oracle)
     "q28_percentiles"     -> (R.q28Percentiles _),
     "q28_percentiles_scale" -> (R.q28PercentilesScale _), // bounded two-pass == single-agg (shared oracle)
     "q55_sessionize"      -> (R.q55Sessionize _), // labeled sessions + cross-session features
@@ -617,6 +618,21 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT id AS doc_id, cluster_id, cluster_size
          |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+
+    // pit_join: the oracle deliberately uses DuckDB's NATIVE ASOF JOIN —
+    // an independent algorithm from the Spark union+window composition,
+    // so the hash match cross-checks semantics, not a shared plan.
+    "pit_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS ck, DATE '1990-01-01' AS dt, c_mktsegment AS seg FROM customer
+        |  UNION ALL SELECT c_custkey, DATE '1995-06-15', 'V1:' || c_mktsegment
+        |    FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT c_custkey, DATE '1997-03-01', 'V2:' || c_mktsegment
+        |    FROM customer WHERE c_custkey % 9 = 0),
+        |f AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, strftime(f.dt, '%Y-%m-%d') AS order_date,
+        |  dim.seg AS mktsegment_at_order
+        |FROM f ASOF JOIN dim ON f.o_custkey = dim.ck AND f.dt >= dim.dt""".stripMargin,
 
     "q27_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,

@@ -659,6 +659,63 @@ object Relational {
         col("prev_click_val").cast("double").as("prev_click_value"))
   }
 
+  /** Point-in-time dimension join (pit_join): every order looks up the
+    * customer-dimension VERSION that was valid on its order date — the
+    * SCD2 read path (the warehouse pattern behind "what segment was this
+    * customer in when they ordered"), completing the family:
+    * [[qScd2Snapshot]] builds the versioned dimension, [[qAsofJoin]] is
+    * the single-table as-of, this is the cross-table PIT lookup.
+    *
+    * Spark has no ASOF JOIN; the composition is the q27 union trick
+    * generalized to two tables: version rows and fact rows union into ONE
+    * (custkey, date) sort where `last(seg, ignoreNulls)` carries the
+    * in-force version onto each fact row — both sides shuffle once on the
+    * key, versus an interval join that explodes to per-(fact, version)
+    * comparisons. A version effective ON the order date applies: dim rows
+    * sort before fact rows at equal dates (is_fact tiebreak). The DuckDB
+    * oracle uses its native ASOF JOIN — an INDEPENDENT algorithm, so the
+    * hash match cross-checks the composition, not a shared plan.
+    *
+    * The versioned dimension is simulated deterministically (corpus_diff
+    * convention): v0 for everyone from 1990, every 3rd customer re-versioned
+    * mid-1995, every 9th again in 1997 — order dates (1992-1998) straddle
+    * all three effectivities. */
+  def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    def ver(pred: Column, eff: String, tag: String) =
+      cust.filter(pred).select(col("c_custkey").as("ck"),
+        to_date(lit(eff)).as("dt"),
+        (if (tag.isEmpty) col("c_mktsegment")
+         else concat(lit(tag), col("c_mktsegment"))).as("seg"),
+        lit(null).cast("long").as("o_orderkey"), lit(0).as("is_fact"))
+    val dims = ver(lit(true), "1990-01-01", "")
+      .unionByName(ver(col("c_custkey") % 3 === 0, "1995-06-15", "V1:"))
+      .unionByName(ver(col("c_custkey") % 9 === 0, "1997-03-01", "V2:"))
+    val facts = orders(s, d).select(col("o_custkey").as("ck"),
+      to_date(col("o_orderdate")).as("dt"), col("o_orderkey"))
+    pitLookup(dims.drop("o_orderkey", "is_fact"), facts)
+      .select(col("o_orderkey"), col("ck").as("o_custkey"),
+        date_format(col("dt"), "yyyy-MM-dd").as("order_date"),
+        col("seg_at").as("mktsegment_at_order"))
+  }
+
+  /** The PIT composition itself: `dims` is (ck, dt, seg) version rows,
+    * `facts` is (ck, dt, o_orderkey); returns facts with `seg_at` — the
+    * version in force at the fact date (effective-on-date applies; a fact
+    * predating every version gets null). */
+  def pitLookup(dims: DataFrame, facts: DataFrame): DataFrame = {
+    val d2 = dims.select(col("ck"), col("dt"), col("seg"),
+      lit(null).cast("long").as("o_orderkey"), lit(0).as("is_fact"))
+    val f2 = facts.select(col("ck"), col("dt"),
+      lit(null).cast("string").as("seg"), col("o_orderkey"), lit(1).as("is_fact"))
+    val w = Window.partitionBy(col("ck"))
+      .orderBy(col("dt"), col("is_fact"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d2.unionByName(f2)
+      .withColumn("seg_at", last(col("seg"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+  }
+
   /** Range (band) join (q40): lineitem rows land in quantity bands defined
     * by [lo, hi) intervals — the classic non-equi interval join. The band
     * table is a literal handful of rows, so the ONLY sane physical plan at

@@ -140,6 +140,7 @@ object ScaleProbe {
       "q28_percentiles_scale" -> Relational.q28PercentilesScale _,
       "q55_sessionize" -> Relational.q55Sessionize _,
       "merge_apply" -> Relational.qMergeApply _,
+      "pit_join" -> Relational.qPitJoin _,
       "release_manifest" -> Pipeline.qReleaseManifest _,
       "pack_assemble" -> Curation.qPackAssemble _)
 

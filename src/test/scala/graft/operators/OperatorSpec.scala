@@ -1119,6 +1119,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(merged == whole, "shard manifests must merge to the whole manifest")
   }
 
+  test("pit_join: effective-on-date applies, latest prior version wins, pre-history is null") {
+    val s = spark; import s.implicits._
+    import java.sql.Date
+    val dims = Seq(
+      (1L, Date.valueOf("2000-01-01"), "A0"),
+      (1L, Date.valueOf("2000-06-15"), "A1"),
+      (1L, Date.valueOf("2001-01-01"), "A2"),
+      (2L, Date.valueOf("2000-03-01"), "B0")).toDF("ck", "dt", "seg")
+    val facts = Seq(
+      (1L, Date.valueOf("2000-06-14"), 100L), // day before v1 -> A0
+      (1L, Date.valueOf("2000-06-15"), 101L), // ON the effectivity -> A1
+      (1L, Date.valueOf("2000-12-31"), 102L), // between v1 and v2 -> A1
+      (1L, Date.valueOf("2005-01-01"), 103L), // far future -> A2
+      (2L, Date.valueOf("2000-02-28"), 200L), // predates every version -> null
+      (2L, Date.valueOf("2000-03-01"), 201L)) // ON B0's effectivity -> B0
+      .toDF("ck", "dt", "o_orderkey")
+    val out = Relational.pitLookup(dims, facts).collect()
+      .map(r => r.getLong(3) -> Option(r.getString(5))).toMap
+    assert(out == Map(100L -> Some("A0"), 101L -> Some("A1"), 102L -> Some("A1"),
+      103L -> Some("A2"), 200L -> None, 201L -> Some("B0")), s"got $out")
+  }
+
   test("merge_apply: tombstone beats older update, later update resurrects, inserts land") {
     val s = spark; import s.implicits._
     val base = Seq(
