@@ -63,6 +63,21 @@ class Bm25StreamSpec extends AnyFunSuite {
           arrived.toDF("doc_id", "source", "text"), TextOps.Bm25Query, 10).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(reServed == direct, "retried micro-batch must be idempotent")
+
+      // maintenance closes the loop: compacting the append-only partial
+      // logs (Layout.compact, the small-file rewrite a streaming sink
+      // needs) must leave served rankings unchanged — the merge-on-read
+      // serve is layout-agnostic by construction
+      val compactPath = Files.createTempDirectory("graft-bm25idx2").toString + "/idx"
+      Seq("tf", "dl", "df", "st").foreach { part =>
+        val (before, after) = graft.operators.Layout.compact(
+          spark, s"$statePath/$part", s"$compactPath/$part", targetBytes = 64L << 20)
+        assert(after <= before, s"$part: compaction must not grow the file count")
+      }
+      val servedCompact = TextOps.bm25ServeFromIndex(
+          spark, compactPath, TextOps.Bm25Query, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(servedCompact == direct, "compacted index must serve identical rankings")
     } finally query.stop()
   }
 }
