@@ -1334,10 +1334,20 @@ object Relational {
     * base, and a base bucketed by doc_id (BucketingSpec) makes its side
     * exchange-free. Determinism: versions are unique per key by
     * construction, and max_by orders by the bare integer version. */
-  def qMergeApply(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d).select(col("doc_id"), col("source"),
+  def qMergeApply(s: SparkSession, d: String): DataFrame =
+    mergeApply(mergeBase(documents(s, d)), simulatedChangelog(documents(s, d)))
+
+  /** The v0 fingerprint snapshot [[qMergeApply]] merges onto. */
+  def mergeBase(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       md5(TextOps.normText(col("text")).cast("binary")).as("fp"),
       lit(0L).as("version"), lit("upsert").as("op"))
+
+  /** [[qMergeApply]]'s deterministic changelog simulation, exposed so the
+    * streaming twin (CdcStreamSpec) can replay the SAME changelog in
+    * chunks through the log sink. */
+  def simulatedChangelog(docs: DataFrame): DataFrame = {
+    val base = mergeBase(docs)
     def bump(tag: String, version: Long) =
       Seq(md5(concat(col("fp"), lit(tag)).cast("binary")).as("fp"),
         lit(version).as("version"), lit("upsert").as("op"))
@@ -1350,8 +1360,24 @@ object Relational {
       .select((col("doc_id") + 1000000L).as("doc_id") +: col("source") +: bump(":new", 1L): _*)
     val u2  = base.filter(col("doc_id") % 21 === 0)
       .select(col("doc_id") +: col("source") +: bump(":v2", 3L): _*)
-    mergeApply(base, Seq(u1, del, ins, u2).reduce(_.unionByName(_)))
+    Seq(u1, del, ins, u2).reduce(_.unionByName(_))
   }
+
+  /** Streaming CDC ingest — the log half of [[mergeApply]]'s lifecycle: a
+    * `foreachBatch` sink appends each micro-batch of changelog rows under
+    * a `batch=<id>` directory (retried batches overwrite their own
+    * directory — the bm25IndexSink idempotence pattern), and
+    * [[mergeServeFromLog]] serves the current snapshot by merging base +
+    * accumulated log ON READ. Ingest never rewrites history; checkpointed
+    * snapshot materialization and log compaction are separate maintenance
+    * jobs ([[Layout.compact]] — layout-agnostic serve proven for the BM25
+    * log in Bm25StreamSpec). */
+  def cdcLogSink(logPath: String)(batch: DataFrame, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$logPath/batch=$id")
+
+  /** See [[cdcLogSink]]. */
+  def mergeServeFromLog(s: SparkSession, base: DataFrame, logPath: String): DataFrame =
+    mergeApply(base, s.read.parquet(logPath).drop("batch"))
 
   /** See [[qMergeApply]]; both frames are (doc_id, source, fp, version,
     * op) with op ∈ {upsert, delete} and versions unique per key. */
