@@ -53,6 +53,7 @@ object SparkEntry {
     "q26_session_window"  -> (R.q26SessionWindow _),
     "q27_asof_join"       -> (R.qAsofJoin _),
     "pit_join"            -> (R.qPitJoin _), // SCD2 point-in-time dimension lookup (DuckDB ASOF oracle)
+    "ingest_anomaly"      -> (R.qIngestAnomaly _), // trailing-week z-score monitor over daily counts
     "q28_percentiles"     -> (R.q28Percentiles _),
     "q28_percentiles_scale" -> (R.q28PercentilesScale _), // bounded two-pass == single-agg (shared oracle)
     "q55_sessionize"      -> (R.q55Sessionize _), // labeled sessions + cross-session features
@@ -618,6 +619,24 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT id AS doc_id, cluster_id, cluster_size
          |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+
+    "ingest_anomaly" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |           CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT day, n_events,
+        |  round(avg(n_events) OVER tw, 4) AS mu,
+        |  round(stddev_samp(n_events) OVER tw, 4) AS sigma
+        |  FROM daily
+        |  WINDOW tw AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(day AS BIGINT) AS day, n_events, mu, sigma,
+        |  CASE WHEN sigma IS NOT NULL AND sigma > 0
+        |       THEN round((n_events - mu) / sigma, 4) END AS z,
+        |  coalesce(sigma IS NOT NULL AND sigma > 0 AND
+        |    abs(round((n_events - mu) / sigma, 4)) >= 2.0, FALSE) AS flagged
+        |FROM sc""".stripMargin,
 
     // pit_join: the oracle deliberately uses DuckDB's NATIVE ASOF JOIN —
     // an independent algorithm from the Spark union+window composition,

@@ -961,6 +961,39 @@ object Relational {
           .cast("double").as("spend_30d"))
   }
 
+  /** Ingest anomaly monitor (ingest_anomaly): daily event counts scored
+    * against their own trailing week — z = (n − µ₇)/σ₇ over a RANGE frame
+    * of the 7 PRIOR days (current day excluded, so a spike can't mask
+    * itself) — the statistical alarm a pipeline-observability stack rings
+    * when a feed doubles or dries up. Completes the monitoring family:
+    * `Dataset.observe` surfaces per-batch metrics, [[Audit.qDqAudit]]
+    * checks invariants, this watches the TREND.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined daily
+    * count; the scoring window runs over DATE-grain rows (a few thousand
+    * for years of data — the documented tiny-aggregate exception for an
+    * unpartitioned window). z is engine-portable: µ and σ round to 4 dp
+    * before the division, and days with σ undefined (first two) emit
+    * null. */
+  def qIngestAnomaly(s: SparkSession, d: String): DataFrame =
+    ingestAnomaly(events(s, d)
+      .select(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events")))
+
+  /** See [[qIngestAnomaly]]; takes the (day, n_events) daily frame so
+    * tests can plant spikes/droughts and assert the flags. */
+  def ingestAnomaly(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("day")).rangeBetween(-7, -1)
+    daily
+      .withColumn("mu", round(avg(col("n_events")).over(w), 4))
+      .withColumn("sigma", round(stddev_samp(col("n_events")).over(w), 4))
+      .withColumn("z",
+        when(col("sigma").isNotNull && col("sigma") > 0,
+          round((col("n_events") - col("mu")) / col("sigma"), 4)))
+      .select(col("day"), col("n_events"), col("mu"), col("sigma"), col("z"),
+        (col("z").isNotNull && abs(col("z")) >= 2.0).as("flagged"))
+  }
+
   /** Resample + forward-fill (q49): per-user purchase values land on a
     * daily grid spanning that user's observed range (sequence + explode —
     * generated on executors, never the driver), missing days left-join to

@@ -141,6 +141,7 @@ object ScaleProbe {
       "q55_sessionize" -> Relational.q55Sessionize _,
       "merge_apply" -> Relational.qMergeApply _,
       "pit_join" -> Relational.qPitJoin _,
+      "ingest_anomaly" -> Relational.qIngestAnomaly _,
       "release_manifest" -> Pipeline.qReleaseManifest _,
       "pack_assemble" -> Curation.qPackAssemble _)
 

@@ -1119,6 +1119,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(merged == whole, "shard manifests must merge to the whole manifest")
   }
 
+  test("ingest_anomaly: planted spike and drought flag, steady days do not, warmup is null") {
+    val s = spark; import s.implicits._
+    // steady days at ~100 ± small jitter, a 3× spike at day 20, a
+    // near-dry day at 28 (outside the spike's 7-day shadow, where the
+    // inflated trailing sigma would legitimately absorb it)
+    val daily = (0L until 30L).map { day =>
+      val n = if (day == 20) 300L else if (day == 28) 2L
+              else 100L + (day % 3)  // jitter keeps sigma > 0
+      (day, n)
+    }.toDF("day", "n_events")
+    val out = Relational.ingestAnomaly(daily).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(4)) None else Some(r.getDouble(4))), r.getBoolean(5)))
+      .toMap
+    assert(out(0L) == ((None, false)), "day 0 has no trailing window")
+    assert(out(20L)._2, s"spike must flag: ${out(20L)}")
+    assert(out(28L)._2, s"drought must flag: ${out(28L)}")
+    // mature steady days (full window, not in an anomaly's shadow where
+    // the trailing stats are legitimately distorted) must stay quiet
+    val shadow = Set(20L, 21L, 28L, 29L)
+    val steadyFlags = out.view.filterKeys(k => k >= 8 && !shadow(k)).values.count(_._2)
+    assert(steadyFlags == 0, s"steady days must not flag ($steadyFlags did)")
+  }
+
   test("pit_join: effective-on-date applies, latest prior version wins, pre-history is null") {
     val s = spark; import s.implicits._
     import java.sql.Date
