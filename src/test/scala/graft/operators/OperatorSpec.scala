@@ -1231,6 +1231,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedEquidepthBounds: 200 uneven groups, two-pass == per-group exact percentile") {
+    val s = spark; import s.implicits._
+    // group g holds g % 17 + 1 values (1..17 rows — exercises tiny-group
+    // rank clamping) drawn from a deterministic irregular sequence
+    val df = (0 until 200).flatMap { g =>
+      (0 to g % 17).map(i => (g, ((g * 31 + i * 7) % 97).toDouble + g / 100.0))
+    }.toDF("grp", "x")
+    val pcts = Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.9)
+    val direct = df.groupBy(col("grp"))
+      .agg(percentile(col("x"), lit(Array(0.25, 0.5, 0.9))).as("ps"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    Seq(4, 64).foreach { coarse =>
+      val twoPass = Relational.groupedEquidepthBounds(df, pcts, coarse).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      (0 until 200).foreach { g =>
+        val got = (1 to 3).map(i => twoPass((g, i)))
+        assert(got == direct(g), s"group $g coarse=$coarse: $got != ${direct(g)}")
+      }
+    }
+  }
+
   test("q28_percentiles_scale: grouped two-pass equals the single-agg percentiles bit-for-bit") {
     val direct = Relational.q28Percentiles(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
