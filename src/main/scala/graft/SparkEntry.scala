@@ -54,6 +54,7 @@ object SparkEntry {
     "q27_asof_join"       -> (R.qAsofJoin _),
     "pit_join"            -> (R.qPitJoin _), // SCD2 point-in-time dimension lookup (DuckDB ASOF oracle)
     "ingest_anomaly"      -> (R.qIngestAnomaly _), // trailing-week z-score monitor over daily counts
+    "funnel_latency"      -> (R.qFunnelLatency _), // exact median step-to-step time via grouped two-pass
     "q28_percentiles"     -> (R.q28Percentiles _),
     "q28_percentiles_scale" -> (R.q28PercentilesScale _), // bounded two-pass == single-agg (shared oracle)
     "q55_sessionize"      -> (R.q55Sessionize _), // labeled sessions + cross-session features
@@ -958,6 +959,28 @@ object SparkEntry {
          |FROM lab JOIN sz USING (cluster_id) JOIN qual ON qual.doc_id = lab.id
          |QUALIFY row_number() OVER (PARTITION BY cluster_id
          |  ORDER BY canonical_quality DESC, id) = 1""".stripMargin,
+
+    "funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT 'view->click' AS step_pair,
+        |        CAST(epoch_ns(s1.t)//1000 - epoch_ns(s0.t)//1000 AS DOUBLE) AS gap
+        |      FROM s1 JOIN s0 USING (user_id)
+        |      UNION ALL
+        |      SELECT 'click->purchase',
+        |        CAST(epoch_ns(s2.t)//1000 - epoch_ns(s1.t)//1000 AS DOUBLE)
+        |      FROM s2 JOIN s1 USING (user_id))
+        |SELECT step_pair, CAST(count(*) AS BIGINT) AS n_users,
+        |  quantile_cont(gap, 0.5) AS median_gap_us
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q53_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

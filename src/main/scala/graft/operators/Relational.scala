@@ -1491,11 +1491,19 @@ object Relational {
 
   /** K-stage relational funnel — see [[qFunnel]]; `steps` is the ordered
     * event-type sequence. Reference form for [[funnelSingleScan]]. */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    funnelStageTimes(events, steps).zipWithIndex.map { case (stage, i) =>
+      stage.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step_idx"), lit(steps(i)).as("step"), col("users"))
+    }.reduce(_.unionAll(_))
+
+  /** Per-user first-completion time of each funnel stage — the `funnel`
+    * chain's intermediate frames, exposed for [[qFunnelLatency]]. Stage 0
+    * is the first entry-step event; stage k the first step-k event
+    * STRICTLY after the user's stage-(k−1) completion. */
+  def funnelStageTimes(events: DataFrame, steps: Seq[String]): Seq[DataFrame] = {
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
-    // stage 0: first occurrence of the entry step per user; stage k: first
-    // step-k event strictly after the user's stage-(k-1) completion time
-    val stages = steps.tail.scanLeft(
+    steps.tail.scanLeft(
       e.filter(col("event_type") === steps.head)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, step) =>
       e.filter(col("event_type") === step)
@@ -1503,10 +1511,37 @@ object Relational {
         .filter(col("ts") > col("t_prev"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     }
-    stages.zipWithIndex.map { case (stage, i) =>
-      stage.agg(count(lit(1)).as("users"))
-        .select(lit(i.toLong).as("step_idx"), lit(steps(i)).as("step"), col("users"))
-    }.reduce(_.unionAll(_))
+  }
+
+  /** Funnel step latency (funnel_latency): for each consecutive step pair,
+    * how many users converted and the MEDIAN time it took — the "where do
+    * users stall" companion to [[qFunnel]]'s "where do they drop". The
+    * median is exact and computed by [[groupedEquidepthBounds]] (the
+    * bounded per-group two-pass), not a per-group `percentile` aggregate —
+    * per-user conversion gaps are near-unique, exactly the buffer shape
+    * the refinement exists to avoid. Gaps are integer microseconds widened
+    * to double (exact to 2^53), so the oracle's `quantile_cont` matches to
+    * the bit. */
+  def qFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val stages = funnelStageTimes(events(s, d), steps)
+    val gaps = (1 until steps.length).map { k =>
+      stages(k).withColumnRenamed("t", "t_cur")
+        .join(stages(k - 1).withColumnRenamed("t", "t_prev"), "user_id")
+        .select(lit(k).as("grp"),
+          (unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
+            .cast("double").as("x"))
+    }.reduce(_.unionByName(_))
+    val med = groupedEquidepthBounds(gaps, Seq(1 -> 0.5))
+    val counts = gaps.groupBy(col("grp")).agg(count(lit(1)).as("n_users"))
+    val pairName = (1 until steps.length)
+      .map(k => (k, s"${steps(k - 1)}->${steps(k)}"))
+      .foldLeft(lit(null).cast("string")) { case (acc, (k, name)) =>
+        when(col("grp") === k, name).otherwise(acc)
+      }
+    med.join(counts, Seq("grp"))
+      .select(pairName.as("step_pair"), col("n_users"),
+        col("bound").as("median_gap_us"))
   }
 
   /** One emitted funnel advance: `stage` steps are now complete for the

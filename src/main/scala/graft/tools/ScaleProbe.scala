@@ -142,6 +142,7 @@ object ScaleProbe {
       "merge_apply" -> Relational.qMergeApply _,
       "pit_join" -> Relational.qPitJoin _,
       "ingest_anomaly" -> Relational.qIngestAnomaly _,
+      "funnel_latency" -> Relational.qFunnelLatency _,
       "release_manifest" -> Pipeline.qReleaseManifest _,
       "pack_assemble" -> Curation.qPackAssemble _)
 
