@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
 
-import graft.operators.{Audit, Curation, Dedup, Graph, Layout, Multimodal, Pipeline, Relational => R, Sampling, Similarity, TextOps}
+import graft.operators.{Audit, Curation, Dedup, Graph, Layout, Multimodal, Overlap, Pipeline, Relational => R, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,8 @@ object SparkEntry {
     "dedup_incremental_bloom" -> (Dedup.qDedupIncrementalBloom _), // bloom-pruned plan, same oracle
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "prefix_jaccard"      -> (Dedup.qPrefixJaccard _),
+    "overlap_exact"       -> (Overlap.qOverlapExact _), // cross-source distinct-shingle overlap (ground truth)
+    "overlap_kmv"         -> (Overlap.qOverlapKmv _), // rows-only: KMV sketch estimates; bounds + exact merge-invariance in OverlapSpec
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
@@ -135,6 +137,7 @@ object SparkEntry {
     "merge_apply"         -> (R.qMergeApply _), // CDC MERGE: changelog -> next snapshot, last writer wins
     "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
     "heavy_hitters_exact" -> (TextOps.qHeavyHittersExact _), // hash-green twin of the sketch entry
+    "pmi_collocations"    -> (TextOps.qPmiCollocations _), // phrase mining: top bigrams by PMI with count floor
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
@@ -541,6 +544,26 @@ object SparkEntry {
          |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
          |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin,
+
+    // overlap_exact: source-grain distinct-shingle sets; same 3-gram
+    // construction as NGRAM_CTES but keyed (and deduped) by source. All
+    // C(sources,2) pairs kept (zero intersections coalesce to 0).
+    "overlap_exact" ->
+      s"""WITH w AS (SELECT source, $WORDS AS words FROM documents),
+         |sh AS (SELECT source, words FROM w WHERE len(words) >= 3),
+         |ex AS (SELECT DISTINCT source,
+         |         concat_ws(' ', words[i], words[i+1], words[i+2]) AS shingle
+         |       FROM (SELECT source, words, unnest(range(1, len(words) - 1)) AS i FROM sh)),
+         |cnt AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+         |inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+         |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT ca.source AS source_a, cb.source AS source_b, ca.n AS n_a, cb.n AS n_b,
+         |  coalesce(i, CAST(0 AS BIGINT)) AS n_common,
+         |  round(CAST(coalesce(i, CAST(0 AS BIGINT)) AS DOUBLE)
+         |    / (ca.n + cb.n - coalesce(i, CAST(0 AS BIGINT))), 6) AS jaccard
+         |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+         |LEFT JOIN inter ON inter.source_a = ca.source AND inter.source_b = cb.source""".stripMargin,
 
     "minhash_lsh_md5" ->
       // generated wide-form SQL: 64 min(md5) aggregates (lexicographic min
@@ -1045,6 +1068,26 @@ object SparkEntry {
          |     FROM c)
          |SELECT source, CAST(rank AS INT) AS rank, term, CAST(n AS BIGINT) AS n
          |FROM r WHERE rank < 10""".stripMargin,
+
+    // pmi_collocations: PMI is one double expression over exact integer
+    // counts, identical multiplication order on both sides; rounded to
+    // 6 dp BEFORE ordering so the top-k cut is taken on agreed values.
+    "pmi_collocations" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
+         |tok AS (SELECT doc_id, unnest(l) AS w FROM w),
+         |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |tott AS (SELECT count(*) AS t FROM tok),
+         |bg AS (SELECT l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT l, unnest(range(1, len(l))) AS i FROM w)),
+         |totb AS (SELECT count(*) AS bt FROM bg),
+         |c2 AS (SELECT w1, w2, count(*) AS pair_count FROM bg
+         |       GROUP BY 1, 2 HAVING count(*) >= ${TextOps.PmiMinPairCount})
+         |SELECT w1, w2, pair_count,
+         |  round(ln((CAST(pair_count AS DOUBLE) * t * t)
+         |    / (CAST(bt AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+         |FROM c2 JOIN c1 u1 ON c2.w1 = u1.w JOIN c1 u2 ON c2.w2 = u2.w
+         |CROSS JOIN tott CROSS JOIN totb
+         |ORDER BY pmi DESC, w1, w2 LIMIT ${TextOps.PmiTopK}""".stripMargin,
 
     "vocab_build" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS token FROM documents),
@@ -1824,6 +1867,7 @@ object SparkEntry {
     "simhash_pairs" -> "xxhash64 signatures: md5 twin simhash_pairs_md5 IS driver hash-matched; hamming-verify test in OperatorSpec",
     "winnow_fingerprint" -> "xxhash64 rolling hash: md5 twin winnow_md5 IS driver hash-matched",
     "heavy_hitters" -> "count-min/space-saving sketch: exact-agreement test vs groupBy counts in OperatorSpec",
+    "overlap_kmv" -> "KMV distinct sketch (engine-specific xxhash64): exact twin overlap_exact IS driver hash-matched; merge-invariance pinned EXACTLY + 1/sqrt(k) error bounds vs exact in OverlapSpec",
     "ann_lsh" -> "bucketed approximate top-k: recall@3 >= 0.82 vs exact ann_brute asserted in OperatorSpec",
     "ann_ivf" -> "IVF probe approximate top-k: recall floor vs ann_brute asserted in OperatorSpec",
     "ann_pq" -> "product-quantization ADC + exact re-rank: recall@3 = 0.92 floor asserted in OperatorSpec",

@@ -867,4 +867,62 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  // ---------------------------------------------------------------------
+  // Collocation mining (PMI)
+  // ---------------------------------------------------------------------
+
+  /** Count floor for collocation candidates — PMI is noise below a
+    * handful of occurrences (a pair seen once has maximal PMI by
+    * construction), so the standard practice is a minimum pair count. */
+  val PmiMinPairCount = 5
+  val PmiTopK = 50
+
+  /** Collocation mining by pointwise mutual information (phrase-mining /
+    * tokenizer-seeding pass: which adjacent word pairs co-occur far more
+    * than independence predicts — "new york", not "of the"):
+    * PMI(w₁,w₂) = ln( p(w₁,w₂) / (p(w₁)·p(w₂)) ) with pair probability
+    * over the bigram total and unigram probabilities over the token
+    * total; pairs below [[PmiMinPairCount]] are dropped, top
+    * [[PmiTopK]] emitted by (pmi desc, w₁, w₂).
+    *
+    * Scale shape: one tokenize explode + the doc-keyed window `lead`
+    * (the [[graft.operators.Dedup.shingleTable]] bigram construction);
+    * from there everything is BIGRAM-VOCAB grain — the pair count and
+    * both unigram counts come out of map-side-combined aggregations, the
+    * count-floor filter prunes before the two vocab-grain joins, the two
+    * totals broadcast as 1-row frames, and the top-k is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows,
+    * never a global sort of the pair table). Nothing document-sized
+    * shuffles after the bigram build.
+    *
+    * Determinism: PMI is one double expression over exact integer counts
+    * (identical left-to-right product in the oracle), rounded to 6 dp
+    * BEFORE the ordering so both engines rank identical values; ties
+    * break on the pair itself. */
+  def qPmiCollocations(s: SparkSession, d: String): DataFrame =
+    pmiCollocations(documents(s, d))
+
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"), posexplode(normWords(col("text"))).as(Seq("pos", "w")))
+    val bg = toks
+      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(byPos).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c1 = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val totT = toks.agg(count(lit(1)).as("t"))
+    val totB = bg.agg(count(lit(1)).as("bt"))
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= PmiMinPairCount)
+      .join(c1.select(col("w").as("w1"), col("c").as("c1w")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c").as("c1u")), Seq("w2"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(
+          (col("pair_count").cast("double") * col("t") * col("t"))
+            / (col("bt").cast("double") * col("c1w") * col("c1u"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
 }
