@@ -141,6 +141,8 @@ object Bench {
             bq, 10).queryExecution.toRdd.count() },
         "vocab_build" -> time {
           operators.TextOps.vocabBuildFrom(tokens, 1000).queryExecution.toRdd.count() },
+        "oov_rate" -> time {
+          operators.TextOps.oovRateFrom(tokens).queryExecution.toRdd.count() },
         "corpus_divergence" -> time {
           operators.TextOps.corpusDivergenceFrom(tokens).queryExecution.toRdd.count() },
         "heavy_hitters" -> time {
@@ -163,7 +165,7 @@ object Bench {
         "canonical_select", "q38_edit_distance", "simhash_md5",
         "simhash_pairs_md5", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
-        "vocab_build", "corpus_divergence", "heavy_hitters",
+        "vocab_build", "oov_rate", "corpus_divergence", "heavy_hitters",
         "heavy_hitters_exact")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }

@@ -112,6 +112,7 @@ object SparkEntry {
     "bm25_search"         -> (TextOps.qBm25Search _), // sparse top-k retrieval (decimal-exact ranking)
     "bm25_incremental"    -> (TextOps.qBm25Incremental _), // merged state+fresh partials == direct (shared oracle)
     "vocab_build"         -> (TextOps.qVocabBuild _),
+    "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
     "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // rows-only: tokenization depends on the merge loop; hand-derived counts + sandwich bound pinned in OperatorSpec
@@ -1097,6 +1098,18 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT)
          |  AS token_id, token, tf, df
          |FROM top""".stripMargin,
+
+    // oov_rate: same (tf desc, token) top-N cut as vocab_build; the rate
+    // is one integer/integer double division, rounded identically.
+    "oov_rate" ->
+      s"""WITH tok AS (SELECT source, unnest($WORDS) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS tf FROM tok GROUP BY 1),
+         |v AS (SELECT w FROM c ORDER BY tf DESC, w LIMIT 1000)
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         |FROM tok LEFT JOIN v USING (w) GROUP BY source""".stripMargin,
 
     "bpe_pair_counts" ->
       s"""WITH t AS (SELECT unnest($WORDS) AS w FROM documents),

@@ -83,16 +83,22 @@ object Overlap {
 
   /** Per-source KMV sketches → pairwise overlap estimates. The corpus is
     * touched ONCE (sketch aggregation, map-side combinable); everything
-    * pairwise runs over the sources-sized sketch table. The pairwise
-    * arithmetic is a typed `map` rather than column expressions — the
-    * frame is sources²-sized control-plane data, never corpus data. */
-  def overlapKmv(ex: DataFrame, k: Int = KMinValues.DefaultK): DataFrame = {
-    val spark = ex.sparkSession
-    import spark.implicits._
-    val sketches = ex
-      .select(col("source"), xxhash64(col("shingle")).as("h"))
+    * pairwise runs over the sources-sized sketch table. */
+  def overlapKmv(ex: DataFrame, k: Int = KMinValues.DefaultK): DataFrame =
+    pairEstimates(sketchTable(ex, k), k)
+
+  /** (source, sk) — one k-bounded KMV sketch per source. */
+  def sketchTable(ex: DataFrame, k: Int = KMinValues.DefaultK): DataFrame =
+    ex.select(col("source"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("source"))
       .agg(KMinValues.kmv(k)(col("h")).as("sk"))
+
+  /** Pairwise estimates over a sketch table. The arithmetic is a typed
+    * `map` rather than column expressions — the frame is sources²-sized
+    * control-plane data, never corpus data. */
+  def pairEstimates(sketches: DataFrame, k: Int = KMinValues.DefaultK): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
     val flip = (x: Long) => x ^ Long.MinValue
     sketches.as("a").join(sketches.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("sa"), col("a.sk").as("ska"),
@@ -111,5 +117,35 @@ object Overlap {
           math.rint(jac * 1e6) / 1e6)
       }
       .toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming sketch maintenance (foreachBatch partial-materializing sink)
+  // ---------------------------------------------------------------------
+
+  /** foreachBatch sink: sketch THIS micro-batch's documents per source and
+    * write the per-batch sketch partial (overwrite per batch id — a
+    * retried micro-batch replaces its own partial, never double-counts:
+    * the [[TextOps.bm25IndexSink]] idempotence contract). Per-batch state
+    * is sources × k longs; history is never rescanned. */
+  def sketchSink(statePath: String)(batch: DataFrame, id: Long): Unit =
+    sketchTable(sourceShingleTable(batch))
+      .write.mode("overwrite").parquet(s"$statePath/sk/batch=$id")
+
+  /** Serve pairwise overlap estimates from a [[sketchSink]] state
+    * directory. KMV composes EXACTLY under union — the k smallest of
+    * (k smallest of A ∪ k smallest of B) are the k smallest of A ∪ B —
+    * so re-aggregating the per-batch sketch values per source yields the
+    * identical sketch (and identical estimates) to a direct whole-corpus
+    * pass, provided no document spans batches (shingles are per-doc).
+    * OverlapStreamSpec pins served == direct EXACTLY after every chunk,
+    * not within a tolerance. */
+  def overlapServeFromState(s: SparkSession, statePath: String,
+      k: Int = KMinValues.DefaultK): DataFrame = {
+    val merged = s.read.parquet(s"$statePath/sk").drop("batch")
+      .select(col("source"), explode(col("sk")).as("h"))
+      .groupBy(col("source"))
+      .agg(KMinValues.kmv(k)(col("h")).as("sk"))
+    pairEstimates(merged, k)
   }
 }

@@ -250,6 +250,34 @@ object TextOps {
       .select(col("token_id"), col("token"), col("tf"), col("df"))
   }
 
+  /** Out-of-vocabulary rate per source against the [[vocabBuildFrom]]
+    * top-N vocabulary — the report that picks a tokenizer vocab size: how
+    * much of each source's token mass falls outside the vocab (and would
+    * fragment into subword pieces / UNK). Completes the vocab pipeline:
+    * vocab_build constructs the table, oov_rate measures its coverage.
+    *
+    * Scale shape: the vocab is topN rows and BROADCASTS; the corpus-sized
+    * side takes one broadcast hash join plus a map-side-combined
+    * per-source aggregation — no shuffle of token rows at all beyond the
+    * tokenize explode itself. The vocab-construction agg is vocab-grain.
+    * Determinism: the top-N cut uses the same (tf desc, token) total
+    * order as vocab_build; the rate is one integer÷integer division. */
+  def qOovRate(s: SparkSession, d: String): DataFrame =
+    oovRateFrom(tokenTable(documents(s, d)))
+
+  /** See [[qOovRate]]; takes a prebuilt [[tokenTable]]. */
+  def oovRateFrom(tokens: DataFrame): DataFrame = {
+    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("w")).limit(1000)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, the
     * plagiarism-detection classic): hash every word 4-gram (the rolling
     * window), then keep the MINIMUM hash of each 8-gram window of hashes —
