@@ -144,7 +144,11 @@ object ScaleProbe {
       "ingest_anomaly" -> Relational.qIngestAnomaly _,
       "funnel_latency" -> Relational.qFunnelLatency _,
       "release_manifest" -> Pipeline.qReleaseManifest _,
-      "pack_assemble" -> Curation.qPackAssemble _)
+      "pack_assemble" -> Curation.qPackAssemble _,
+      "overlap_exact" -> graft.operators.Overlap.qOverlapExact _,
+      "overlap_kmv" -> graft.operators.Overlap.qOverlapKmv _,
+      "pmi_collocations" -> TextOps.qPmiCollocations _,
+      "oov_rate" -> TextOps.qOovRate _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue
