@@ -111,6 +111,7 @@ object SparkEntry {
     "bm25_topterms"       -> (TextOps.qBm25 _),
     "bm25_search"         -> (TextOps.qBm25Search _), // sparse top-k retrieval (decimal-exact ranking)
     "bm25_incremental"    -> (TextOps.qBm25Incremental _), // merged state+fresh partials == direct (shared oracle)
+    "hybrid_search"       -> (Similarity.qHybridSearch _), // BM25 candidates -> embedding cosine re-rank, RRF fusion
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
@@ -209,8 +210,10 @@ object SparkEntry {
     * (direct Spark form) and bm25_incremental (merged-partials Spark
     * form: the shared SQL makes the hash match the merged==direct
     * equivalence proof). */
-  private lazy val Bm25SearchSql =
-    s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+  /** BM25 scoring CTE chain (per-(doc, query-term) decimal partial `s`),
+    * shared by bm25_search / bm25_incremental / hybrid_search. */
+  private lazy val BM25_CTES =
+    s"""tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
        |df AS (SELECT w, count(*) AS df
@@ -222,7 +225,10 @@ object SparkEntry {
        |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
        |           (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
        |             (CAST(tot_tokens AS DOUBLE) / n_docs))), 6) AS DECIMAL(12,6)) AS s
-       |       FROM tf JOIN q USING (w) JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+       |       FROM tf JOIN q USING (w) JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)""".stripMargin
+
+  private lazy val Bm25SearchSql =
+    s"""WITH $BM25_CTES
        |SELECT doc_id, n_matched, CAST(sd AS DOUBLE) AS score FROM (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, sum(s) AS sd
        |  FROM sc GROUP BY doc_id)
@@ -1797,6 +1803,29 @@ object SparkEntry {
     // match IS the merged==direct equivalence proof (rollup_incremental
     // precedent).
     "bm25_incremental" -> Bm25SearchSql,
+
+    // hybrid_search: the BM25 chain cut at HybridN candidates, re-ranked
+    // by cosine to the vec_id-0 query vector, fused by reciprocal-rank
+    // fusion over INTEGER ranks (unique via score-then-doc_id tiebreaks,
+    // so the fused double is identical across engines).
+    "hybrid_search" ->
+      s"""WITH $BM25_CTES,
+         |cand AS (SELECT doc_id, CAST(sd AS DOUBLE) AS bm25 FROM (
+         |    SELECT doc_id, sum(s) AS sd FROM sc GROUP BY doc_id)
+         |  ORDER BY sd DESC, doc_id LIMIT ${Similarity.HybridN}),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sc2 AS (SELECT cand.doc_id, bm25,
+         |         round(${dot("e.v", "qv.qv")} / (${l2("e.v")} * ${l2("qv.qv")}), 4) AS cos
+         |        FROM cand JOIN e ON cand.doc_id = e.vec_id CROSS JOIN qv),
+         |rk AS (SELECT doc_id, bm25, cos,
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex,
+         |         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_sem
+         |       FROM sc2)
+         |SELECT doc_id, bm25, cos, r_lex, r_sem,
+         |  round(CAST(1 AS DOUBLE) / (${Similarity.RrfC} + r_lex)
+         |    + CAST(1 AS DOUBLE) / (${Similarity.RrfC} + r_sem), 6) AS rrf
+         |FROM rk ORDER BY rrf DESC, doc_id LIMIT ${Similarity.HybridK}""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -787,4 +787,58 @@ object Similarity {
         sum(when(abs(col("code")) === 127L, 1L).otherwise(0L)).as("n_saturated"),
         sum(abs(col("xi") - col("recon"))).as("l1_err_micro"))
   }
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval (lexical BM25 candidates → semantic re-rank)
+  // ---------------------------------------------------------------------
+
+  /** Lexical candidate pool / final result size / RRF smoothing constant
+    * (60 is the constant from the original reciprocal-rank-fusion paper,
+    * Cormack et al. SIGIR'09). */
+  val HybridN = 50
+  val HybridK = 10
+  val RrfC = 60
+
+  /** Hybrid retrieval: BM25 selects the top-[[HybridN]] lexical
+    * candidates for the fixed query terms, the candidates join their
+    * embeddings (inner — only embedded documents are re-rankable; at
+    * sf0.1 the embeddings table covers a prefix of doc ids, which is the
+    * realistic "semantic index lags the corpus" shape), cosine to the
+    * query vector (vec_id 0) gives the semantic signal, and the two
+    * rankings fuse by reciprocal-rank fusion:
+    * rrf = 1/(C+r_lex) + 1/(C+r_sem), top-[[HybridK]] emitted.
+    *
+    * Scale shape: the corpus-sized work is exactly bm25_search's (query-
+    * term pushdown into the tf scan — see [[TextOps.bm25SearchFrom]]);
+    * everything after the candidate cut runs on ≤ [[HybridN]] rows — the
+    * two unpartitioned rank windows and the fusion sort are candidate-
+    * pool-sized by construction, never corpus-sized (the bounded-window
+    * discipline of Sampling.qGlobalShuffle). The embedding join probes
+    * the embeddings table by vec_id with a [[HybridN]]-row build side.
+    *
+    * Determinism: RRF is computed from integer ranks (unique by the
+    * score-then-doc_id tiebreak), so the fused score is the same double
+    * on both engines; rounded to 6 dp before the final cut. */
+  def qHybridSearch(s: SparkSession, d: String): DataFrame = {
+    val cands = TextOps.bm25Search(documents(s, d), TextOps.Bm25Query, HybridN)
+      .select(col("doc_id"), col("score"))
+    val e = withVec(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cands
+      .join(e, cands("doc_id") === e("vec_id"))
+      .join(broadcast(q))
+      .select(col("doc_id"), col("score").as("bm25"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    scored
+      .withColumn("r_lex", row_number().over(wLex))
+      .withColumn("r_sem", row_number().over(wSem))
+      .select(col("doc_id"), col("bm25"), col("cos"), col("r_lex"), col("r_sem"),
+        round(lit(1.0) / (lit(RrfC) + col("r_lex"))
+          + lit(1.0) / (lit(RrfC) + col("r_sem")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(HybridK)
+  }
 }

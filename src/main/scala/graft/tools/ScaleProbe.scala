@@ -148,7 +148,8 @@ object ScaleProbe {
       "overlap_exact" -> graft.operators.Overlap.qOverlapExact _,
       "overlap_kmv" -> graft.operators.Overlap.qOverlapKmv _,
       "pmi_collocations" -> TextOps.qPmiCollocations _,
-      "oov_rate" -> TextOps.qOovRate _)
+      "oov_rate" -> TextOps.qOovRate _,
+      "hybrid_search" -> Similarity.qHybridSearch _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

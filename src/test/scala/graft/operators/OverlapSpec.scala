@@ -70,6 +70,33 @@ class OverlapSpec extends AnyFunSuite {
     assert(comErrs.sum / comErrs.size <= 30.0, f"mean common err ${comErrs.sum / comErrs.size}%.1f")
   }
 
+  test("hand-built corpus: hot shared phrase collapses per source; KMV is EXACT below k") {
+    import spark.implicits._
+    // source A: "x y z" ×50 (duplicate docs collapse in the source-grain
+    // distinct — a corpus-wide hot phrase must not blow up the self-join),
+    // plus "p q r" and a unique phrase. B shares both phrases; C only "x y z".
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "A", "x y z")) ++ Seq(
+        (100L, "A", "p q r"), (101L, "A", "aa ab ac"),
+        (200L, "B", "x y z"), (201L, "B", "p q r"), (202L, "B", "ba bb bc"),
+        (300L, "C", "x y z"), (301L, "C", "ca cb cc"))
+      ).toDF("doc_id", "source", "text")
+    val ex = Overlap.sourceShingleTable(docs)
+    val exact = Overlap.overlapExact(ex).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(exact(("A", "B")) == ((3L, 3L, 2L, 0.5)))   // {xyz,pqr} of {xyz,pqr,aa..,ba..}
+    assert(exact(("A", "C")) == ((3L, 2L, 1L, 0.25)))
+    assert(exact(("B", "C")) == ((3L, 2L, 1L, 0.25)))
+    // below k the sketch KEEPS every distinct hash, so estimates are exact
+    val est = Overlap.overlapKmv(ex).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(est(("A", "B")) == ((3.0, 3.0, 2.0, 0.5)))
+    assert(est(("A", "C")) == ((3.0, 2.0, 1.0, 0.25)))
+    assert(est(("B", "C")) == ((3.0, 2.0, 1.0, 0.25)))
+  }
+
   test("overlap_exact: pair grain is C(sources,2); intersections bounded; Jaccard in [0,1]") {
     val docs = graft.Tables.documents(spark, d)
     val nSources = docs.select(col("source")).distinct().count().toInt
