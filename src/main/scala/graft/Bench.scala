@@ -116,6 +116,18 @@ object Bench {
         // pattern)
         "novelty_score" -> time {
           operators.TextOps.noveltyScoreFrom(shingles).queryExecution.toRdd.count() })
+      // overlap consumes the SAME shared doc-grain shingle table via a
+      // thin (doc_id, source) join; the source-grain distinct is billed
+      // to overlap_exact (first consumer), the KMV entry reads it cached
+      val srcShingles = operators.Overlap.sourceShinglesFrom(shingles,
+        Tables.documents(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"))).persist()
+      val overlapPipeline = Seq(
+        "overlap_exact" -> time {
+          operators.Overlap.overlapExact(srcShingles).queryExecution.toRdd.count() },
+        "overlap_kmv" -> time {
+          operators.Overlap.overlapKmv(srcShingles).queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // Token pipeline: the (doc_id, source, token) explode is built and
       // persisted ONCE (billed as token_table) and shared by every
@@ -166,7 +178,7 @@ object Bench {
         "simhash_pairs_md5", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
         "vocab_build", "oov_rate", "corpus_divergence", "heavy_hitters",
-        "heavy_hitters_exact")
+        "heavy_hitters_exact", "overlap_exact", "overlap_kmv")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>
@@ -174,7 +186,7 @@ object Bench {
           spark.catalog.clearCache()
           name -> sec
         }
-      shinglePipeline ++ tokenPipeline ++ simhashPipeline ++ rest
+      shinglePipeline ++ overlapPipeline ++ tokenPipeline ++ simhashPipeline ++ rest
     }
 
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]

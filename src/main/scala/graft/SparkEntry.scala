@@ -112,6 +112,8 @@ object SparkEntry {
     "bm25_search"         -> (TextOps.qBm25Search _), // sparse top-k retrieval (decimal-exact ranking)
     "bm25_incremental"    -> (TextOps.qBm25Incremental _), // merged state+fresh partials == direct (shared oracle)
     "hybrid_search"       -> (Similarity.qHybridSearch _), // BM25 candidates -> embedding cosine re-rank, RRF fusion
+    "triplet_mine"        -> (Similarity.qTripletMine _), // contrastive (anchor, pos, neg) triplets with margin
+    "triplet_mine_scale"  -> (Similarity.qTripletMineScale _), // rows-only: positives from the 2-level quantizer (subset-of-exact pinned)
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
@@ -1283,6 +1285,33 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) >= 0.4""".stripMargin,
 
+    // triplet_mine: embedding_dedup's pair grain + a md5-keyed negative
+    // draw through the order-statistics skip (neg0 in [0, n-3] maps
+    // bijectively onto [0, n-1] \ {anchor, pos} — exact, no rejection).
+    "triplet_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |pos AS (SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+         |    round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos_pos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) >= 0.4),
+         |hx AS (SELECT anchor_id, pos_id, cos_pos,
+         |    md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(pos_id AS VARCHAR)) AS hex
+         |  FROM pos),
+         |d0 AS (SELECT anchor_id, pos_id, cos_pos,
+         |    (${duckHex("hex", 15)}) % (n - 2) AS neg0
+         |  FROM hx CROSS JOIN n),
+         |d1 AS (SELECT anchor_id, pos_id, cos_pos,
+         |    neg0 + CASE WHEN neg0 >= anchor_id THEN 1 ELSE 0 END AS neg1 FROM d0),
+         |d2 AS (SELECT anchor_id, pos_id, cos_pos,
+         |    neg1 + CASE WHEN neg1 >= pos_id THEN 1 ELSE 0 END AS neg_id FROM d1)
+         |SELECT anchor_id, pos_id, neg_id, cos_pos,
+         |  round(${dot("av.v", "nv.v")} / (${l2("av.v")} * ${l2("nv.v")}), 4) AS cos_neg,
+         |  round(cos_pos
+         |    - round(${dot("av.v", "nv.v")} / (${l2("av.v")} * ${l2("nv.v")}), 4), 4) AS margin
+         |FROM d2 JOIN e av ON d2.anchor_id = av.vec_id
+         |         JOIN e nv ON d2.neg_id = nv.vec_id""".stripMargin,
+
     "lang_id" ->
       raw"""SELECT doc_id, lang AS labeled_lang,
            |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
@@ -1910,6 +1939,7 @@ object SparkEntry {
     "winnow_fingerprint" -> "xxhash64 rolling hash: md5 twin winnow_md5 IS driver hash-matched",
     "heavy_hitters" -> "count-min/space-saving sketch: exact-agreement test vs groupBy counts in OperatorSpec",
     "overlap_kmv" -> "KMV distinct sketch (engine-specific xxhash64): exact twin overlap_exact IS driver hash-matched; merge-invariance pinned EXACTLY + 1/sqrt(k) error bounds vs exact in OverlapSpec",
+    "triplet_mine_scale" -> "positives from the two-level quantizer (bounded buckets): subset-of-exact with row-identity on shared pairs pinned in OperatorSpec; exact twin triplet_mine IS driver-matched",
     "ann_lsh" -> "bucketed approximate top-k: recall@3 >= 0.82 vs exact ann_brute asserted in OperatorSpec",
     "ann_ivf" -> "IVF probe approximate top-k: recall floor vs ann_brute asserted in OperatorSpec",
     "ann_pq" -> "product-quantization ADC + exact re-rank: recall@3 = 0.92 floor asserted in OperatorSpec",

@@ -53,6 +53,18 @@ object Overlap {
   def qOverlapExact(s: SparkSession, d: String): DataFrame =
     overlapExact(sourceShingleTable(documents(s, d)).persist())
 
+  /** Source-grain distinct shingles DERIVED from an already-materialized
+    * doc-grain [[Dedup.shingleTable]] plus a (doc_id, source) map — the
+    * cluster-scale shape: the tokenize+lead shuffle is paid once by the
+    * shared shingle table and overlap adds only a doc_id-keyed join (the
+    * map is dimension-thin) and the source-grain distinct. The bench
+    * threads its shared table here; the registered entries stay
+    * self-contained. Output is identical to [[sourceShingleTable]]
+    * because shingle construction is per-document either way. */
+  def sourceShinglesFrom(docShingles: DataFrame, docSource: DataFrame): DataFrame =
+    docShingles.join(docSource, "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+
   /** All unordered source pairs with distinct-shingle set sizes,
     * intersection size, and Jaccard. Pairs with an empty intersection are
     * kept (coalesce 0) so the output grain is exactly C(sources, 2). */

@@ -789,6 +789,70 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Contrastive triplet mining (embedding-model training data)
+  // ---------------------------------------------------------------------
+
+  /** Contrastive (anchor, positive, negative) triplet mining — the
+    * training-data assembly for embedding models (SimCSE/DPR-style):
+    * positives are the exact near-dup pairs ([[qEmbeddingDedup]]'s
+    * cosine ≥ 0.4 grain, anchor = smaller id), negatives are a
+    * deterministic pseudo-random draw (md5-keyed, the hash_split
+    * portability discipline) from the remaining corpus via the
+    * order-statistics skip — neg0 ∈ [0, n−3] maps bijectively onto
+    * [0, n−1] \ {anchor, pos} by two ordered +1 shifts, so the draw is
+    * uniform over valid ids and EXACT on both engines (no rejection
+    * loop). cos_neg and the margin ride along so a trainer can filter
+    * for hard negatives (small margin) downstream.
+    *
+    * Scale shape: the negative draw is pure per-row arithmetic plus two
+    * id-keyed joins back to the vector table; n broadcasts as one row.
+    * The registered entry takes positives from the EXACT near-dup join
+    * (oracle-checkable ground truth; its LSH buckets grow quadratically
+    * with occupancy — 45× at the 10× probe); the production path is
+    * [[qTripletMineScale]], which feeds the same triplet kernel from the
+    * two-level-quantizer join. Assumes contiguous vec_ids 0..n−1 (the
+    * testdata layout; a real pipeline ranks ids once to densify). */
+  def qTripletMine(s: SparkSession, d: String): DataFrame =
+    tripletsFrom(qEmbeddingDedup(s, d), withVec(s, d))
+
+  /** The 100 TB form: positives from the two-level-quantizer near-dup
+    * join ([[qEmbeddingDedupTwoLevel]] — bounded buckets, √K driver
+    * residency) instead of the exact LSH-bucketed join, whose candidate
+    * pairs grow quadratically with bucket occupancy (measured 45× at the
+    * 10× probe — it is the ground-truth twin, not the scale path; the
+    * same declared relationship as embedding_dedup vs _2level). Output is
+    * a subset of [[qTripletMine]] with identical rows for every shared
+    * pair (the negative draw depends only on (anchor, pos)); rows-only
+    * with the subset + row-identity pinned in OperatorSpec. */
+  def qTripletMineScale(s: SparkSession, d: String): DataFrame =
+    tripletsFrom(qEmbeddingDedupTwoLevel(s, d), withVec(s, d))
+
+  /** See [[qTripletMine]]; `pairs` is any (id_a, id_b, cos) near-dup pair
+    * table with id_a < id_b. */
+  def tripletsFrom(pairsDf: DataFrame, e: DataFrame): DataFrame = {
+    val pos = pairsDf
+      .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"),
+        col("cos").as("cos_pos"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val h = conv(substring(md5(concat(lit("neg:"),
+      col("anchor_id").cast("string"), lit(":"), col("pos_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val neg0 = h % (col("n") - 2)
+    // anchor_id < pos_id by construction: skip the smaller bound first
+    val neg1 = neg0 + when(neg0 >= col("anchor_id"), 1L).otherwise(0L)
+    val negId = neg1 + when(neg1 >= col("pos_id"), 1L).otherwise(0L)
+    pos.crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("pos_id"), col("cos_pos"), negId.as("neg_id"))
+      .join(e.select(col("vec_id").as("anchor_id"),
+        col("v").as("av"), col("nrm").as("anrm")), "anchor_id")
+      .join(e.select(col("vec_id").as("neg_id"),
+        col("v").as("nv"), col("nrm").as("nnrm")), "neg_id")
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("cos_pos"),
+        round(dot(col("av"), col("nv")) / (col("anrm") * col("nnrm")), 4).as("cos_neg"))
+      .withColumn("margin", round(col("cos_pos") - col("cos_neg"), 4))
+  }
+
+  // ---------------------------------------------------------------------
   // Hybrid retrieval (lexical BM25 candidates → semantic re-rank)
   // ---------------------------------------------------------------------
 

@@ -149,7 +149,9 @@ object ScaleProbe {
       "overlap_kmv" -> graft.operators.Overlap.qOverlapKmv _,
       "pmi_collocations" -> TextOps.qPmiCollocations _,
       "oov_rate" -> TextOps.qOovRate _,
-      "hybrid_search" -> Similarity.qHybridSearch _)
+      "hybrid_search" -> Similarity.qHybridSearch _,
+      "triplet_mine" -> Similarity.qTripletMine _,
+      "triplet_mine_scale" -> Similarity.qTripletMineScale _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

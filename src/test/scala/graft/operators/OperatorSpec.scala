@@ -1417,4 +1417,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 1L, 0.5)))
     assert(out(5L) == ((3L, 3L, 1.0)))
   }
+
+  test("triplet_mine: one triplet per near-dup pair; negatives valid, in range, and deterministic") {
+    val n = graft.Tables.embeddings(spark, d).count()
+    val pairs = Similarity.qEmbeddingDedup(spark, d).count()
+    val t1 = Similarity.qTripletMine(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(x => (x._1, x._2))
+    assert(t1.length == pairs && pairs > 0)
+    t1.foreach { case (a, p, neg, cosPos, cosNeg, margin) =>
+      assert(neg != a && neg != p, s"negative collides: ($a, $p, $neg)")
+      assert(neg >= 0 && neg < n)
+      assert(cosPos >= 0.4)
+      assert(math.abs(margin - (cosPos - cosNeg)) < 1e-9)
+    }
+    val t2 = Similarity.qTripletMine(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(x => (x._1, x._2))
+    assert(t1.toSeq == t2.toSeq, "negative draw must be deterministic")
+    // the scale entry (2-level positives) is a subset with IDENTICAL rows
+    // on shared pairs — the negative draw depends only on (anchor, pos)
+    val byPair = t1.map(t => (t._1, t._2) -> t).toMap
+    val scale = Similarity.qTripletMineScale(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(scale.nonEmpty)
+    scale.foreach { t =>
+      assert(byPair.get((t._1, t._2)).contains(t), s"scale row diverges: $t")
+    }
+  }
 }

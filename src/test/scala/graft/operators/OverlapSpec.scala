@@ -97,6 +97,16 @@ class OverlapSpec extends AnyFunSuite {
     assert(est(("B", "C")) == ((3.0, 2.0, 1.0, 0.25)))
   }
 
+  test("sourceShinglesFrom (shared-table form) equals the self-contained build exactly") {
+    val docs = graft.Tables.documents(spark, d)
+    val direct = Overlap.sourceShingleTable(docs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val derived = Overlap.sourceShinglesFrom(
+        Dedup.shingleTable(docs), docs.select("doc_id", "source")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(derived == direct)
+  }
+
   test("overlap_exact: pair grain is C(sources,2); intersections bounded; Jaccard in [0,1]") {
     val docs = graft.Tables.documents(spark, d)
     val nSources = docs.select(col("source")).distinct().count().toInt
