@@ -142,6 +142,7 @@ object SparkEntry {
     "heavy_hitters"       -> (TextOps.qHeavyHitters _), // rows-only: frequent-items sketch is engine-specific; exact-agreement test in OperatorSpec
     "heavy_hitters_exact" -> (TextOps.qHeavyHittersExact _), // hash-green twin of the sketch entry
     "pmi_collocations"    -> (TextOps.qPmiCollocations _), // phrase mining: top bigrams by PMI with count floor
+    "skipgram_cooc"       -> (TextOps.qSkipgramCooc _), // GloVe-style windowed co-occurrence matrix (1/dist weighted)
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "segment_dedup"       -> (Curation.qSegmentDedup _),
     "boilerplate_strip"   -> (Curation.qBoilerplateStrip _), // corpus-frequency segment removal (CCNet-style)
     "robust_outliers"     -> (Curation.qRobustOutliers _), // median/MAD per-source length gate
+    "quality_calibrate"   -> (Curation.qQualityCalibrate _), // per-source percentile-rank score calibration
     "rtbf_purge"          -> (Curation.qRtbfPurge _), // opt-out purge by content hash + per-source audit
     "corpus_diff"         -> (R.qCorpusDiff _), // snapshot diff: added/removed/changed/unchanged
     "rollup_incremental"  -> (R.qRollupIncremental _), // mergeable-partials ETL; == direct recompute
@@ -1098,6 +1100,19 @@ object SparkEntry {
          |CROSS JOIN tott CROSS JOIN totb
          |ORDER BY pmi DESC, w1, w2 LIMIT ${TextOps.PmiTopK}""".stripMargin,
 
+    // skipgram_cooc: pairs canonicalize as (least, greatest); the 1/k
+    // distance weight is computed in DOUBLE (matching Spark) and summed
+    // as decimal(18,6), so the aggregate is order-independent and exact.
+    "skipgram_cooc" ->
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
+         |pos AS (SELECT l, unnest(range(1, len(l) + 1)) AS i FROM w),
+         |ks AS (SELECT unnest([1, 2, 3]) AS k),
+         |pairs AS (SELECT least(l[i], l[i + k]) AS wa, greatest(l[i], l[i + k]) AS wb,
+         |    CAST(round(CAST(1 AS DOUBLE) / k, 6) AS DECIMAL(18,6)) AS wt
+         |  FROM pos CROSS JOIN ks WHERE i + k <= len(l))
+         |SELECT wa, wb, count(*) AS pair_count, CAST(sum(wt) AS DOUBLE) AS w_sum
+         |FROM pairs GROUP BY 1, 2 HAVING count(*) >= ${TextOps.CoocMinCount}""".stripMargin,
+
     "vocab_build" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS token FROM documents),
          |c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
@@ -1334,6 +1349,22 @@ object SparkEntry {
          |    / length(text), 4) AS punct_ratio,
          |  round(least(len(words) / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality
          |FROM s""".stripMargin,
+
+    // quality_calibrate: percent_rank = (rank-1)/(n-1) in both engines;
+    // the (quality, doc_id) ORDER BY makes ranks unique, and the decile
+    // derives from the SAME 6-dp-rounded rank on both sides.
+    "quality_calibrate" ->
+      s"""WITH t AS (SELECT doc_id, source, $WORDS AS words FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  CAST(len([w FOR w IN words IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |    / len(words) AS stop_ratio, len(words) AS nw FROM t),
+         |q AS (SELECT doc_id, source,
+         |  round(least(nw / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality FROM s),
+         |r AS (SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
+         |  FROM q)
+         |SELECT doc_id, source, quality, q_rank,
+         |  CAST(least(floor(q_rank * 10), 9) AS INT) AS decile FROM r""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH t AS (SELECT source, text, $WORDS AS words FROM documents),

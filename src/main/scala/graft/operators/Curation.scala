@@ -653,6 +653,32 @@ object Curation {
     * exact-percentile aggs (source is dimension-sized; each group's sort
     * is a partial agg per source, not a global window) and two broadcast
     * joins of the dimension-sized stat tables back to the corpus. */
+  /** Cross-source quality calibration: the raw quality heuristic is not
+    * comparable across sources (a "0.7" in a clean books source and a
+    * "0.7" in a noisy crawl mean different things), so before scores feed
+    * a global keep-threshold or mixture weight the pipeline converts each
+    * to its PERCENTILE RANK within its source — a distribution-free
+    * calibration (the classifier-score analogue of quantile
+    * normalization). Output adds the 6-dp percent_rank and its decile
+    * bucket, both computed from the same rounded value on both engines.
+    *
+    * Scale shape: one scan computes the per-doc quality column; the rank
+    * is a source-partitioned window over DOC-grain rows — an external
+    * sort per source that spills and scales linearly. A mega-source
+    * (one source = 30% of the corpus) serializes its partition through
+    * one task; at that shape the same cut comes from percentile_approx
+    * cutoffs instead (the [[bigramSurprisalScaleFrom]] sketch-cut
+    * pattern, rank-accuracy trade documented there). Determinism: the
+    * ORDER BY carries the doc_id tiebreak, so ranks are unique and the
+    * rounded percent_rank is the same double on both engines. */
+  def qQualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    val byQ = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.qualityExpr(col("text")).as("quality"))
+      .withColumn("q_rank", round(percent_rank().over(byQ), 6))
+      .withColumn("decile", least(floor(col("q_rank") * 10), lit(9.0)).cast("int"))
+  }
+
   def qRobustOutliers(s: SparkSession, d: String): DataFrame =
     robustOutliers(documents(s, d))
 

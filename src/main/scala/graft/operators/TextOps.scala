@@ -931,6 +931,51 @@ object TextOps {
   def qPmiCollocations(s: SparkSession, d: String): DataFrame =
     pmiCollocations(documents(s, d))
 
+  /** Skip-gram window and count floor for [[qSkipgramCooc]]. */
+  val SkipWindow = 3
+  val CoocMinCount = 5
+
+  /** Skip-gram co-occurrence counts — the GloVe/word2vec input matrix:
+    * unordered token pairs co-occurring within ±[[SkipWindow]] positions,
+    * with the standard 1/distance weighting alongside the raw count
+    * (Pennington et al. 2014). [[qPmiCollocations]] scores ADJACENT pairs
+    * for phrase mining; this materializes the full windowed matrix an
+    * embedding trainer consumes.
+    *
+    * Scale shape: one tokenize explode + the doc-keyed window with
+    * [[SkipWindow]] `lead`s (same single sort as the bigram builds), an
+    * explode bounded by the window size, then ONE (wa, wb)-keyed
+    * map-side-combined aggregation at bigram-vocab grain. The count
+    * floor prunes the long tail of the OUTPUT; the work is the token
+    * scan either way.
+    *
+    * Determinism: pairs canonicalize as (least, greatest) so both
+    * directions land on one key; the distance weight is round(1/k, 6)
+    * computed in DOUBLE on both engines (k ≤ 3), summed as
+    * decimal(18,6) — order-independent and cross-engine exact. */
+  def qSkipgramCooc(s: SparkSession, d: String): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(normWords(col("text"))).as(Seq("pos", "w")))
+    val withLeads = toks.select(
+      col("doc_id") +: col("w") +:
+        (1 to SkipWindow).map(k => lead(col("w"), k).over(byPos).as(s"l$k")): _*)
+    withLeads
+      .select(col("w"), explode(array((1 to SkipWindow).map(k =>
+        struct(lit(k).as("k"), col(s"l$k").as("ctx"))): _*)).as("p"))
+      .select(col("w"), col("p.k").as("k"), col("p.ctx").as("ctx"))
+      .filter(col("ctx").isNotNull)
+      .select(least(col("w"), col("ctx")).as("wa"),
+        greatest(col("w"), col("ctx")).as("wb"), col("k"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("pair_count"),
+        sum(round(lit(1.0) / col("k"), 6).cast("decimal(18,6)")).as("wsum"))
+      .filter(col("pair_count") >= CoocMinCount)
+      .select(col("wa"), col("wb"), col("pair_count"),
+        col("wsum").cast("double").as("w_sum"))
+  }
+
   def pmiCollocations(docs: DataFrame): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -151,7 +151,9 @@ object ScaleProbe {
       "oov_rate" -> TextOps.qOovRate _,
       "hybrid_search" -> Similarity.qHybridSearch _,
       "triplet_mine" -> Similarity.qTripletMine _,
-      "triplet_mine_scale" -> Similarity.qTripletMineScale _)
+      "triplet_mine_scale" -> Similarity.qTripletMineScale _,
+      "quality_calibrate" -> Curation.qQualityCalibrate _,
+      "skipgram_cooc" -> TextOps.qSkipgramCooc _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue
