@@ -883,16 +883,23 @@ object Similarity {
     * Determinism: RRF is computed from integer ranks (unique by the
     * score-then-doc_id tiebreak), so the fused score is the same double
     * on both engines; rounded to 6 dp before the final cut. */
-  def qHybridSearch(s: SparkSession, d: String): DataFrame = {
-    val cands = TextOps.bm25Search(documents(s, d), TextOps.Bm25Query, HybridN)
-      .select(col("doc_id"), col("score"))
-    val e = withVec(s, d)
+  def qHybridSearch(s: SparkSession, d: String): DataFrame =
+    hybridFrom(
+      TextOps.bm25Search(documents(s, d), TextOps.Bm25Query, HybridN)
+        .select(col("doc_id"), col("score")),
+      withVec(s, d))
+
+  /** The fusion kernel over ANY (doc_id, score) lexical candidate table
+    * and a (vec_id, v, nrm) vector table — [[qHybridSearch]] feeds it the
+    * direct BM25 cut; [[hybridServeFromIndex]] feeds it candidates served
+    * from the streamed index partials. */
+  def hybridFrom(cands: DataFrame, e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = cands
       .join(e, cands("doc_id") === e("vec_id"))
       .join(broadcast(q))
-      .select(col("doc_id"), col("score").as("bm25"),
+      .select(cands("doc_id"), col("score").as("bm25"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
     val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
     val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
@@ -904,5 +911,28 @@ object Similarity {
           + lit(1.0) / (lit(RrfC) + col("r_sem")), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(HybridK)
+  }
+
+  /** Hybrid serving over a STREAMED lexical index: the BM25 candidates
+    * come from [[TextOps.bm25ServeFromIndex]]'s merge-on-read partials
+    * (the [[TextOps.bm25IndexSink]] state a document stream maintains)
+    * while the semantic side reads the static vector table — the
+    * realistic split where the lexical index follows ingest continuously
+    * and the embedding index refreshes on its own cadence. Served fused
+    * rankings equal the direct whole-corpus hybrid EXACTLY after every
+    * ingested chunk (Bm25StreamSpec) because both legs are deterministic
+    * and the served BM25 partials are themselves exact. */
+  def hybridServeFromIndex(s: SparkSession, statePath: String, e: DataFrame): DataFrame =
+    hybridFrom(
+      TextOps.bm25ServeFromIndex(s, statePath, TextOps.Bm25Query, HybridN)
+        .select(col("doc_id"), col("score")),
+      e)
+
+  /** (vec_id, v, nrm) over an embeddings table — the public form of the
+    * internal vector loader, for callers composing [[hybridFrom]] /
+    * [[hybridServeFromIndex]] with their own table. */
+  def vectorTable(em: DataFrame): DataFrame = {
+    val v = vecd(col("embedding"))
+    em.select(col("vec_id"), v.as("v"), sqrt(dot(v, v)).as("nrm"))
   }
 }

@@ -80,4 +80,44 @@ class Bm25StreamSpec extends AnyFunSuite {
       assert(servedCompact == direct, "compacted index must serve identical rankings")
     } finally query.stop()
   }
+
+  test("hybrid serving from the streamed lexical index equals the direct hybrid after each chunk") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "source", "text")
+    val vecs = Similarity.vectorTable(graft.Tables.embeddings(spark, d)).persist()
+    val chunks = (0 until 3).map(i =>
+      docs.filter($"doc_id" % 3 === i).as[(Long, String, String)].collect().toSeq)
+
+    val statePath = Files.createTempDirectory("graft-hyidx").toString + "/idx"
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .outputMode("update")
+      .queryName("hyidx_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-hy-ckpt").toString)
+      .foreachBatch(TextOps.bm25IndexSink(statePath) _)
+      .start()
+    try {
+      var arrived = Seq.empty[(Long, String, String)]
+      chunks.foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+        arrived ++= chunk
+        val served = Similarity.hybridServeFromIndex(spark, statePath, vecs).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+            r.getInt(3), r.getInt(4), r.getDouble(5))).toSeq
+        val direct = Similarity.hybridFrom(
+            TextOps.bm25Search(arrived.toDF("doc_id", "source", "text"),
+              TextOps.Bm25Query, Similarity.HybridN).select($"doc_id", $"score"),
+            vecs).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+            r.getInt(3), r.getInt(4), r.getDouble(5))).toSeq
+        assert(served == direct, s"after ${arrived.size} docs")
+      }
+    } finally { query.stop(); vecs.unpersist() }
+  }
 }
