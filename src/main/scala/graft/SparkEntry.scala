@@ -116,6 +116,7 @@ object SparkEntry {
     "triplet_mine_scale"  -> (Similarity.qTripletMineScale _), // rows-only: positives from the 2-level quantizer (subset-of-exact pinned)
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
+    "token_fertility"     -> (TextOps.qTokenFertility _), // per-language chars-per-token under both tokenizers
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
     "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // rows-only: tokenization depends on the merge loop; hand-derived counts + sandwich bound pinned in OperatorSpec
@@ -183,6 +184,8 @@ object SparkEntry {
     // ---- LLM-pipeline: end-to-end curation composition ----
     "training_mix"        -> (Pipeline.qTrainingMix _),
     "release_manifest"    -> (Pipeline.qReleaseManifest _), // per-(source, split, band) accounting + order-free checksum
+    "kanon_release"       -> (Pipeline.qKanonRelease _), // k-anonymity floor on released group stats
+    "epoch_plan"          -> (Pipeline.qEpochPlan _), // temperature-α token-budget epoch allocation
     "domain_mix"          -> (Pipeline.qDomainMix _),
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
@@ -194,6 +197,7 @@ object SparkEntry {
     "novelty_score"       -> (TextOps.qNoveltyScore _), // df=1 fraction of each doc's 3-grams
     // ---- warehouse data-quality audit ----
     "dq_audit"            -> (Audit.qDqAudit _), // Deequ-style constraint metrics (nulls/keys/FK/ranges)
+    "skew_report"         -> (Audit.qSkewReport _), // power-of-two key-skew size classes over events.user_id
   )
 
   // Shared DuckDB fragments (documents text normalization must equal
@@ -336,6 +340,18 @@ object SparkEntry {
          |     WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
          |     WHEN regexp_matches(text, '^[\x00-\x7f]*$$') THEN 'en'
          |     ELSE 'other' END""".stripMargin
+
+  /** Power-of-two size-class CASE chains shared with Audit.skewReport —
+    * integer comparisons only (no float log2), so both engines bucket
+    * identically. One chain yields the class index, the other its cap. */
+  private val SKEW_CLASS_CASE = (0 to graft.operators.Audit.SkewMaxClass)
+    .map(c => s"WHEN n <= ${1L << c} THEN $c")
+    .mkString("CASE ", " ", s" ELSE ${graft.operators.Audit.SkewMaxClass + 1} END")
+
+  private val SKEW_CAP_CASE = (0 to graft.operators.Audit.SkewMaxClass)
+    .map(c => s"WHEN n <= ${1L << c} THEN CAST(${1L << c} AS BIGINT)")
+    .mkString("CASE ", " ",
+      s" ELSE CAST(${1L << (graft.operators.Audit.SkewMaxClass + 1)} AS BIGINT) END")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (HLL,
@@ -1134,6 +1150,18 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
          |FROM tok LEFT JOIN v USING (w) GROUP BY source""".stripMargin,
 
+    "token_fertility" ->
+      raw"""WITH t AS (SELECT lang, len($WORDS) AS ws,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re,
+           |  CAST(length(text) AS BIGINT) AS ch FROM documents)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(re) AS BIGINT) AS re_tokens,
+           |  CAST(sum(ch) AS BIGINT) AS n_chars,
+           |  round(CAST(sum(ch) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS ws_chars_per_token,
+           |  round(CAST(sum(ch) AS DOUBLE) / CAST(sum(re) AS DOUBLE), 6) AS re_chars_per_token
+           |FROM t GROUP BY lang""".stripMargin,
+
     "bpe_pair_counts" ->
       s"""WITH t AS (SELECT unnest($WORDS) AS w FROM documents),
          |wf AS (SELECT w, count(*) AS freq FROM t WHERE len(w) > 0 GROUP BY 1),
@@ -1161,6 +1189,33 @@ object SparkEntry {
          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
          |  CAST(CAST(sum(fp_dec) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
          |FROM s GROUP BY 1, 2, 3""".stripMargin,
+
+    "kanon_release" ->
+      s"""WITH g AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+         |SELECT source, lang, CAST(n AS BIGINT) AS n_docs FROM g
+         |WHERE n >= ${graft.operators.Pipeline.KAnonThreshold}
+         |UNION ALL
+         |SELECT '__suppressed__' AS source, '__suppressed__' AS lang,
+         |  CAST(sum(n) AS BIGINT) AS n_docs
+         |FROM g WHERE n < ${graft.operators.Pipeline.KAnonThreshold}
+         |HAVING sum(n) IS NOT NULL""".stripMargin,
+
+    "epoch_plan" ->
+      s"""WITH t AS (SELECT source, CAST(sum(len($WORDS)) AS BIGINT) AS src_tokens
+         |           FROM documents GROUP BY 1),
+         |w AS (SELECT source, src_tokens,
+         |        CAST(sqrt(CAST(src_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS w FROM t),
+         |tot AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS tot_w,
+         |               CAST(sum(src_tokens) AS BIGINT) AS tot_tokens FROM w)
+         |SELECT source, src_tokens,
+         |  round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS mix_weight,
+         |  round(2.0 * CAST(tot_tokens AS DOUBLE)
+         |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))
+         |    / CAST(src_tokens AS DOUBLE), 4) AS epochs,
+         |  round(2.0 * CAST(tot_tokens AS DOUBLE)
+         |    * (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))
+         |    / CAST(src_tokens AS DOUBLE), 4) > 4.0 AS repeat_warn
+         |FROM w CROSS JOIN tot""".stripMargin,
 
     "training_mix" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),
@@ -1597,6 +1652,18 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)
         |UNION ALL SELECT 'lineitem', 'orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l
         |  WHERE NOT EXISTS (SELECT 1 FROM orders o2 WHERE l.l_orderkey = o2.o_orderkey)""".stripMargin,
+
+    "skew_report" ->
+      s"""WITH pk AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+         |cls AS (SELECT $SKEW_CLASS_CASE AS size_class, $SKEW_CAP_CASE AS class_cap, n FROM pk),
+         |byc AS (SELECT size_class, class_cap, count(*) AS n_keys,
+         |          CAST(sum(n) AS BIGINT) AS rows_in_class,
+         |          CAST(max(n) AS BIGINT) AS max_key_rows
+         |        FROM cls GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows FROM pk)
+         |SELECT size_class, class_cap, n_keys, rows_in_class, max_key_rows,
+         |  round(CAST(rows_in_class AS DOUBLE) / CAST(total_rows AS DOUBLE), 6) AS share
+         |FROM byc CROSS JOIN tot""".stripMargin,
 
     "rtbf_purge" ->
       s"""WITH f AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),

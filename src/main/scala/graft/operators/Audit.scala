@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality constraint audit — the validation layer an ingest
@@ -76,5 +76,44 @@ object Audit {
 
     custM.unionByName(ordM).unionByName(liM)
       .unionByName(orphanOrders).unionByName(orphanLines)
+  }
+
+  /** Key-skew diagnosis — the report a pipeline operator reads BEFORE
+    * choosing a partitioning for a join/agg on this key (the decision the
+    * salting operators — SaltedPipeline, the surprisal joins — then act
+    * on). Per-key row counts are bucketed into power-of-two size classes:
+    * class c holds keys with 2^(c-1) < rows ≤ 2^c (class 0 = singletons),
+    * and each class reports its key count, row mass, share of the table,
+    * and hottest key. A healthy key has all mass in low classes; a
+    * high-class row with a large share IS the skewed-join warning.
+    *
+    * Class assignment is a chain of INTEGER comparisons (no float log2 —
+    * exact powers of two would round differently per engine), so both
+    * engines bucket identically; 41 classes cover 2^40 rows per key.
+    *
+    * Scale shape: one scan → key-grain agg (map-side combined) → class
+    * agg over the key table (≤ distinct-keys rows, never the fact table)
+    * → broadcast 1-row total. No windows, no sort; bounded output. */
+  val SkewMaxClass = 40
+
+  def qSkewReport(s: SparkSession, d: String): DataFrame =
+    skewReport(events(s, d).select(col("user_id").as("k")))
+
+  def skewReport(keyed: DataFrame): DataFrame = {
+    val perKey = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val cls = (0 to SkewMaxClass)
+      .map(c => (c, when(col("n") <= lit(1L << c), lit(c))))
+      .foldRight(lit(SkewMaxClass + 1): Column) { case ((_, w), acc) => w.otherwise(acc) }
+    val byClass = perKey
+      .groupBy(cls.as("size_class"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("rows_in_class"),
+        max(col("n")).as("max_key_rows"))
+    val tot = perKey.agg(sum(col("n")).as("total_rows"))
+    byClass.crossJoin(broadcast(tot))
+      .select(col("size_class"),
+        expr("shiftleft(CAST(1 AS BIGINT), size_class)").as("class_cap"),
+        col("n_keys"), col("rows_in_class"), col("max_key_rows"),
+        round(col("rows_in_class").cast("double") / col("total_rows").cast("double"), 6)
+          .as("share"))
   }
 }

@@ -218,4 +218,73 @@ object Pipeline {
         // one side, exact decimal on the other) — digits are portable
         sum(col("fp_dec")).cast("decimal(38,0)").cast("string").as("checksum"))
   }
+
+  /** k-anonymity floor for released corpus statistics: per-(source, lang)
+    * document counts are publishable only when the group holds at least
+    * [[KAnonThreshold]] documents; smaller groups are rolled into one
+    * `__suppressed__` row so their combined mass is still accounted for
+    * but no small cohort is individually identifiable. This is the
+    * aggregate-release face of the governance family ([[Curation.qRtbfPurge]]
+    * is the record-level one).
+    *
+    * Scale shape: one scan, one dimension-grain agg, then a filter split —
+    * the suppressed branch re-aggregates ≤ #groups rows. Exact longs only. */
+  val KAnonThreshold = 10
+
+  def qKanonRelease(s: SparkSession, d: String): DataFrame =
+    kanonRelease(documents(s, d))
+
+  def kanonRelease(docs: DataFrame): DataFrame = {
+    val g = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_docs"))
+    val released = g.filter(col("n_docs") >= KAnonThreshold)
+      .select(col("source"), col("lang"), col("n_docs"))
+    // agg over a possibly-empty input yields one NULL-sum row; the filter
+    // drops it so the suppressed row appears only when something was hidden
+    val suppressed = g.filter(col("n_docs") < KAnonThreshold)
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs").isNotNull)
+      .select(lit("__suppressed__").as("source"), lit("__suppressed__").as("lang"),
+        col("n_docs"))
+    released.unionByName(suppressed)
+  }
+
+  /** Temperature-weighted epoch allocation — the data-budget planner that
+    * turns per-source token counts into a sampling mix: weight each source
+    * by tokens^α (α = 0.5, the multilingual-LM temperature convention that
+    * up-weights small sources without letting any source dominate), then
+    * compute how many EPOCHS of each source a fixed token budget
+    * (2× the corpus here) implies. Sources whose allocation exceeds 4
+    * epochs are flagged — the published diminishing-returns knee for
+    * repeated data — telling the curator to either cap the source's
+    * weight or find more data.
+    *
+    * Float policy: the α-weights are sqrt values snapped to decimal(18,6)
+    * BEFORE the cross-source sum (order-independent, engine-exact — the
+    * repo-wide free-double rule); the published ratios divide those exact
+    * decimals as doubles and round. The totals frame is 1 row and
+    * broadcast; everything else is one source-grain agg. */
+  val EpochBudgetMult = 2.0
+  val EpochRepeatKnee = 4.0
+
+  def qEpochPlan(s: SparkSession, d: String): DataFrame =
+    epochPlan(documents(s, d))
+
+  def epochPlan(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("source"), size(TextOps.normWords(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("src_tokens"))
+    val w = t.withColumn("w",
+      sqrt(col("src_tokens").cast("double")).cast("decimal(18,6)"))
+    val tot = w.agg(sum(col("w")).cast("decimal(38,6)").as("tot_w"),
+      sum(col("src_tokens")).as("tot_tokens"))
+    val ratio = col("w").cast("double") / col("tot_w").cast("double")
+    val epochs = round(
+      lit(EpochBudgetMult) * col("tot_tokens").cast("double") * ratio
+        / col("src_tokens").cast("double"), 4)
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"),
+        round(ratio, 6).as("mix_weight"),
+        epochs.as("epochs"),
+        (epochs > EpochRepeatKnee).as("repeat_warn"))
+  }
 }

@@ -998,4 +998,35 @@ object TextOps {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(PmiTopK)
   }
+
+  /** Tokenizer fertility report — the tokenizer-sizing companion to
+    * [[qOovRate]]: per language, how many characters one token "costs"
+    * under (a) whitespace tokenization and (b) the BPE-ish regex tokenizer
+    * from [[qTokenCount]]. Languages whose fertility is far above the
+    * corpus norm are under-served by the tokenizer (each token carries too
+    * much text → longer effective sequences per character budget), the
+    * standard signal for rebalancing vocab allocation across languages.
+    *
+    * Scale shape: ONE documents scan with per-row scalar expressions, one
+    * language-grain agg (map-side combined, ≤ #languages rows out). All
+    * counters are exact longs; the two ratios divide the final sums, so
+    * the frame is engine-portable with no float-summation policy needed. */
+  def qTokenFertility(s: SparkSession, d: String): DataFrame = {
+    val words = normWords(col("text"))
+    documents(s, d)
+      .select(col("lang"),
+        size(words).cast("long").as("ws"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("re"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"), col("n_chars"),
+        round(col("n_chars").cast("double") / col("ws_tokens").cast("double"), 6)
+          .as("ws_chars_per_token"),
+        round(col("n_chars").cast("double") / col("re_tokens").cast("double"), 6)
+          .as("re_chars_per_token"))
+  }
 }

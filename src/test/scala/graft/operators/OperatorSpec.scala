@@ -1446,4 +1446,73 @@ class OperatorSpec extends AnyFunSuite {
       assert(byPair.get((t._1, t._2)).contains(t), s"scale row diverges: $t")
     }
   }
+
+  test("token_fertility: language sums reconcile with per-doc token_count totals") {
+    val docs = graft.Tables.documents(spark, d)
+    val expected = TextOps.qTokenCount(spark, d)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("ws"),
+        sum(col("re_tokens")).as("re"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fert = TextOps.qTokenFertility(spark, d).collect()
+    assert(fert.map(_.getString(0)).toSet == expected.keySet)
+    fert.foreach { r =>
+      val (nd, ws, re) = expected(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == ws && r.getLong(3) == re)
+      val chars = r.getLong(4)
+      assert(math.abs(r.getDouble(5) - chars.toDouble / ws) < 1e-6)
+      assert(math.abs(r.getDouble(6) - chars.toDouble / re) < 1e-6)
+    }
+  }
+
+  test("kanon_release: no released group below k; total mass conserved") {
+    val rows = Pipeline.qKanonRelease(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val (supp, released) = rows.partition(_._1 == "__suppressed__")
+    assert(released.forall(_._3 >= Pipeline.KAnonThreshold))
+    assert(supp.length <= 1)
+    val total = graft.Tables.documents(spark, d).count()
+    assert(rows.map(_._3).sum == total, "released + suppressed must cover every doc")
+    // the suppressed row exists iff some (source, lang) group is below k
+    val nSmall = graft.Tables.documents(spark, d)
+      .groupBy(col("source"), col("lang")).count()
+      .filter(col("count") < Pipeline.KAnonThreshold).count()
+    assert(supp.nonEmpty == (nSmall > 0))
+  }
+
+  test("epoch_plan: weights sum to 1 and the token budget is conserved") {
+    val rows = Pipeline.qEpochPlan(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "mix weights must sum to ~1")
+    val totTokens = rows.map(_._2).sum.toDouble
+    val allocated = rows.map(r => r._4 * r._2).sum
+    assert(math.abs(allocated - Pipeline.EpochBudgetMult * totTokens)
+      / (Pipeline.EpochBudgetMult * totTokens) < 1e-3,
+      s"allocated $allocated vs budget ${Pipeline.EpochBudgetMult * totTokens}")
+    rows.foreach { r => assert(r._5 == (r._4 > Pipeline.EpochRepeatKnee)) }
+    // epochs_i = 2T / (tot_w · sqrt(t_i)) — strictly decreasing in source
+    // size, the α=0.5 up-weighting of small sources
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.sliding(2).forall(p => p.head._4 >= p.last._4 - 1e-9),
+      "smaller sources must get at least as many epochs")
+  }
+
+  test("skew_report: classes partition the key table and bound their members") {
+    val ev = graft.Tables.events(spark, d)
+    val totalRows = ev.count()
+    val nKeys = ev.select(col("user_id")).distinct().count()
+    val rep = Audit.qSkewReport(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(rep.map(_._3).sum == nKeys, "every key lands in exactly one class")
+    assert(rep.map(_._4).sum == totalRows, "row mass is conserved")
+    rep.foreach { case (cls, cap, _, _, maxRows, share) =>
+      assert(maxRows <= cap, s"class $cls: max $maxRows exceeds cap $cap")
+      if (cls > 0) assert(maxRows > cap / 2, s"class $cls: max $maxRows not in (cap/2, cap]")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(math.abs(rep.map(_._6).sum - 1.0) < 1e-4)
+  }
 }
