@@ -91,6 +91,10 @@ object Bench {
           operators.Dedup.minHashLshFrom(shingles).queryExecution.toRdd.count() },
         "minhash_lsh_md5" -> time {
           operators.Dedup.minHashLshMd5From(shingles).queryExecution.toRdd.count() },
+        // the eval harness consumes the SAME cached shingle table; its
+        // billed cost is the truth/candidate joins + five 1-row aggs
+        "lsh_eval" -> time {
+          operators.Dedup.lshEvalFrom(shingles).queryExecution.toRdd.count() },
         // shingles are per-doc, so filtering the cached table by parity IS
         // the split table — the twin pays no second tokenize
         "minhash_incremental" -> time {
@@ -173,7 +177,7 @@ object Bench {
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
       val shared = Set("ngram_jaccard", "prefix_jaccard", "minhash_lsh",
-        "minhash_lsh_md5", "minhash_incremental", "dedup_clusters",
+        "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "simhash_md5",
         "simhash_pairs_md5", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",

@@ -78,6 +78,7 @@ object SparkEntry {
     "overlap_kmv"         -> (Overlap.qOverlapKmv _), // rows-only: KMV sketch estimates; bounds + exact merge-invariance in OverlapSpec
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
+    "lsh_eval"            -> (Dedup.qLshEval _), // banded-LSH precision/recall vs the exact Jaccard truth
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "canonical_select"    -> (Dedup.qCanonicalSelect _), // cluster labels + quality argmax
@@ -608,6 +609,34 @@ object SparkEntry {
          |JOIN sig sa ON cand.doc_a = sa.doc_id
          |JOIN sig sb ON cand.doc_b = sb.doc_id
          |WHERE round(($MINHASH_AGREE) / ${Dedup.MinHashPerms}.0, 6) >= 0.5""".stripMargin,
+
+    "lsh_eval" ->
+      s"""WITH $NGRAM_CTES,
+         |truth AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+         |                     JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |sig AS (SELECT doc_id, $MINHASH_MINS FROM ex GROUP BY doc_id),
+         |bands AS (${minhashBandSelects("sig")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT doc_a, doc_b FROM cand
+         |        JOIN sig sa ON cand.doc_a = sa.doc_id
+         |        JOIN sig sb ON cand.doc_b = sb.doc_id
+         |        WHERE round(($MINHASH_AGREE) / ${Dedup.MinHashPerms}.0, 6) >= 0.5),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b)) AS n_cand_hit,
+         |  (SELECT count(*) FROM est) AS n_est,
+         |  (SELECT count(*) FROM est JOIN truth USING (doc_a, doc_b)) AS n_est_hit)
+         |SELECT n_truth, n_cand, n_cand_hit, n_est, n_est_hit,
+         |  round(CAST(n_cand_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS cand_precision,
+         |  round(CAST(n_cand_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS cand_recall,
+         |  round(CAST(n_est_hit AS DOUBLE) / CAST(n_est AS DOUBLE), 6) AS est_precision,
+         |  round(CAST(n_est_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS est_recall
+         |FROM m""".stripMargin,
 
     "minhash_incremental" ->
       s"""WITH $NGRAM_CTES,

@@ -447,6 +447,59 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** LSH candidate-quality evaluation — the harness that justifies the
+    * banded-MinHash parameters (64 perms × 16 bands ≈ 0.5 S-curve
+    * threshold) with numbers instead of theory: the band join's candidate
+    * pairs, and the post-estimate-filter pairs, are each scored against
+    * the EXACT df-capped Jaccard pairs at the same ≥ 0.5 threshold
+    * ([[ngramJaccardFrom]], the driver-green ground truth). One summary
+    * row: pair counts plus precision/recall at both stages. Recall is the
+    * number a curator must watch when retuning bands/rows — LSH misses are
+    * silent at production scale, so the eval harness IS the operator.
+    *
+    * Scale shape: both sides reuse the one materialized shingle table;
+    * the five counts are 1-row aggs crossJoined (broadcast). The exact
+    * side costs the capped inverted-index self-join — at 100 TB this eval
+    * runs on a SAMPLE of the corpus (any doc_id hash band), which changes
+    * none of the plumbing. */
+  def qLshEval(s: SparkSession, d: String): DataFrame =
+    lshEvalFrom(shingleTable(documents(s, d)).persist())
+
+  /** See [[qLshEval]]; takes a prebuilt [[shingleTable]] (the bench
+    * threads its shared one). */
+  def lshEvalFrom(ex: DataFrame): DataFrame = {
+    val truth = ngramJaccardFrom(ex).select(col("doc_a"), col("doc_b"))
+    val sigs = md5Sigs(ex).persist()
+    val bands = md5BandTable(sigs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().persist()
+    val sa = sigs.toDF("doc_a" +: (0 until MinHashPerms).map(p => s"a$p"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 until MinHashPerms).map(p => s"b$p"): _*)
+    val est = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(round(md5Agreement("a", "b").cast("double") / lit(MinHashPerms.toDouble), 6)
+        >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    def one(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    val pairKeys = Seq("doc_a", "doc_b")
+    one(truth, "n_truth")
+      .crossJoin(one(cand, "n_cand"))
+      .crossJoin(one(cand.join(truth, pairKeys, "left_semi"), "n_cand_hit"))
+      .crossJoin(one(est, "n_est"))
+      .crossJoin(one(est.join(truth, pairKeys, "left_semi"), "n_est_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_cand_hit"), col("n_est"), col("n_est_hit"),
+        round(col("n_cand_hit").cast("double") / col("n_cand").cast("double"), 6)
+          .as("cand_precision"),
+        round(col("n_cand_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("cand_recall"),
+        round(col("n_est_hit").cast("double") / col("n_est").cast("double"), 6)
+          .as("est_precision"),
+        round(col("n_est_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("est_recall"))
+  }
+
   /** Incremental NEAR-dup detection — the MinHash face of
     * [[qDedupIncremental]]: a new ingest batch is checked against the
     * EXISTING corpus through its signature/band-key tables, never against

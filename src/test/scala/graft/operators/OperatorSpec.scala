@@ -1499,6 +1499,28 @@ class OperatorSpec extends AnyFunSuite {
       "smaller sources must get at least as many epochs")
   }
 
+  test("lsh_eval: counts reconcile with the ngram_jaccard truth and the minhash entry") {
+    val r = Dedup.qLshEval(spark, d).collect().head
+    val (nTruth, nCand, nCandHit, nEst, nEstHit) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nTruth == Dedup.qNgramJaccard(spark, d).count(),
+      "truth side must be exactly the registered exact-Jaccard output")
+    assert(nEst == Dedup.qMinHashLshMd5(spark, d).count(),
+      "est side must be exactly the registered minhash entry's pairs")
+    assert(nEstHit <= nEst && nEstHit <= nTruth)
+    assert(nCandHit <= nCand && nCandHit <= nTruth)
+    assert(nEst <= nCand, "estimate filter only prunes candidates")
+    assert(nEstHit <= nCandHit, "pruning cannot add hits")
+    assert(nTruth > 0 && nCand > 0)
+    // precision/recall columns must equal their count ratios
+    assert(math.abs(r.getDouble(5) - nCandHit.toDouble / nCand) < 1e-6)
+    assert(math.abs(r.getDouble(6) - nCandHit.toDouble / nTruth) < 1e-6)
+    assert(math.abs(r.getDouble(7) - nEstHit.toDouble / nEst) < 1e-6)
+    assert(math.abs(r.getDouble(8) - nEstHit.toDouble / nTruth) < 1e-6)
+    // the parameter choice must actually deliver: banded recall ≥ 0.9 here
+    assert(r.getDouble(6) >= 0.9, s"candidate recall ${r.getDouble(6)} below 0.9")
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
