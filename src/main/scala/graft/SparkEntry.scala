@@ -189,6 +189,7 @@ object SparkEntry {
     "epoch_plan"          -> (Pipeline.qEpochPlan _), // temperature-α token-budget epoch allocation
     "domain_mix"          -> (Pipeline.qDomainMix _),
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
+    "curation_funnel"     -> (Pipeline.qCurationFunnel _), // per-gate drop accounting over the curation keep conjunction
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
     // ---- graph analytics (iterative join+agg rounds) ----
     "pagerank"            -> (Graph.qPageRank _),
@@ -353,6 +354,86 @@ object SparkEntry {
     .map(c => s"WHEN n <= ${1L << c} THEN CAST(${1L << c} AS BIGINT)")
     .mkString("CASE ", " ",
       s" ELSE CAST(${1L << (graft.operators.Audit.SkewMaxClass + 1)} AS BIGINT) END")
+
+  /** Full per-document curation verdict SQL — shared by corpus_curate
+    * and curation_funnel (the funnel aggregates this frame's gate
+    * columns in keep-conjunction order). */
+  private val CORPUS_CURATE_SQL =
+    s"""WITH t AS (SELECT doc_id, text, source, $WORDS AS words FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
+       |base AS (SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_uniq FROM t),
+       |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS g FROM t),
+       |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY 1, 2),
+       |topb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bgc GROUP BY 1),
+       |repf AS (SELECT b.doc_id,
+       |    (round(1.0 - CAST(n_uniq AS DOUBLE) / n_words, 6) > ${Curation.DupWordFracMax}
+       |     OR round(CAST(coalesce(top_bigram_count, 0) AS DOUBLE) / (n_words - 1), 6)
+       |       > ${Curation.TopBigramFracMax}) AS repetitive
+       |  FROM base b LEFT JOIN topb USING (doc_id)),
+       |g5 AS (SELECT doc_id, source,
+       |  unnest(list_transform(range(1, len(words) - ${Curation.ContamK - 2}),
+       |    i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))) AS g FROM t),
+       |bench AS (SELECT DISTINCT g FROM g5 WHERE source = '${Curation.BenchmarkSource}'),
+       |dg AS (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> '${Curation.BenchmarkSource}'),
+       |ctot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+       |chit AS (SELECT doc_id, count(*) AS n_contaminated FROM dg JOIN bench USING (g) GROUP BY 1),
+       |conf AS (SELECT ct.doc_id,
+       |    round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+       |      >= ${Curation.ContamFracMin} AS contaminated
+       |  FROM ctot ct LEFT JOIN chit USING (doc_id)),
+       |sq AS (SELECT doc_id,
+       |    round(least(len(words) / 100.0, 1.0) *
+       |      (1.0 - CAST(len([w FOR w IN words
+       |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+       |        / len(words)), 4) AS quality
+       |  FROM t),
+       |tok AS (SELECT doc_id, unnest(words) AS w FROM t),
+       |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       |tot2 AS (SELECT count(*) AS tt FROM tok),
+       |bgs AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+       |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM t)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgs GROUP BY 1, 2),
+       |sc AS (SELECT bgs.doc_id,
+       |    -ln(${Curation.BigramLambda} * (CAST(c2.c2 AS DOUBLE) / u1.c)
+       |      + ${Curation.UnigramLambda} * (CAST(u2.c AS DOUBLE) / tt)) AS s
+       |  FROM bgs JOIN c2 USING (w1, w2)
+       |  JOIN c1 u1 ON bgs.w1 = u1.w JOIN c1 u2 ON bgs.w2 = u2.w CROSS JOIN tot2),
+       |pagg AS (SELECT doc_id, round(avg(s), 6) AS avg_surprisal FROM sc GROUP BY 1),
+       |ppl AS (SELECT doc_id, avg_surprisal,
+       |    CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
+       |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |  FROM pagg),
+       |pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+       |dtot AS (SELECT sum(n_source) AS n_total,
+       |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
+       |cut AS (SELECT source,
+       |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
+       |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob
+       |  FROM pd CROSS JOIN dtot),
+       |mix AS (SELECT d.doc_id,
+       |    ('0' || substr(md5(d.text), 1, 4)) <
+       |      printf('%05x', CAST(floor(c.keep_prob * 65536) AS BIGINT)) AS mix_kept
+       |  FROM documents d JOIN cut c USING (source))
+       |SELECT d.doc_id, d.source,
+       |  (k.doc_id IS NOT NULL) AS dedup_rep,
+       |  repf.repetitive,
+       |  coalesce(conf.contaminated, TRUE) AS contaminated,
+       |  sq.quality,
+       |  ppl.avg_surprisal,
+       |  coalesce(ppl.ppl_bucket, 'tail') AS ppl_bucket,
+       |  mix.mix_kept,
+       |  ((k.doc_id IS NOT NULL) AND NOT repf.repetitive
+       |    AND NOT coalesce(conf.contaminated, TRUE)
+       |    AND sq.quality >= ${Pipeline.CurateQualityMin}
+       |    AND coalesce(ppl.ppl_bucket, 'tail') <> 'tail'
+       |    AND mix.mix_kept) AS keep
+       |FROM documents d
+       |LEFT JOIN keep k ON d.doc_id = k.doc_id
+       |JOIN repf ON d.doc_id = repf.doc_id
+       |LEFT JOIN conf ON d.doc_id = conf.doc_id
+       |JOIN sq ON d.doc_id = sq.doc_id
+       |LEFT JOIN ppl ON d.doc_id = ppl.doc_id
+       |JOIN mix ON d.doc_id = mix.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (HLL,
@@ -1266,82 +1347,31 @@ object SparkEntry {
          |    CASE WHEN pred_lang = 'en' THEN '80'
          |         WHEN pred_lang = 'ru' THEN 'c0' ELSE 'zz' END""".stripMargin,
 
-    "corpus_curate" ->
-      s"""WITH t AS (SELECT doc_id, text, source, $WORDS AS words FROM documents),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
-         |base AS (SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_uniq FROM t),
-         |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS g FROM t),
-         |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY 1, 2),
-         |topb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bgc GROUP BY 1),
-         |repf AS (SELECT b.doc_id,
-         |    (round(1.0 - CAST(n_uniq AS DOUBLE) / n_words, 6) > ${Curation.DupWordFracMax}
-         |     OR round(CAST(coalesce(top_bigram_count, 0) AS DOUBLE) / (n_words - 1), 6)
-         |       > ${Curation.TopBigramFracMax}) AS repetitive
-         |  FROM base b LEFT JOIN topb USING (doc_id)),
-         |g5 AS (SELECT doc_id, source,
-         |  unnest(list_transform(range(1, len(words) - ${Curation.ContamK - 2}),
-         |    i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))) AS g FROM t),
-         |bench AS (SELECT DISTINCT g FROM g5 WHERE source = '${Curation.BenchmarkSource}'),
-         |dg AS (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> '${Curation.BenchmarkSource}'),
-         |ctot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
-         |chit AS (SELECT doc_id, count(*) AS n_contaminated FROM dg JOIN bench USING (g) GROUP BY 1),
-         |conf AS (SELECT ct.doc_id,
-         |    round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
-         |      >= ${Curation.ContamFracMin} AS contaminated
-         |  FROM ctot ct LEFT JOIN chit USING (doc_id)),
-         |sq AS (SELECT doc_id,
-         |    round(least(len(words) / 100.0, 1.0) *
-         |      (1.0 - CAST(len([w FOR w IN words
-         |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
-         |        / len(words)), 4) AS quality
-         |  FROM t),
-         |tok AS (SELECT doc_id, unnest(words) AS w FROM t),
-         |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
-         |tot2 AS (SELECT count(*) AS tt FROM tok),
-         |bgs AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
-         |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM t)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgs GROUP BY 1, 2),
-         |sc AS (SELECT bgs.doc_id,
-         |    -ln(${Curation.BigramLambda} * (CAST(c2.c2 AS DOUBLE) / u1.c)
-         |      + ${Curation.UnigramLambda} * (CAST(u2.c AS DOUBLE) / tt)) AS s
-         |  FROM bgs JOIN c2 USING (w1, w2)
-         |  JOIN c1 u1 ON bgs.w1 = u1.w JOIN c1 u2 ON bgs.w2 = u2.w CROSS JOIN tot2),
-         |pagg AS (SELECT doc_id, round(avg(s), 6) AS avg_surprisal FROM sc GROUP BY 1),
-         |ppl AS (SELECT doc_id, avg_surprisal,
-         |    CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
-         |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-         |  FROM pagg),
-         |pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
-         |dtot AS (SELECT sum(n_source) AS n_total,
-         |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
-         |cut AS (SELECT source,
-         |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
-         |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob
-         |  FROM pd CROSS JOIN dtot),
-         |mix AS (SELECT d.doc_id,
-         |    ('0' || substr(md5(d.text), 1, 4)) <
-         |      printf('%05x', CAST(floor(c.keep_prob * 65536) AS BIGINT)) AS mix_kept
-         |  FROM documents d JOIN cut c USING (source))
-         |SELECT d.doc_id, d.source,
-         |  (k.doc_id IS NOT NULL) AS dedup_rep,
-         |  repf.repetitive,
-         |  coalesce(conf.contaminated, TRUE) AS contaminated,
-         |  sq.quality,
-         |  ppl.avg_surprisal,
-         |  coalesce(ppl.ppl_bucket, 'tail') AS ppl_bucket,
-         |  mix.mix_kept,
-         |  ((k.doc_id IS NOT NULL) AND NOT repf.repetitive
-         |    AND NOT coalesce(conf.contaminated, TRUE)
-         |    AND sq.quality >= ${Pipeline.CurateQualityMin}
-         |    AND coalesce(ppl.ppl_bucket, 'tail') <> 'tail'
-         |    AND mix.mix_kept) AS keep
-         |FROM documents d
-         |LEFT JOIN keep k ON d.doc_id = k.doc_id
-         |JOIN repf ON d.doc_id = repf.doc_id
-         |LEFT JOIN conf ON d.doc_id = conf.doc_id
-         |JOIN sq ON d.doc_id = sq.doc_id
-         |LEFT JOIN ppl ON d.doc_id = ppl.doc_id
-         |JOIN mix ON d.doc_id = mix.doc_id""".stripMargin,
+    "corpus_curate" -> CORPUS_CURATE_SQL,
+
+    "curation_funnel" ->
+      s"""WITH cc AS ($CORPUS_CURATE_SQL),
+         |a AS (SELECT count(*) AS n0,
+         |  CAST(sum(CASE WHEN dedup_rep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN dedup_rep AND NOT repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN dedup_rep AND NOT repetitive AND NOT contaminated
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |  CAST(sum(CASE WHEN dedup_rep AND NOT repetitive AND NOT contaminated
+         |           AND quality >= ${Pipeline.CurateQualityMin} THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         |  CAST(sum(CASE WHEN dedup_rep AND NOT repetitive AND NOT contaminated
+         |           AND quality >= ${Pipeline.CurateQualityMin} AND ppl_bucket <> 'tail'
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n6
+         |  FROM cc),
+         |f AS (SELECT 1 AS stage_idx, 'dedup' AS stage, n0 AS n_in, n1 AS n_out FROM a
+         |  UNION ALL SELECT 2, 'repetition', n1, n2 FROM a
+         |  UNION ALL SELECT 3, 'contamination', n2, n3 FROM a
+         |  UNION ALL SELECT 4, 'quality', n3, n4 FROM a
+         |  UNION ALL SELECT 5, 'perplexity', n4, n5 FROM a
+         |  UNION ALL SELECT 6, 'domain_mix', n5, n6 FROM a)
+         |SELECT stage_idx, stage, n_in, n_out, n_in - n_out AS n_dropped,
+         |  round(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_rate
+         |FROM f""".stripMargin,
 
     "domain_mix" ->
       s"""WITH pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),

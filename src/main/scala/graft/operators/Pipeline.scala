@@ -157,6 +157,50 @@ object Pipeline {
           col("ppl_bucket") =!= "tail" && col("mix_kept"))
   }
 
+  /** Curation loss funnel — the observability report every large-scale
+    * curation run ships alongside its output: how many documents each
+    * gate of [[qCorpusCurate]]'s keep conjunction removed, in gate order
+    * (dedup → repetition → contamination → quality → perplexity →
+    * domain mix). A gate whose drop rate jumps between runs is the first
+    * diagnostic a pipeline operator reads; the final n_out equals the
+    * curated corpus size by construction.
+    *
+    * Cumulative conjunctions (not per-gate independent drops) so each
+    * stage's n_in is the previous stage's n_out — the funnel property.
+    * Scale shape: corpus_curate's per-doc verdict frame + ONE 1-row agg
+    * of conditional sums (map-side combined), then a 6-row stack. */
+  def qCurationFunnel(s: SparkSession, d: String): DataFrame =
+    curationFunnel(qCorpusCurate(s, d))
+
+  def curationFunnel(cc: DataFrame): DataFrame = {
+    val g1 = col("dedup_rep")
+    val g2 = g1 && !col("repetitive")
+    val g3 = g2 && !col("contaminated")
+    val g4 = g3 && col("quality") >= CurateQualityMin
+    val g5 = g4 && col("ppl_bucket") =!= "tail"
+    val g6 = g5 && col("mix_kept")
+    val agg = cc.agg(
+      count(lit(1)).as("n0"),
+      sum(when(g1, 1L).otherwise(0L)).as("n1"),
+      sum(when(g2, 1L).otherwise(0L)).as("n2"),
+      sum(when(g3, 1L).otherwise(0L)).as("n3"),
+      sum(when(g4, 1L).otherwise(0L)).as("n4"),
+      sum(when(g5, 1L).otherwise(0L)).as("n5"),
+      sum(when(g6, 1L).otherwise(0L)).as("n6"))
+    agg.select(expr(
+      """stack(6,
+        |  1, 'dedup',         n0, n1,
+        |  2, 'repetition',    n1, n2,
+        |  3, 'contamination', n2, n3,
+        |  4, 'quality',       n3, n4,
+        |  5, 'perplexity',    n4, n5,
+        |  6, 'domain_mix',    n5, n6) AS (stage_idx, stage, n_in, n_out)""".stripMargin))
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("n_dropped"),
+        round((col("n_in") - col("n_out")).cast("double") / col("n_in").cast("double"), 6)
+          .as("drop_rate"))
+  }
+
   def qTrainingMix(s: SparkSession, d: String): DataFrame = {
     val keep = Dedup.qDedupExact(s, d).select(col("keep_id").as("doc_id"))
     val lang = TextOps.qLangId(s, d).select(col("doc_id"), col("pred_lang"))

@@ -1521,6 +1521,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(6) >= 0.9, s"candidate recall ${r.getDouble(6)} below 0.9")
   }
 
+  test("curation_funnel: monotone chain from total docs to the kept count") {
+    val cc = Pipeline.qCorpusCurate(spark, d).persist()
+    val rows = Pipeline.qCurationFunnel(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("dedup", "repetition", "contamination", "quality", "perplexity", "domain_mix"))
+    assert(rows.head._3 == cc.count(), "stage 1 n_in must be the corpus size")
+    assert(rows.last._4 == cc.filter(col("keep")).count(),
+      "final n_out must equal the kept count")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 == b._3, s"funnel break: ${a._2} n_out ${a._4} != ${b._2} n_in ${b._3}")
+    }
+    rows.foreach { case (_, stage, nIn, nOut, nDropped, rate) =>
+      assert(nOut <= nIn, s"$stage gained rows")
+      assert(nDropped == nIn - nOut)
+      assert(math.abs(rate - nDropped.toDouble / nIn) < 1e-6)
+    }
+    cc.unpersist()
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
