@@ -164,6 +164,7 @@ object SparkEntry {
     "sequence_pack"       -> (Curation.qSequencePack _),
     "pack_assemble"       -> (Curation.qPackAssemble _), // packed bins -> actual training examples
     "classifier_score"    -> (Curation.qClassifierScore _), // broadcast-model linear scoring
+    "classifier_eval"     -> (Curation.qClassifierEval _), // threshold-sweep P/R/F1 vs the quality-gate label
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -996,6 +997,43 @@ object SparkEntry {
          |  margin_x10 / (n_feats * 10.0) AS score,
          |  margin_x10 / (n_feats * 10.0) > 0 AS keep
          |FROM a""".stripMargin,
+
+    "classifier_eval" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST(${duckHex("md5('feat:' || w)", 8)} % 4096 AS BIGINT) AS bucket
+         |      FROM tok),
+         |m AS (SELECT r AS bucket, (r % 7) - 3 AS w10 FROM range(4096) t(r)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |        CAST(sum(w10) AS BIGINT) AS margin_x10
+         |      FROM f JOIN m USING (bucket) GROUP BY 1),
+         |sc AS (SELECT doc_id, margin_x10 / (n_feats * 10.0) AS score FROM a),
+         |t AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |lab AS (SELECT doc_id,
+         |    round(least(len(words) / 100.0, 1.0) *
+         |      (1.0 - CAST(len([w FOR w IN words
+         |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |        / len(words)), 4) >= ${Pipeline.CurateQualityMin} AS label
+         |  FROM t),
+         |th AS (SELECT CAST(unnest([${Curation.EvalThresholds.mkString(", ")}]) AS DOUBLE)
+         |         AS threshold),
+         |c AS (SELECT threshold,
+         |    CAST(sum(CASE WHEN score > threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score > threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score <= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score <= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc JOIN lab USING (doc_id) CROSS JOIN th GROUP BY 1)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+         |  round(CASE WHEN CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+         |               + CAST(tp AS DOUBLE) / greatest(tp + fn, 1) > 0.0
+         |    THEN 2.0 * (CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+         |             * (CAST(tp AS DOUBLE) / greatest(tp + fn, 1))
+         |         / (CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+         |            + CAST(tp AS DOUBLE) / greatest(tp + fn, 1))
+         |    ELSE 0.0 END, 6) AS f1
+         |FROM c""".stripMargin,
 
     "hash_split" ->
       s"""WITH h AS (SELECT doc_id,

@@ -319,6 +319,44 @@ object Curation {
       .withColumn("keep", col("score") > 0)
   }
 
+  /** Classifier threshold sweep (classifier_eval) — the calibration
+    * harness for [[qClassifierScore]]'s decision threshold: confusion
+    * counts and precision/recall/F1 at each candidate threshold, against
+    * the heuristic quality gate (quality ≥ CurateQualityMin, the same
+    * cutoff [[Pipeline.qCorpusCurate]] enforces) as the reference label.
+    * This is how a curation team picks the operating point before
+    * swapping a trained model into [[classifierScore]]'s `model` slot —
+    * and the quality-eval sibling of the dedup-side [[Dedup.qLshEval]].
+    *
+    * Precision/recall guard empty-prediction cells with greatest(·, 1)
+    * (metric 0, never a division error); F1 falls back to 0 when both
+    * are 0. Scale shape: per-doc scores (one broadcast model join) ×
+    * an 11-row broadcast threshold frame → threshold-grain conditional
+    * agg, map-side combined. */
+  val EvalThresholds: Seq[Double] = (-5 to 5).map(_ / 100.0)
+
+  def qClassifierEval(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = classifierScore(docs, linearModel(s)).select(col("doc_id"), col("score"))
+    val truth = docs.select(col("doc_id"),
+      (TextOps.qualityExpr(col("text")) >= Pipeline.CurateQualityMin).as("label"))
+    val th = s.createDataFrame(EvalThresholds.map(Tuple1(_))).toDF("threshold")
+    val pred = col("score") > col("threshold")
+    val agg = scored.join(truth, "doc_id")
+      .crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(pred && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!pred && !col("label"), 1L).otherwise(0L)).as("tn"))
+    val p = col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)).cast("double")
+    val r = col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)).cast("double")
+    agg.select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6).as("f1"))
+  }
+
   /** Per-document (doc_id, n_bigrams, avg_surprisal) under the
     * interpolated corpus bigram LM — the tercile-free core shared by the
     * exact and approximate bucket cuts. */

@@ -1542,6 +1542,29 @@ class OperatorSpec extends AnyFunSuite {
     cc.unpersist()
   }
 
+  test("classifier_eval: sweep reconciles with classifier_score and is threshold-monotone") {
+    val rows = Curation.qClassifierEval(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))).sortBy(_._1)
+    assert(rows.length == Curation.EvalThresholds.length)
+    val n = graft.Tables.documents(spark, d).count()
+    rows.foreach { case (_, tp, fp, fn, tn, _, _, _) =>
+      assert(tp + fp + fn + tn == n, "confusion cells must cover every doc")
+    }
+    // at threshold 0.0 the predicted-positive mass equals the registered
+    // entry's keep count (same score, same > comparison)
+    val keepN = Curation.qClassifierScore(spark, d)
+      .filter(col("keep")).count()
+    val at0 = rows.find(_._1 == 0.0).get
+    assert(at0._2 + at0._3 == keepN, "tp+fp at t=0 must equal classifier keep count")
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "tp must be non-increasing in threshold")
+      assert(b._2 + b._3 <= a._2 + a._3, "predicted positives must shrink")
+      assert(b._7 <= a._7 + 1e-9, "recall must be non-increasing")
+    }
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
