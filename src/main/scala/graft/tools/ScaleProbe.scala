@@ -153,7 +153,14 @@ object ScaleProbe {
       "triplet_mine" -> Similarity.qTripletMine _,
       "triplet_mine_scale" -> Similarity.qTripletMineScale _,
       "quality_calibrate" -> Curation.qQualityCalibrate _,
-      "skipgram_cooc" -> TextOps.qSkipgramCooc _)
+      "skipgram_cooc" -> TextOps.qSkipgramCooc _,
+      "token_fertility" -> TextOps.qTokenFertility _,
+      "kanon_release" -> Pipeline.qKanonRelease _,
+      "epoch_plan" -> Pipeline.qEpochPlan _,
+      "skew_report" -> graft.operators.Audit.qSkewReport _,
+      "lsh_eval" -> Dedup.qLshEval _,
+      "curation_funnel" -> Pipeline.qCurationFunnel _,
+      "classifier_eval" -> Curation.qClassifierEval _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue
