@@ -179,6 +179,8 @@ object SparkEntry {
     "stratified_sample"   -> (Sampling.qStratifiedSample _),
     "global_shuffle"      -> (Sampling.qGlobalShuffle _),
     "split_drift"         -> (Sampling.qSplitDrift _),
+    "split_leakage"       -> (Sampling.qSplitLeakage _), // near-dup pairs straddling the doc-keyed split
+    "cluster_split"       -> (Sampling.qClusterSplit _), // leakage-free split keyed on near-dup cluster reps
     "domain_cap"          -> (Sampling.qDomainCap _),
     "weighted_sample"     -> (Sampling.qWeightedSample _), // integer systematic token-weighted sampling
     // ---- data layout (multi-dimensional clustering) ----
@@ -1040,6 +1042,50 @@ object SparkEntry {
          |            md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
          |b AS (SELECT doc_id, CAST(${duckHex("h", 8)} % 100 AS BIGINT) AS bucket FROM h)
          |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "split_leakage" ->
+      s"""WITH $NGRAM_CTES,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |h AS (SELECT doc_id,
+         |        CAST(${duckHex("md5('split:' || CAST(doc_id AS VARCHAR))", 8)} % 100 AS BIGINT)
+         |          AS bucket FROM documents),
+         |sp AS (SELECT doc_id,
+         |        CASE WHEN bucket < 90 THEN 'train'
+         |             WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split FROM h),
+         |cell AS (SELECT least(sa.split, sb.split) AS split_lo,
+         |                greatest(sa.split, sb.split) AS split_hi
+         |         FROM pairs JOIN sp sa ON pairs.doc_a = sa.doc_id
+         |                    JOIN sp sb ON pairs.doc_b = sb.doc_id)
+         |SELECT split_lo, split_hi, count(*) AS n_pairs,
+         |  split_lo <> split_hi AS is_leak
+         |FROM cell GROUP BY 1, 2""".stripMargin,
+
+    "cluster_split" ->
+      s"""WITH RECURSIVE $NGRAM_CTES,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+         |bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |verts AS (SELECT DISTINCT a AS id FROM bi),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT bi.b, reach.r FROM bi JOIN reach ON bi.a = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_key
+         |      FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+         |b AS (SELECT doc_id, cluster_key,
+         |        CAST(${duckHex("md5('split:' || CAST(cluster_key AS VARCHAR))", 8)} % 100
+         |          AS BIGINT) AS bucket FROM k)
+         |SELECT doc_id, cluster_key, bucket,
          |  CASE WHEN bucket < 90 THEN 'train'
          |       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split
          |FROM b""".stripMargin,

@@ -244,4 +244,54 @@ object Sampling {
       .select(col("bucket"), col("n_train"), col("n_valid"),
         round((p - q) * log(p / q), 6).as("psi"))
   }
+
+  /** Split-leakage audit — the eval-integrity check a doc-keyed split
+    * CANNOT pass on a corpus with near-dups: counts exact near-dup pairs
+    * ([[Dedup.qNgramJaccard]], ≥ 0.5) by the (split, split) cell their
+    * endpoints land in under [[qHashSplit]]. Any off-diagonal row is
+    * train/test contamination by duplication — a test doc whose twin was
+    * trained on — the leak published dedup studies measure. The fix is
+    * [[qClusterSplit]]; this operator is the evidence that motivates it.
+    *
+    * Scale shape: pair table (already bounded by the capped Jaccard join)
+    * + two id-keyed split joins + a ≤9-row agg. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val sp = qHashSplit(s, d).select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+  }
+
+  /** Near-dup-aware split (cluster_split): the repair for what
+    * [[qSplitLeakage]] measures. Each document's split key is its
+    * near-dup CLUSTER representative ([[Dedup.qDedupClusters]]'s min-id
+    * label; singletons key on their own id), then the standard
+    * content-keyed md5 split runs over that key — so an entire dup
+    * cluster lands in one split and near-dup leakage across splits is
+    * zero BY CONSTRUCTION (SamplingSpec asserts it against the pair
+    * table). Same 90/5/5 bands and seed convention as [[qHashSplit]],
+    * so unclustered docs keep their doc-keyed assignment.
+    *
+    * Scale shape: the cluster label table is doc-grain (one id-keyed
+    * left join); the split expression is per-row scalar. */
+  def qClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.qDedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val keyed = documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_key"))
+    val bucket =
+      (conv(substring(md5(concat(lit("split:"), col("cluster_key").cast("string"))), 1, 8),
+        16, 10).cast("long") % 100).as("bucket")
+    keyed.select(col("doc_id"), col("cluster_key"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+  }
 }

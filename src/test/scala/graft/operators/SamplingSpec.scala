@@ -200,4 +200,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.values.sum == 12L)
     assert(out(99L) >= 10L && out(99L) <= 11L)
   }
+
+  test("split_leakage accounts for every near-dup pair; cells are valid splits") {
+    val nPairs = Dedup.qNgramJaccard(spark, d).count()
+    val cells = Sampling.qSplitLeakage(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(cells.map(_._3).sum == nPairs, "cells must partition the pair table")
+    val valid = Set("train", "valid", "test")
+    cells.foreach { case (lo, hi, n, leak) =>
+      assert(valid(lo) && valid(hi) && lo <= hi)
+      assert(leak == (lo != hi))
+      assert(n > 0)
+    }
+  }
+
+  test("cluster_split: zero near-dup leakage by construction; singletons keep the doc-keyed split") {
+    val split = Sampling.qClusterSplit(spark, d)
+      .select(col("doc_id"), col("cluster_key"), col("split")).persist()
+    val n = graft.Tables.documents(spark, d).count()
+    assert(split.count() == n, "one split row per doc")
+    // THE property: both endpoints of every near-dup pair share a split
+    val pairs = Dedup.qNgramJaccard(spark, d).select(col("doc_a"), col("doc_b"))
+    val crossSplit = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossSplit == 0L, s"$crossSplit near-dup pairs cross splits")
+    assert(pairs.count() > 0, "fixture must actually exercise the property")
+    // docs outside any cluster key on their own id -> identical assignment
+    // to the doc-keyed hash_split
+    val hashSplit = Sampling.qHashSplit(spark, d)
+      .select(col("doc_id"), col("split").as("hs"))
+    val singletonDiffs = split.filter(col("cluster_key") === col("doc_id"))
+      .join(hashSplit, Seq("doc_id"))
+      .filter(col("split") =!= col("hs")).count()
+    assert(singletonDiffs == 0L, "singleton docs must keep their hash_split assignment")
+    split.unpersist()
+  }
 }
