@@ -158,6 +158,7 @@ object SparkEntry {
     "corpus_diff"         -> (R.qCorpusDiff _), // snapshot diff: added/removed/changed/unchanged
     "rollup_incremental"  -> (R.qRollupIncremental _), // mergeable-partials ETL; == direct recompute
     "equidepth_hist"      -> (R.qEquidepthHist _), // exact-decile equal-mass buckets (optimizer stats)
+    "selectivity_estimate" -> (R.qSelectivityEstimate _), // histogram cardinality estimates vs actual counts
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
@@ -1768,6 +1769,43 @@ object SparkEntry {
          |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
          |  min(x) AS lo, max(x) AS hi
          |FROM a GROUP BY 1""".stripMargin,
+
+    "selectivity_estimate" -> {
+      val predsSql = R.SelPredicates
+        .map { case (id, lo, hi) =>
+          s"SELECT $id AS pred_id, CAST($lo AS DOUBLE) AS lo, CAST($hi AS DOUBLE) AS hi" }
+        .mkString(" UNION ALL ")
+      def passed(v: String) =
+        s"LEAST(9, ${(1 to 9).map(i => s"CASE WHEN $v >= bs[$i] THEN 1 ELSE 0 END").mkString(" + ")})"
+      def cdf(j: String, v: String) =
+        s"""(CAST($j AS DOUBLE) + CASE
+           |      WHEN (CASE WHEN $j = 9 THEN mx ELSE bs[$j + 1] END)
+           |           > (CASE WHEN $j = 0 THEN mn ELSE bs[$j] END)
+           |      THEN LEAST(1.0, GREATEST(0.0,
+           |        ($v - (CASE WHEN $j = 0 THEN mn ELSE bs[$j] END))
+           |        / ((CASE WHEN $j = 9 THEN mx ELSE bs[$j + 1] END)
+           |           - (CASE WHEN $j = 0 THEN mn ELSE bs[$j] END))))
+           |      ELSE CASE WHEN $v >= (CASE WHEN $j = 0 THEN mn ELSE bs[$j] END)
+           |           THEN 1.0 ELSE 0.0 END END) / 10.0""".stripMargin
+      s"""WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+         |b AS (SELECT quantile_cont(x, [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS bs
+         |      FROM li),
+         |st AS (SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n FROM li),
+         |p AS ($predsSql),
+         |j AS (SELECT pred_id, lo, hi, bs, mn, mx, n,
+         |        ${passed("lo")} AS jlo, ${passed("hi")} AS jhi
+         |      FROM p CROSS JOIN b CROSS JOIN st),
+         |e AS (SELECT pred_id, lo, hi, n,
+         |        round(n * (${cdf("jhi", "hi")} - ${cdf("jlo", "lo")}), 2) AS est_rows
+         |      FROM j),
+         |act AS (SELECT pred_id, CAST(count(*) AS BIGINT) AS actual_rows
+         |        FROM li JOIN p ON x >= lo AND x < hi GROUP BY 1)
+         |SELECT e.pred_id, e.lo, e.hi, e.est_rows,
+         |  coalesce(actual_rows, 0) AS actual_rows,
+         |  round(abs(e.est_rows - CAST(coalesce(actual_rows, 0) AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS abs_err_frac
+         |FROM e LEFT JOIN act USING (pred_id)""".stripMargin
+    },
 
     // rollup_incremental: the oracle is the DIRECT recompute — the Spark
     // side runs the split-partials-and-merge path, so the hash match IS

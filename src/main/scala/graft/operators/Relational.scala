@@ -1262,6 +1262,60 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
   }
 
+  /** Fixed evaluation predicates for [[qSelectivityEstimate]]: price
+    * ranges spanning wide, medium, narrow, and out-of-range shapes. */
+  val SelPredicates: Seq[(Int, Double, Double)] = Seq(
+    (1, 0.0, 10000.0), (2, 10000.0, 30000.0), (3, 30000.0, 60000.0),
+    (4, 45000.0, 47000.0), (5, 60000.0, 200000.0))
+
+  /** Histogram-based cardinality estimation (selectivity_estimate) — what
+    * equi-depth statistics are FOR: for each range predicate over
+    * lineitem prices, the estimated row count from [[qEquidepthHist]]'s
+    * decile boundaries (linear interpolation within the boundary bucket —
+    * the textbook equi-depth estimator every cost-based optimizer runs)
+    * next to the ACTUAL count and the absolute error as a fraction of the
+    * table. The error column is the operator's point: it measures the
+    * statistics' fitness, the number a stats-refresh policy watches.
+    *
+    * CDF(v) = (j + clamp((v − L_j)/(U_j − L_j))) / 10 with j = boundaries
+    * passed, edges from the broadcast 1-row (bounds, min/max/count) frames
+    * — per-row scalar arithmetic both engines derive identically from
+    * hash-matched boundary values. Scale shape: the bounded two-pass
+    * boundary refinement + two broadcast 1-row frames + one 5-key
+    * conditional count agg; nothing buffers value maps. */
+  def qSelectivityEstimate(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").cast("double").as("x"))
+    val bounds = equidepthBoundsArray(li)
+    val stats = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    import s.implicits._
+    val preds = SelPredicates.toDF("pred_id", "lo", "hi")
+    def passed(v: String) = least(lit(9), (1 to 9)
+      .map(i => when(col(v) >= element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _))
+    def cdf(j: String, v: String): Column = {
+      val lEdge = when(col(j) === 0, col("mn")).otherwise(expr(s"element_at(bs, $j)"))
+      val uEdge = when(col(j) === 9, col("mx")).otherwise(expr(s"element_at(bs, $j + 1)"))
+      val frac = when(uEdge > lEdge,
+        least(lit(1.0), greatest(lit(0.0), (col(v) - lEdge) / (uEdge - lEdge))))
+        .otherwise(when(col(v) >= lEdge, lit(1.0)).otherwise(lit(0.0)))
+      (col(j).cast("double") + frac) / lit(10.0)
+    }
+    val est = preds.crossJoin(broadcast(bounds)).crossJoin(broadcast(stats))
+      .select(col("pred_id"), col("lo"), col("hi"), col("bs"), col("mn"), col("mx"),
+        col("n"), passed("lo").as("jlo"), passed("hi").as("jhi"))
+      .select(col("pred_id"), col("lo"), col("hi"), col("n"),
+        round(col("n") * (cdf("jhi", "hi") - cdf("jlo", "lo")), 2).as("est_rows"))
+    val actual = li.crossJoin(broadcast(preds))
+      .filter(col("x") >= col("lo") && col("x") < col("hi"))
+      .groupBy(col("pred_id")).agg(count(lit(1)).as("actual_rows"))
+    est.join(actual, Seq("pred_id"), "left")
+      .select(col("pred_id"), col("lo"), col("hi"), col("est_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
+        round(abs(col("est_rows") - coalesce(col("actual_rows"), lit(0L)).cast("double"))
+          / col("n").cast("double"), 6).as("abs_err_frac"))
+  }
+
   /** Incremental rollup maintenance (rollup_incremental): the nightly-ETL
     * pattern — a served aggregate (revenue by order-year × priority) is
     * maintained as MERGEABLE partials instead of recomputed from source.

@@ -1565,6 +1565,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("selectivity_estimate: actuals exact, estimates telescope to N and stay tight") {
+    val li = graft.Tables.lineitem(spark, d)
+    val n = li.count()
+    val rows = Relational.qSelectivityEstimate(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+        r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Relational.SelPredicates.map(_._1))
+    rows.foreach { case (_, lo, hi, _, actual, _) =>
+      val direct = li.filter(col("l_extendedprice") >= lo && col("l_extendedprice") < hi).count()
+      assert(actual == direct, s"actual for [$lo,$hi) must be the exact count")
+    }
+    // predicates 1,2,3,5 are disjoint and cover the full value range, so
+    // the interpolated-CDF estimates telescope to exactly N (mod rounding)
+    val cover = rows.filter(r => Set(1, 2, 3, 5)(r._1))
+    assert(math.abs(cover.map(_._4).sum - n.toDouble) < 0.1,
+      s"telescoped estimate ${cover.map(_._4).sum} vs N=$n")
+    assert(cover.map(_._5).sum == n, "disjoint covering actuals must sum to N")
+    // equi-depth with interpolation on a smooth distribution: each
+    // estimate within 5% of the table
+    rows.foreach { case (id, _, _, _, _, err) =>
+      assert(err <= 0.05, s"pred $id: abs_err_frac $err above 5%")
+    }
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
