@@ -160,7 +160,10 @@ object ScaleProbe {
       "skew_report" -> graft.operators.Audit.qSkewReport _,
       "lsh_eval" -> Dedup.qLshEval _,
       "curation_funnel" -> Pipeline.qCurationFunnel _,
-      "classifier_eval" -> Curation.qClassifierEval _)
+      "classifier_eval" -> Curation.qClassifierEval _,
+      "split_leakage" -> Sampling.qSplitLeakage _,
+      "cluster_split" -> Sampling.qClusterSplit _,
+      "selectivity_estimate" -> Relational.qSelectivityEstimate _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue
