@@ -114,6 +114,18 @@ object Bench {
         "q38_edit_distance" -> time {
           operators.Dedup.editDistanceFrom(Tables.documents(spark, sfDir), pairs)
             .queryExecution.toRdd.count() },
+        // split-integrity pair: both consume the cascade's cached pair /
+        // label artifacts (their standalone registrations rebuild them)
+        "split_leakage" -> time {
+          operators.Sampling.splitLeakageFrom(pairs.select("doc_a", "doc_b"),
+            operators.Sampling.qHashSplit(spark, sfDir)
+              .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("split")))
+            .queryExecution.toRdd.count() },
+        "cluster_split" -> time {
+          operators.Sampling.clusterSplitFrom(Tables.documents(spark, sfDir),
+            labels.select("doc_id", "cluster_id"))
+            .queryExecution.toRdd.count() },
         // novelty consumes the SAME shared shingle table (its standalone
         // registration builds its own; here the table is billed once as
         // shingle_table like every other consumer — VERDICT r8 task 5
@@ -178,7 +190,8 @@ object Bench {
       // executor memory doesn't accumulate across the pass
       val shared = Set("ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
-        "canonical_select", "q38_edit_distance", "simhash_md5",
+        "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
+        "simhash_md5",
         "simhash_pairs_md5", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
         "vocab_build", "oov_rate", "corpus_divergence", "heavy_hitters",

@@ -138,6 +138,7 @@ object SparkEntry {
     "q53_funnel"          -> (R.qFunnel _), // ordered event-sequence funnel
     "q54_retention"       -> (R.q54Retention _), // weekly cohort retention triangle
     "doc_chunk"           -> (TextOps.qDocChunk _),
+    "passage_search"      -> (TextOps.qPassageSearch _), // BM25 over sliding chunks: top-k passages (RAG grain)
     "q49_resample_ffill"  -> (R.q49ResampleFfill _),
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
     "merge_apply"         -> (R.qMergeApply _), // CDC MERGE: changelog -> next snapshot, last writer wins
@@ -2025,6 +2026,32 @@ object SparkEntry {
          |  CAST(len(words[(chunk_idx*${TextOps.ChunkStride}+1):(chunk_idx*${TextOps.ChunkStride}+${TextOps.ChunkWindow})]) AS INT) AS n_tokens,
          |  array_to_string(words[(chunk_idx*${TextOps.ChunkStride}+1):(chunk_idx*${TextOps.ChunkStride}+${TextOps.ChunkWindow})], ' ') AS chunk_text
          |FROM c""".stripMargin,
+
+    "passage_search" ->
+      s"""WITH w0 AS (SELECT doc_id, $WORDS AS words FROM documents),
+         |c AS (SELECT doc_id, words,
+         |  unnest(range(0, CAST(ceil(greatest(len(words) - ${TextOps.ChunkWindow}, 0)
+         |    / ${TextOps.ChunkStride}.0) AS BIGINT) + 1)) AS chunk_idx FROM w0),
+         |ch AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  words[(chunk_idx*${TextOps.ChunkStride}+1):(chunk_idx*${TextOps.ChunkStride}+${TextOps.ChunkWindow})] AS chunk
+         |  FROM c),
+         |tok AS (SELECT doc_id, chunk_idx, unnest(chunk) AS w FROM ch),
+         |tf AS (SELECT doc_id, chunk_idx, w, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+         |dl AS (SELECT doc_id, chunk_idx, count(*) AS dl FROM tok GROUP BY 1, 2),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+         |q AS (SELECT unnest([${TextOps.Bm25Query.map(t => s"'$t'").mkString(", ")}]) AS w),
+         |sc AS (SELECT tf.doc_id, tf.chunk_idx,
+         |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |           (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+         |             (CAST(tot_tokens AS DOUBLE) / n_docs))), 6) AS DECIMAL(12,6)) AS s
+         |       FROM tf JOIN q USING (w) JOIN df USING (w)
+         |       JOIN dl USING (doc_id, chunk_idx) CROSS JOIN st)
+         |SELECT doc_id, chunk_idx, n_matched, CAST(sd AS DOUBLE) AS score FROM (
+         |  SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_matched, sum(s) AS sd
+         |  FROM sc GROUP BY doc_id, chunk_idx)
+         |ORDER BY sd DESC, doc_id, chunk_idx LIMIT 10""".stripMargin,
 
     "q49_resample_ffill" ->
       """WITH daily AS (

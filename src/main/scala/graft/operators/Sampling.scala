@@ -255,9 +255,14 @@ object Sampling {
     *
     * Scale shape: pair table (already bounded by the capped Jaccard join)
     * + two id-keyed split joins + a ≤9-row agg. */
-  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
-    val sp = qHashSplit(s, d).select(col("doc_id"), col("split"))
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakageFrom(Dedup.qNgramJaccard(s, d).select(col("doc_a"), col("doc_b")),
+      qHashSplit(s, d).select(col("doc_id"), col("split")))
+
+  /** See [[qSplitLeakage]]; takes a prebuilt near-dup pair table (the
+    * bench threads its cached one — a dedup cascade computes its pair
+    * list once) and a (doc_id, split) assignment. */
+  def splitLeakageFrom(pairs: DataFrame, sp: DataFrame): DataFrame =
     pairs
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
       .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
@@ -266,7 +271,6 @@ object Sampling {
       .groupBy(col("split_lo"), col("split_hi"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
-  }
 
   /** Near-dup-aware split (cluster_split): the repair for what
     * [[qSplitLeakage]] measures. Each document's split key is its
@@ -280,9 +284,14 @@ object Sampling {
     *
     * Scale shape: the cluster label table is doc-grain (one id-keyed
     * left join); the split expression is per-row scalar. */
-  def qClusterSplit(s: SparkSession, d: String): DataFrame = {
-    val labels = Dedup.qDedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
-    val keyed = documents(s, d).select(col("doc_id"))
+  def qClusterSplit(s: SparkSession, d: String): DataFrame =
+    clusterSplitFrom(documents(s, d),
+      Dedup.qDedupClusters(s, d).select(col("doc_id"), col("cluster_id")))
+
+  /** See [[qClusterSplit]]; takes a prebuilt (doc_id, cluster_id) label
+    * table (the bench threads the cached dedup_clusters artifact). */
+  def clusterSplitFrom(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_key"))
     val bucket =

@@ -581,6 +581,48 @@ object TextOps {
         size(col("chunk")).as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
 
+  /** Passage retrieval (passage_search) — BM25 over CHUNKS instead of
+    * documents: the retrieval granularity RAG systems actually serve,
+    * where a long document competes through its best-matching window
+    * rather than its diluted whole-document statistics. Reuses
+    * [[qDocChunk]]'s sliding windows as the corpus, re-derives the full
+    * BM25 statistics at chunk grain (tf/dl per chunk, df over chunks,
+    * chunk-count corpus stats), and ranks with the same
+    * decimal(12,6)-snapped per-term scores as [[bm25SearchFrom]] so the
+    * rank key is order-independent and the top-k boundary engine-exact.
+    *
+    * Scale shape: identical to bm25_search with chunk_id as the document
+    * key — term-keyed partial aggs, one broadcast 1-row stats frame,
+    * TakeOrderedAndProject for the top-k. The chunk explode multiplies
+    * rows by ~len/stride, the price of passage grain everywhere. */
+  def qPassageSearch(s: SparkSession, d: String): DataFrame =
+    passageSearchFrom(qDocChunk(s, d), Bm25Query, 10)
+
+  def passageSearchFrom(chunks: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val toks = chunks.select(col("doc_id"), col("chunk_idx"),
+      explode(split(col("chunk_text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("chunk_idx"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id"), col("chunk_idx")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val avgdl = col("tot_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * lit(Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+    tf.filter(col("w").isin(query: _*))
+      .join(dfreq, "w")
+      .join(dl, Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(idf * sat, 6).cast("decimal(12,6)"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("s")).as("sd"))
+      .orderBy(col("sd").desc, col("doc_id"), col("chunk_idx"))
+      .limit(k)
+      .select(col("doc_id"), col("chunk_idx"), col("n_matched"),
+        col("sd").cast("double").as("score"))
+  }
+
   /** Mergeable heavy hitters (heavy_hitters, rows-only): the top-10 corpus
     * terms via Spark's approx_top_k frequent-items sketch, built the way a
     * 100 TB corpus would build it — `approx_top_k_accumulate` produces one

@@ -163,7 +163,8 @@ object ScaleProbe {
       "classifier_eval" -> Curation.qClassifierEval _,
       "split_leakage" -> Sampling.qSplitLeakage _,
       "cluster_split" -> Sampling.qClusterSplit _,
-      "selectivity_estimate" -> Relational.qSelectivityEstimate _)
+      "selectivity_estimate" -> Relational.qSelectivityEstimate _,
+      "passage_search" -> TextOps.qPassageSearch _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

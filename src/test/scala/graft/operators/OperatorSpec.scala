@@ -1589,6 +1589,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("passage_search: results are real chunks containing query terms, ranked desc") {
+    val rows = TextOps.qPassageSearch(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val chunks = TextOps.qDocChunk(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    val q = TextOps.Bm25Query.toSet
+    rows.foreach { case (docId, chunkIdx, nMatched, score) =>
+      val text = chunks.getOrElse((docId, chunkIdx),
+        fail(s"($docId, $chunkIdx) is not a real chunk"))
+      val hits = text.split(" ").toSet.intersect(q)
+      assert(hits.nonEmpty, s"top passage ($docId, $chunkIdx) holds no query term")
+      assert(nMatched >= 1 && nMatched <= q.size)
+      assert(nMatched == hits.size.toLong,
+        s"n_matched $nMatched != distinct query terms present ${hits.size}")
+      assert(score > 0.0)
+    }
+    // ranked: scores non-increasing with the declared tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))))
+    }
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
