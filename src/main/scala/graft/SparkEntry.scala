@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
     "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // rows-only: coarse cells + compressed-code ADC; recall asserted in OperatorSpec
     "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
+    "embedding_drift"     -> (Similarity.qEmbeddingDrift _), // per-label centroid L2 shift between snapshots
     "embedding_quantize"  -> (Similarity.qEmbeddingQuantize _), // int8 symmetric quantization, integer-exact kernel
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
@@ -987,6 +988,24 @@ object SparkEntry {
         |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
         |  CAST(n AS BIGINT) AS n, sx / n AS m
         |FROM a""".stripMargin,
+
+    "embedding_drift" ->
+      """WITH tok AS (SELECT vec_id, label,
+        |        unnest([{'d': i, 'x': embedding[i]} FOR i IN range(1, 65)]) AS s
+        |      FROM embeddings),
+        |e AS (SELECT vec_id, label, s.d - 1 AS dim, s.x AS x FROM tok),
+        |a AS (SELECT (vec_id % 2) AS half, label, dim, count(*) AS n,
+        |        CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx
+        |      FROM e GROUP BY 1, 2, 3),
+        |m AS (SELECT half, label, dim, n, sx / n AS m FROM a),
+        |j AS (SELECT b.label, b.dim, b.n AS n_base, c.n AS n_cur,
+        |        CAST(round((b.m - c.m) * (b.m - c.m), 12) AS DECIMAL(18,12)) AS d2
+        |      FROM m b JOIN m c ON b.label = c.label AND b.dim = c.dim
+        |      WHERE b.half = 0 AND c.half = 1)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(max(n_base) AS BIGINT) AS n_base,
+        |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |  round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS drift_l2
+        |FROM j GROUP BY label""".stripMargin,
 
     "classifier_score" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),

@@ -735,6 +735,40 @@ object Similarity {
       .select(col("label"), col("n_vectors"),
         transform(col("s"), p => p.getField("m")).as("centroid"))
 
+  /** Embedding drift monitor (embedding_drift) — the regression alarm a
+    * pipeline fires when an embedding model update or a data shift moves
+    * the geometry: per-label L2 distance between the centroid of the
+    * BASELINE snapshot and the centroid of the CURRENT one (halves here
+    * derive from vec_id parity — the established incremental-split
+    * convention — so the oracle reproduces the split; production passes
+    * two real snapshots). A label whose drift jumps is the first place
+    * a retrieval-quality regression hides.
+    *
+    * Exactness: both centroids come from [[embeddingCentroidSums]]'
+    * decimal partials; the per-dim squared differences are rounded then
+    * decimal-snapped BEFORE the 64-term sum (order-independent — the
+    * repo's free-double policy), so drift is engine-portable. Scale
+    * shape: two label×64-grain agg tables, one join at that grain, one
+    * label-grain agg. */
+  def qEmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    embeddingDrift(e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+  }
+
+  def embeddingDrift(base: DataFrame, cur: DataFrame): DataFrame = {
+    def cent(v: DataFrame, suff: String) =
+      embeddingCentroidSums(v).select(col("label"), col("dim"),
+        col("n").as(s"n_$suff"), (col("sx").cast("double") / col("n")).as(s"m_$suff"))
+    val j = cent(base, "base").join(cent(cur, "cur"), Seq("label", "dim"))
+    val d2 = round((col("m_base") - col("m_cur")) * (col("m_base") - col("m_cur")), 12)
+      .cast("decimal(18,12)")
+    j.groupBy(col("label"))
+      .agg(max(col("n_base")).as("n_base"), max(col("n_cur")).as("n_cur"),
+        sum(d2).as("ss"))
+      .select(col("label"), col("n_base"), col("n_cur"),
+        round(sqrt(col("ss").cast("double")), 6).as("drift_l2"))
+  }
+
   // ---------------------------------------------------------------------
   // Int8 symmetric quantization (the embedding storage/serving format)
   // ---------------------------------------------------------------------

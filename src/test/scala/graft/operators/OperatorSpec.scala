@@ -1612,6 +1612,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_drift: zero for identical snapshots, symmetric, centroid-reconciled") {
+    val e = graft.Tables.embeddings(spark, d)
+    // identical halves -> every label drifts exactly 0
+    val self = Similarity.embeddingDrift(e, e).collect()
+    assert(self.nonEmpty)
+    self.foreach(r => assert(r.getDouble(3) == 0.0, s"self-drift must be 0: $r"))
+    // the registered parity split: symmetric under half swap
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val cur = e.filter(col("vec_id") % 2 === 1)
+    val fwd = Similarity.embeddingDrift(base, cur).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rev = Similarity.embeddingDrift(cur, base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fwd.keySet == rev.keySet && fwd.nonEmpty)
+    fwd.foreach { case (label, (nb, nc, drift)) =>
+      val (rnc, rnb, rdrift) = rev(label)
+      assert(nb == rnb && nc == rnc)
+      assert(math.abs(drift - rdrift) < 1e-9, s"label $label asymmetric")
+    }
+    // drift reconciles with independently computed centroids
+    def centroids(v: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingCentroidsLong(v).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val (cb, cc) = (centroids(base), centroids(cur))
+    fwd.foreach { case (label, (_, _, drift)) =>
+      val expected = math.sqrt((0L until 64L).map { dim =>
+        val diff = cb((label, dim)) - cc((label, dim))
+        BigDecimal(diff * diff).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum)
+      assert(math.abs(drift - expected) < 1e-6, s"label $label: $drift vs $expected")
+    }
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
