@@ -99,13 +99,16 @@ object Audit {
   def qSkewReport(s: SparkSession, d: String): DataFrame =
     skewReport(events(s, d).select(col("user_id").as("k")))
 
+  /** Smallest c with n ≤ 2^c — the integer-only size-class expression
+    * shared by [[skewReport]] and the streaming monitor. */
+  def sizeClass(n: Column): Column = (0 to SkewMaxClass)
+    .map(c => (c, when(n <= lit(1L << c), lit(c))))
+    .foldRight(lit(SkewMaxClass + 1): Column) { case ((_, w), acc) => w.otherwise(acc) }
+
   def skewReport(keyed: DataFrame): DataFrame = {
     val perKey = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
-    val cls = (0 to SkewMaxClass)
-      .map(c => (c, when(col("n") <= lit(1L << c), lit(c))))
-      .foldRight(lit(SkewMaxClass + 1): Column) { case ((_, w), acc) => w.otherwise(acc) }
     val byClass = perKey
-      .groupBy(cls.as("size_class"))
+      .groupBy(sizeClass(col("n")).as("size_class"))
       .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("rows_in_class"),
         max(col("n")).as("max_key_rows"))
     val tot = perKey.agg(sum(col("n")).as("total_rows"))
@@ -116,4 +119,26 @@ object Audit {
         round(col("rows_in_class").cast("double") / col("total_rows").cast("double"), 6)
           .as("share"))
   }
+
+  /** Streaming face of [[skewReport]]: hourly per-key counts over a
+    * timestamped feed (watermarked streaming agg — state holds only open
+    * (window, key) rows, append mode emits each window once on close),
+    * with the class rollup applied BATCH-SIDE over the emitted counts
+    * ([[skewClassesPerWindow]]) — the trendingTopK split: keep the
+    * always-on state minimal, derive the report from the materialized
+    * counts. StreamingWindowSpec pins stream == batch counts and an
+    * identical class report per closed window. */
+  def keyCountsStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("k"), col("n"))
+
+  /** Per-window skew classes over [[keyCountsStream]] output (also runs
+    * on the batch twin — same frame shape). */
+  def skewClassesPerWindow(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(col("win_start"), sizeClass(col("n")).as("size_class"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("rows_in_class"),
+        max(col("n")).as("max_key_rows"))
 }

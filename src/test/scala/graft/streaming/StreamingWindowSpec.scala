@@ -470,4 +470,49 @@ class StreamingWindowSpec extends AnyFunSuite {
       assert(topStream.nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming key-count skew monitor agrees with the batch core per closed window") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // replay sf0.001 events as a timestamped (ts, k) key feed
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"user_id").as[(Timestamp, Long)].collect().toSeq
+    assert(evs.nonEmpty)
+    val maxTs = evs.map(_._1.getTime).max
+    val sentinel = (new Timestamp(maxTs + 7L * 24 * 3600 * 1000), -1L)
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val streamed = graft.operators.Audit.keyCountsStream(
+      input.toDF().toDF("ts", "k"))
+    val name = "skew_" + UUID.randomUUID().toString.replace("-", "")
+    val query = streamed.writeStream
+      .outputMode("append")
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      input.addData(evs: _*)
+      input.addData(sentinel)
+      query.processAllAvailable()
+      input.addData(sentinel)
+      query.processAllAvailable()
+
+      val batchCounts = graft.operators.Audit.keyCountsStream(evs.toDF("ts", "k"))
+      val expected = batchCounts.collect().map(_.toSeq).toSet
+      val emitted = spark.table(name).filter($"k" =!= -1L)
+      val got = emitted.collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+      // the derived class report is identical from either side
+      val clsStream = graft.operators.Audit.skewClassesPerWindow(emitted)
+        .collect().map(_.toSeq).toSet
+      val clsBatch = graft.operators.Audit.skewClassesPerWindow(batchCounts)
+        .collect().map(_.toSeq).toSet
+      assert(clsStream == clsBatch && clsStream.nonEmpty)
+    } finally query.stop()
+  }
 }
