@@ -162,6 +162,7 @@ object SparkEntry {
     "equidepth_hist"      -> (R.qEquidepthHist _), // exact-decile equal-mass buckets (optimizer stats)
     "selectivity_estimate" -> (R.qSelectivityEstimate _), // histogram cardinality estimates vs actual counts
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
+    "heldout_surprisal"   -> (Curation.qHeldoutSurprisal _), // leak-free LM eval: train-split model scores the valid split
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
     "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
     "sequence_pack"       -> (Curation.qSequencePack _),
@@ -1691,6 +1692,26 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(avg(-ln(CAST(cw AS DOUBLE) / t)), 6) AS avg_surprisal
          |FROM tok JOIN vocab USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+
+    "heldout_surprisal" ->
+      s"""WITH h AS (SELECT doc_id,
+         |        CAST(${duckHex("md5('split:' || CAST(doc_id AS VARCHAR))", 8)} % 100
+         |          AS BIGINT) AS bucket FROM documents),
+         |sp AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+         |         WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split FROM h),
+         |ttok AS (SELECT unnest($WORDS) AS w
+         |         FROM documents JOIN sp USING (doc_id) WHERE split = 'train'),
+         |vocab AS (SELECT w, count(*) AS cw FROM ttok GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |              CAST(count(DISTINCT w) AS BIGINT) AS v FROM ttok),
+         |vtok AS (SELECT doc_id, unnest($WORDS) AS w
+         |         FROM documents JOIN sp USING (doc_id) WHERE split = 'valid')
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN cw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(avg(-ln(CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+         |    / CAST(t + v + 1 AS DOUBLE))), 6) AS avg_surprisal
+         |FROM vtok LEFT JOIN vocab USING (w) CROSS JOIN st
          |GROUP BY doc_id""".stripMargin,
 
     "bigram_surprisal" ->

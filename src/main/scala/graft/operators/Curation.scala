@@ -208,6 +208,50 @@ object Curation {
           .as("avg_surprisal"))
   }
 
+  /** Held-out LM scoring (heldout_surprisal) — the leak-free form of
+    * [[unigramSurprisal]]: the unigram LM is trained on the TRAIN split
+    * only (the [[Sampling.qHashSplit]] assignment) and scores the VALID
+    * split, with add-one smoothing over the train vocabulary plus one
+    * OOV bucket — p(w) = (c_train(w) + 1) / (T + V + 1) — so unseen
+    * words get a finite, deterministic surprisal instead of a join miss.
+    * [[unigramSurprisal]] and [[bigramSurprisalFrom]] score documents
+    * under a model trained on the WHOLE corpus (fine for curation
+    * signals); any published perplexity number must come from this
+    * operator instead, or it's train-on-test. Emits per-valid-doc token
+    * count, OOV count, and average surprisal.
+    *
+    * Scale shape: train-side vocab agg (map-side combined) + the salted
+    * Zipf-safe count lookup on the valid tokens (LEFT form of
+    * [[saltedCountJoin]] — an OOV token matches no copy and keeps NULL),
+    * one broadcast 1-row stats frame. */
+  def qHeldoutSurprisal(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sp = Sampling.qHashSplit(s, d).select(col("doc_id"), col("split"))
+    val withSplit = docs.join(sp, Seq("doc_id"))
+    heldoutSurprisal(withSplit.filter(col("split") === "train"),
+      withSplit.filter(col("split") === "valid"))
+  }
+
+  def heldoutSurprisal(train: DataFrame, heldout: DataFrame): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
+    val vocab = toks(train).groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val stats = toks(train).agg(count(lit(1)).as("t"), countDistinct(col("w")).as("v"))
+    val salted = vocab.withColumn("salt",
+      explode(sequence(lit(0), lit(CountJoinSalt - 1))))
+    val p = (coalesce(col("cw"), lit(0L)) + lit(1L)).cast("double") /
+      (col("t") + col("v") + lit(1L)).cast("double")
+    toks(heldout)
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(CountJoinSalt)))
+      .join(salted, Seq("w", "salt"), "left")
+      .drop("salt")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cw").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(-log(p)), 6).as("avg_surprisal"))
+  }
+
   /** Salt factor for Zipf-hot count-table lookups. */
   val CountJoinSalt = 16
 

@@ -164,7 +164,9 @@ object ScaleProbe {
       "split_leakage" -> Sampling.qSplitLeakage _,
       "cluster_split" -> Sampling.qClusterSplit _,
       "selectivity_estimate" -> Relational.qSelectivityEstimate _,
-      "passage_search" -> TextOps.qPassageSearch _)
+      "passage_search" -> TextOps.qPassageSearch _,
+      "heldout_surprisal" -> Curation.qHeldoutSurprisal _,
+      "embedding_drift" -> Similarity.qEmbeddingDrift _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

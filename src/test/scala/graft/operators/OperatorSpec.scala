@@ -1645,6 +1645,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("heldout_surprisal: covers the valid split, OOV exact, self-scoring has no OOV") {
+    val docs = graft.Tables.documents(spark, d)
+    val sp = Sampling.qHashSplit(spark, d).select(col("doc_id"), col("split"))
+    val withSplit = docs.join(sp, Seq("doc_id")).persist()
+    val train = withSplit.filter(col("split") === "train")
+    val valid = withSplit.filter(col("split") === "valid")
+    val rows = Curation.qHeldoutSurprisal(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size == valid.count(), "every valid doc must be scored")
+    // OOV counts reconcile with an independent vocab diff
+    val trainVocab = train.select(explode(TextOps.normWords(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val validToks = valid.select(col("doc_id"), explode(TextOps.normWords(col("text"))).as("w"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1))).toMap
+    rows.foreach { case (id, (nTok, nOov, surp)) =>
+      val toks = validToks(id)
+      assert(nTok == toks.length)
+      assert(nOov == toks.count(w => !trainVocab(w)), s"doc $id OOV mismatch")
+      assert(surp > 0.0)
+    }
+    // a model scoring its own training data has zero OOV everywhere
+    val self = Curation.heldoutSurprisal(train, train).collect()
+    assert(self.nonEmpty && self.forall(_.getLong(2) == 0L))
+    withSplit.unpersist()
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
