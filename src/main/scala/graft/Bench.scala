@@ -186,9 +186,19 @@ object Bench {
         "simhash_pairs_md5" -> time {
           operators.Dedup.simHashPairsMd5From(sigsMd5).queryExecution.toRdd.count() })
       spark.catalog.clearCache()
+      // Curation pipeline: the per-doc verdict frame is the materialized
+      // artifact (billed as corpus_curate); the funnel reads it cached —
+      // the report is an agg over the run's own output, as in production
+      val ccVerdict = operators.Pipeline.qCorpusCurate(spark, sfDir).persist()
+      val curationPipeline = Seq(
+        "corpus_curate" -> time { ccVerdict.queryExecution.toRdd.count() },
+        "curation_funnel" -> time {
+          operators.Pipeline.curationFunnel(ccVerdict).queryExecution.toRdd.count() })
+      spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
-      val shared = Set("ngram_jaccard", "prefix_jaccard", "minhash_lsh",
+      val shared = Set("corpus_curate", "curation_funnel",
+        "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
         "simhash_md5",
@@ -203,7 +213,8 @@ object Bench {
           spark.catalog.clearCache()
           name -> sec
         }
-      shinglePipeline ++ overlapPipeline ++ tokenPipeline ++ simhashPipeline ++ rest
+      shinglePipeline ++ overlapPipeline ++ tokenPipeline ++ simhashPipeline ++
+        curationPipeline ++ rest
     }
 
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
