@@ -198,6 +198,7 @@ object SparkEntry {
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "curation_funnel"     -> (Pipeline.qCurationFunnel _), // per-gate drop accounting over the curation keep conjunction
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
+    "curate_incremental"  -> (Pipeline.qCurateIncremental _), // fresh batch gated by FROZEN state-corpus statistics (no state rescan)
     // ---- graph analytics (iterative join+agg rounds) ----
     "pagerank"            -> (Graph.qPageRank _),
     // ---- cross-source distribution drift ----
@@ -1454,6 +1455,106 @@ object SparkEntry {
          |         WHEN pred_lang = 'ru' THEN 'c0' ELSE 'zz' END""".stripMargin,
 
     "corpus_curate" -> CORPUS_CURATE_SQL,
+
+    "curate_incremental" -> {
+      val lam2 = graft.operators.Curation.BigramLambda
+      val lam1 = graft.operators.Curation.UnigramLambda
+      def smoothed(bg: String) =
+        s"""-ln($lam2 * (CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+           |      / CAST(coalesce(u1.c, 0) + v + 1 AS DOUBLE))
+           |    + $lam1 * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE)
+           |      / CAST(t + v + 1 AS DOUBLE))) AS s
+           |  FROM $bg LEFT JOIN c2 USING (w1, w2)
+           |  LEFT JOIN c1 u1 ON $bg.w1 = u1.w LEFT JOIN c1 u2 ON $bg.w2 = u2.w
+           |  CROSS JOIN stt""".stripMargin
+      s"""WITH state AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |fresh AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         |fs AS (SELECT doc_id, md5($NORM) AS fp FROM fresh),
+         |ks AS (SELECT DISTINCT md5($NORM) AS fp FROM state),
+         |dk AS (SELECT min(doc_id) AS doc_id FROM fs f
+         |       WHERE NOT EXISTS (SELECT 1 FROM ks WHERE ks.fp = f.fp) GROUP BY fp),
+         |fw AS (SELECT doc_id, $WORDS AS words FROM fresh),
+         |base AS (SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_uniq FROM fw),
+         |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS g FROM fw),
+         |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY 1, 2),
+         |topb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bgc GROUP BY 1),
+         |repf AS (SELECT b.doc_id,
+         |    (round(1.0 - CAST(n_uniq AS DOUBLE) / n_words, 6) > ${Curation.DupWordFracMax}
+         |     OR round(CAST(coalesce(top_bigram_count, 0) AS DOUBLE) / (n_words - 1), 6)
+         |       > ${Curation.TopBigramFracMax}) AS repetitive
+         |  FROM base b LEFT JOIN topb USING (doc_id)),
+         |aw AS (SELECT doc_id, source, $WORDS AS words FROM documents
+         |       WHERE source = '${Curation.BenchmarkSource}' OR doc_id % 2 = 1),
+         |g5 AS (SELECT doc_id, source,
+         |  unnest(list_transform(range(1, len(words) - ${Curation.ContamK - 2}),
+         |    i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))) AS g FROM aw),
+         |bench AS (SELECT DISTINCT g FROM g5 WHERE source = '${Curation.BenchmarkSource}'),
+         |dg AS (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> '${Curation.BenchmarkSource}'),
+         |ctot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+         |chit AS (SELECT doc_id, count(*) AS n_contaminated FROM dg JOIN bench USING (g) GROUP BY 1),
+         |conf AS (SELECT ct.doc_id,
+         |    round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+         |      >= ${Curation.ContamFracMin} AS contaminated
+         |  FROM ctot ct LEFT JOIN chit USING (doc_id)),
+         |sq AS (SELECT doc_id,
+         |    round(least(len(words) / 100.0, 1.0) *
+         |      (1.0 - CAST(len([w FOR w IN words
+         |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+         |        / len(words)), 4) AS quality
+         |  FROM fw),
+         |sw AS (SELECT doc_id, $WORDS AS l FROM state),
+         |stok AS (SELECT doc_id, unnest(l) AS w FROM sw),
+         |c1 AS (SELECT w, count(*) AS c FROM stok GROUP BY 1),
+         |stt AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM stok),
+         |sbg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM sw)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM sbg GROUP BY 1, 2),
+         |fwl AS (SELECT doc_id, $WORDS AS l FROM fresh),
+         |fbg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM fwl)),
+         |scs AS (SELECT sbg.doc_id, ${smoothed("sbg")}),
+         |paggs AS (SELECT doc_id, round(avg(s), 6) AS avg_surprisal FROM scs GROUP BY 1),
+         |b AS (SELECT quantile_cont(avg_surprisal, [${1.0 / 3}, ${2.0 / 3}]) AS bs FROM paggs),
+         |scf AS (SELECT fbg.doc_id, ${smoothed("fbg")}),
+         |paggf AS (SELECT doc_id, round(avg(s), 6) AS avg_surprisal FROM scf GROUP BY 1),
+         |ppl AS (SELECT paggf.doc_id, avg_surprisal,
+         |    CASE WHEN avg_surprisal <= bs[1] THEN 'head'
+         |         WHEN avg_surprisal <= bs[2] THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |  FROM paggf CROSS JOIN b),
+         |pd AS (SELECT source, count(*) AS n_source FROM state GROUP BY 1),
+         |dtot AS (SELECT sum(n_source) AS n_total,
+         |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
+         |cut AS (SELECT source,
+         |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
+         |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob
+         |  FROM pd CROSS JOIN dtot),
+         |mix AS (SELECT d.doc_id,
+         |    ('0' || substr(md5(d.text), 1, 4)) <
+         |      coalesce(printf('%05x', CAST(floor(c.keep_prob * 65536) AS BIGINT)), '00000')
+         |      AS mix_kept
+         |  FROM fresh d LEFT JOIN cut c USING (source))
+         |SELECT d.doc_id, d.source,
+         |  (k.doc_id IS NOT NULL) AS dedup_rep,
+         |  repf.repetitive,
+         |  coalesce(conf.contaminated, TRUE) AS contaminated,
+         |  sq.quality,
+         |  ppl.avg_surprisal,
+         |  coalesce(ppl.ppl_bucket, 'tail') AS ppl_bucket,
+         |  mix.mix_kept,
+         |  ((k.doc_id IS NOT NULL) AND NOT repf.repetitive
+         |    AND NOT coalesce(conf.contaminated, TRUE)
+         |    AND sq.quality >= ${Pipeline.CurateQualityMin}
+         |    AND coalesce(ppl.ppl_bucket, 'tail') <> 'tail'
+         |    AND mix.mix_kept) AS keep
+         |FROM fresh d
+         |LEFT JOIN dk k ON d.doc_id = k.doc_id
+         |JOIN repf ON d.doc_id = repf.doc_id
+         |LEFT JOIN conf ON d.doc_id = conf.doc_id
+         |JOIN sq ON d.doc_id = sq.doc_id
+         |LEFT JOIN ppl ON d.doc_id = ppl.doc_id
+         |JOIN mix ON d.doc_id = mix.doc_id""".stripMargin
+    },
 
     "curation_funnel" ->
       s"""WITH cc AS ($CORPUS_CURATE_SQL),

@@ -59,8 +59,15 @@ object Pipeline {
   def qDomainMix(s: SparkSession, d: String): DataFrame =
     domainMix(documents(s, d))
 
-  def domainMix(docs: DataFrame): DataFrame = {
-    val perDomain = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+  def domainMix(docs: DataFrame): DataFrame = domainMixFrozen(docs, docs)
+
+  /** [[domainMix]] with the per-source statistics FROZEN from a separate
+    * frame (`statsDocs`) — the incremental-ingest form: a fresh batch is
+    * sampled under the state corpus's cutoffs without rescanning it. A
+    * source absent from the stats frame keeps nothing (left join,
+    * keep_prob 0). */
+  def domainMixFrozen(statsDocs: DataFrame, docs: DataFrame): DataFrame = {
+    val perDomain = statsDocs.groupBy("source").agg(count(lit(1)).as("n_source"))
     val totals = perDomain.agg(
       sum(col("n_source")).as("n_total"),
       sum(sqrt(col("n_source").cast("double"))).as("sum_w"))
@@ -76,12 +83,13 @@ object Pipeline {
         lpad(lower(hex(floor(col("keep_prob") * 65536).cast("long"))), 5, "0"))
     docs.select(col("doc_id"), col("source"),
         concat(lit("0"), substring(md5(col("text").cast("binary")), 1, 4)).as("bucket"))
-      .join(broadcast(cutoffs), Seq("source"))
+      .join(broadcast(cutoffs), Seq("source"), "left")
       .select(
-        col("doc_id"), col("source"), col("n_source"),
-        round(col("keep_prob"), 6).as("keep_prob"),
+        col("doc_id"), col("source"),
+        coalesce(col("n_source"), lit(0L)).as("n_source"),
+        round(coalesce(col("keep_prob"), lit(0.0)), 6).as("keep_prob"),
         col("bucket"),
-        (col("bucket") < col("cut_hex")).as("kept"))
+        (col("bucket") < coalesce(col("cut_hex"), lit("00000"))).as("kept"))
   }
 
   /** Quality floor shared with [[qTrainingMix]]. */
@@ -199,6 +207,123 @@ object Pipeline {
         (col("n_in") - col("n_out")).as("n_dropped"),
         round((col("n_in") - col("n_out")).cast("double") / col("n_in").cast("double"), 6)
           .as("drop_rate"))
+  }
+
+  /** Incremental curation (curate_incremental) — [[qCorpusCurate]] for a
+    * GROWING corpus: a fresh ingest batch is gated using statistics
+    * FROZEN from the state corpus, which is never rescanned — the only
+    * state-side artifacts touched are the ones a production pipeline
+    * materializes anyway (fingerprint table, token/bigram count tables,
+    * tercile cutoffs, per-source counts). Halves derive from doc_id
+    * parity (the established incremental-split convention) so the oracle
+    * reproduces the split. Gate by gate:
+    *
+    *  - dedup: fresh keeper (min doc_id per fingerprint) anti-joined
+    *    against the state fingerprint table ([[Dedup.qDedupIncremental]]
+    *    semantics);
+    *  - repetition + quality: per-document, stateless — same expressions
+    *    as the batch composition;
+    *  - contamination: the benchmark set is a FIXED asset (all
+    *    benchmark-source docs from either half) — fresh docs gate
+    *    against it exactly as in batch;
+    *  - perplexity: an add-one-smoothed interpolated bigram LM from the
+    *    STATE tokens scores fresh docs (smoothing gives unseen words and
+    *    bigrams a finite, deterministic surprisal — the batch form's
+    *    unsmoothed LM can't score out-of-corpus text), and the tercile
+    *    cutoffs are the state corpus's own self-scored boundaries
+    *    ([[Relational.equidepthBoundsArray]], frozen — a fresh doc
+    *    cannot shift the gate it's judged by);
+    *  - domain mix: [[domainMixFrozen]] under state source counts.
+    *
+    * Output schema matches [[qCorpusCurate]] (fresh docs only). Scale
+    * shape: everything fresh-batch-sized except the state-side count
+    * aggs (vocabulary/bigram grain, built once per ingest cycle in
+    * production); the three LM lookups use the salted left join (Zipf
+    * hot keys spread structurally, misses kept as NULL → smoothed). */
+  def qCurateIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    curateIncremental(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  def curateIncremental(state: DataFrame, fresh: DataFrame): DataFrame = {
+    val toksState = Curation.tokens(state).persist()
+    val toksFresh = Curation.tokens(fresh).persist()
+
+    def fps(df: DataFrame) = df.select(col("doc_id"),
+      md5(TextOps.normText(col("text")).cast("binary")).as("fp"))
+    val keepRep = fps(fresh).groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(fps(state).select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("doc_id"), lit(true).as("dedup_rep"))
+
+    val rep = Curation.repetitionSignalsFrom(toksFresh)
+      .select(col("doc_id"), col("repetitive"))
+
+    val benchState = Curation.tokens(state.filter(col("source") === Curation.BenchmarkSource))
+    val con = Curation.contaminationFromTokens(benchState.unionByName(toksFresh))
+      .select(col("doc_id"), col("contaminated"))
+
+    val qual = fresh.select(col("doc_id"), TextOps.qualityExpr(col("text")).as("quality"))
+
+    // --- smoothed state LM + frozen tercile cutoffs ---
+    val c1 = toksState.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val stStats = toksState.agg(count(lit(1)).as("t"), countDistinct(col("w")).as("v"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    def bigrams(toks: DataFrame) = toks
+      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(byPos).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c2 = bigrams(toksState).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    def leftSalted(rows: DataFrame, counts: DataFrame, keys: Seq[String]) = {
+      val salted = counts.withColumn("salt",
+        explode(sequence(lit(0), lit(Curation.CountJoinSalt - 1))))
+      rows.withColumn("salt", pmod(hash(col("doc_id")), lit(Curation.CountJoinSalt)))
+        .join(salted, keys :+ "salt", "left").drop("salt")
+    }
+    def lmScores(toks: DataFrame) = {
+      val p2 = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1w"), lit(0L)) + col("v") + lit(1L)).cast("double")
+      val p1 = (coalesce(col("c1u"), lit(0L)) + lit(1L)).cast("double") /
+        (col("t") + col("v") + lit(1L)).cast("double")
+      leftSalted(leftSalted(leftSalted(bigrams(toks), c2, Seq("w1", "w2")),
+          c1.select(col("w").as("w1"), col("c").as("c1w")), Seq("w1")),
+          c1.select(col("w").as("w2"), col("c").as("c1u")), Seq("w2"))
+        .crossJoin(broadcast(stStats))
+        .select(col("doc_id"),
+          (-log(lit(Curation.BigramLambda) * p2 + lit(Curation.UnigramLambda) * p1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(col("s")), 6).as("avg_surprisal"))
+    }
+    val bounds = Relational.equidepthBoundsArray(
+      lmScores(toksState).select(col("avg_surprisal").as("x")), 3)
+    val ppl = lmScores(toksFresh).crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("avg_surprisal"),
+        when(col("avg_surprisal") <= element_at(col("bs"), 1), "head")
+          .when(col("avg_surprisal") <= element_at(col("bs"), 2), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+
+    val mix = domainMixFrozen(state, fresh).select(col("doc_id"), col("kept").as("mix_kept"))
+
+    fresh.select(col("doc_id"), col("source"))
+      .join(keepRep, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .join(con, Seq("doc_id"), "left") // benchmark docs have no contamination row
+      .join(qual, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"), "left") // <2-token docs score no bigram
+      .join(mix, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("source"),
+        coalesce(col("dedup_rep"), lit(false)).as("dedup_rep"),
+        col("repetitive"),
+        coalesce(col("contaminated"), lit(true)).as("contaminated"),
+        col("quality"),
+        col("avg_surprisal"),
+        coalesce(col("ppl_bucket"), lit("tail")).as("ppl_bucket"),
+        col("mix_kept"))
+      .withColumn("keep",
+        col("dedup_rep") && !col("repetitive") && !col("contaminated") &&
+          col("quality") >= CurateQualityMin &&
+          col("ppl_bucket") =!= "tail" && col("mix_kept"))
   }
 
   def qTrainingMix(s: SparkSession, d: String): DataFrame = {

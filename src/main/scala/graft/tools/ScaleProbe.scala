@@ -166,7 +166,8 @@ object ScaleProbe {
       "selectivity_estimate" -> Relational.qSelectivityEstimate _,
       "passage_search" -> TextOps.qPassageSearch _,
       "heldout_surprisal" -> Curation.qHeldoutSurprisal _,
-      "embedding_drift" -> Similarity.qEmbeddingDrift _)
+      "embedding_drift" -> Similarity.qEmbeddingDrift _,
+      "curate_incremental" -> Pipeline.qCurateIncremental _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

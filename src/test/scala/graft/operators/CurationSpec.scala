@@ -455,4 +455,39 @@ class CurationSpec extends AnyFunSuite {
     // serialize the corpus into one task)
     assert(!plan.contains("Window ["), s"unexpected window operator in:\n$plan")
   }
+
+  test("curate_incremental: stateless gates match batch; dedup/keep reconcile") {
+    val d = "/root/testdata/sf0.001"
+    val inc = Pipeline.qCurateIncremental(spark, d).persist()
+    val docs = graft.Tables.documents(spark, d)
+    val freshCount = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(inc.count() == freshCount, "one verdict row per fresh doc")
+    // dedup gate reconciles with the registered incremental dedup entry
+    val dedupKeepers = Dedup.qDedupIncremental(spark, d).count()
+    assert(inc.filter(col("dedup_rep")).count() == dedupKeepers)
+    // stateless gates (repetition, quality, contamination vs the fixed
+    // benchmark set) must equal the batch composition's flags per doc
+    val batch = Pipeline.qCorpusCurate(spark, d)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("repetitive").as("b_rep"),
+        col("quality").as("b_q"), col("contaminated").as("b_con"))
+    val diff = inc.join(batch, Seq("doc_id"))
+      .filter(col("repetitive") =!= col("b_rep") || col("quality") =!= col("b_q")
+        || col("contaminated") =!= col("b_con"))
+      .count()
+    assert(diff == 0L, s"$diff fresh docs disagree on stateless gates")
+    // keep is exactly the column conjunction
+    val badKeep = inc.filter(col("keep") =!=
+      (col("dedup_rep") && !col("repetitive") && !col("contaminated") &&
+        col("quality") >= Pipeline.CurateQualityMin &&
+        col("ppl_bucket") =!= "tail" && col("mix_kept"))).count()
+    assert(badKeep == 0L)
+    // every ≥2-token fresh doc got a score under the smoothed state LM
+    val unscored = inc.filter(col("avg_surprisal").isNull)
+      .join(docs.select(col("doc_id"),
+        size(TextOps.normWords(col("text"))).as("nw")), Seq("doc_id"))
+      .filter(col("nw") >= 2).count()
+    assert(unscored == 0L, "smoothing must score every fresh doc with a bigram")
+    inc.unpersist()
+  }
 }
