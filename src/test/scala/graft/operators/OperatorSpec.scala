@@ -1671,6 +1671,39 @@ class OperatorSpec extends AnyFunSuite {
     withSplit.unpersist()
   }
 
+  test("sizeClass matches the bit-arithmetic reference over random magnitudes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val ns = (1 to 5000).map { _ =>
+      val bits = rnd.nextInt(41)
+      1L + ((rnd.nextLong() & Long.MaxValue) % (1L << bits))
+    } :+ 1L :+ 2L :+ 3L :+ (1L << 40) :+ ((1L << 40) + 1)
+    def ref(n: Long): Int = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val got = ns.toDF("n")
+      .select(col("n"), Audit.sizeClass(col("n")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    got.foreach { case (n, c) =>
+      assert(c == ref(n), s"n=$n: sizeClass=$c ref=${ref(n)}")
+    }
+  }
+
+  test("kanon_release edges: all-suppressed and none-suppressed corpora") {
+    import spark.implicits._
+    // every group below k -> ONLY the suppressed row, carrying all mass
+    val tiny = (1 to 30).map(i => (i.toLong, s"s${i % 5}", s"l${i % 3}"))
+      .toDF("doc_id", "source", "lang") // 15 groups of ≤3 docs each
+    val suppressedOnly = Pipeline.kanonRelease(tiny).collect()
+    assert(suppressedOnly.length == 1)
+    assert(suppressedOnly.head.getString(0) == "__suppressed__")
+    assert(suppressedOnly.head.getLong(2) == 30L)
+    // every group at/above k -> no suppressed row, groups intact
+    val big = (1 to 40).map(i => (i.toLong, s"s${i % 2}", "en"))
+      .toDF("doc_id", "source", "lang") // 2 groups of 20
+    val open = Pipeline.kanonRelease(big).collect()
+    assert(open.length == 2 && open.forall(_.getString(0) != "__suppressed__"))
+    assert(open.map(_.getLong(2)).sum == 40L)
+  }
+
   test("skew_report: classes partition the key table and bound their members") {
     val ev = graft.Tables.events(spark, d)
     val totalRows = ev.count()
