@@ -79,6 +79,7 @@ object SparkEntry {
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "lsh_eval"            -> (Dedup.qLshEval _), // banded-LSH precision/recall vs the exact Jaccard truth
+    "dedup_agreement"     -> (Dedup.qDedupAgreement _), // pairwise agreement matrix of the three near-dup detectors
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "canonical_select"    -> (Dedup.qCanonicalSelect _), // cluster labels + quality argmax
@@ -443,6 +444,43 @@ object SparkEntry {
        |LEFT JOIN ppl ON d.doc_id = ppl.doc_id
        |JOIN mix ON d.doc_id = mix.doc_id""".stripMargin
 
+  /** Full simhash-banded-pairs query — shared by simhash_pairs_md5 and
+    * dedup_agreement. */
+  private lazy val SIMHASH_PAIRS_MD5_SQL: String = {
+      // hamming between 16-hex-digit signatures: per-digit bit_count(xor)
+      val hamming = (0 until 16).map(k =>
+        s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash, ${k + 1}, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(b.simhash, ${k + 1}, 1)) - 1))").mkString(" + ")
+      s"""WITH $SIMHASH_MD5_CTES,
+         |ch AS (SELECT doc_id, simhash, c, substr(simhash, c * 4 + 1, 4) AS ckey
+         |       FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS c) t)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($hamming AS BIGINT) AS hamming
+         |FROM ch a JOIN ch b
+         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE $hamming <= 6""".stripMargin
+  }
+
+  /** Full winnowing-fingerprint query — shared by winnow_md5 and
+    * dedup_agreement. */
+  private lazy val WINNOW_MD5_SQL: String =
+    s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
+       |kg AS (SELECT doc_id, i AS pos,
+       |    md5(concat_ws(' ', ${(0 until TextOps.WinnowK).map(k => s"words[i+$k]").mkString(", ")})) AS h
+       |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - ${TextOps.WinnowK - 2})) AS i) t)
+       |SELECT DISTINCT doc_id,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
+       |FROM kg""".stripMargin
+
+  /** Exact df-capped Jaccard pair query (the ngram_jaccard body) —
+    * shared by dedup_agreement. */
+  private lazy val NGRAM_PAIRS_SQL: String =
+    s"""WITH $NGRAM_CTES
+       |SELECT doc_a, doc_b FROM inter
+       |JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (HLL,
     * xxhash64-based signatures, approximate ANN, stub decode) → driver
@@ -746,30 +784,30 @@ object SparkEntry {
       s"""WITH $SIMHASH_MD5_CTES
          |SELECT doc_id, simhash FROM sig""".stripMargin,
 
-    "simhash_pairs_md5" -> {
-      // hamming between 16-hex-digit signatures: per-digit bit_count(xor)
-      val hamming = (0 until 16).map(k =>
-        s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash, ${k + 1}, 1)) - 1, " +
-          s"strpos('0123456789abcdef', substr(b.simhash, ${k + 1}, 1)) - 1))").mkString(" + ")
-      s"""WITH $SIMHASH_MD5_CTES,
-         |ch AS (SELECT doc_id, simhash, c, substr(simhash, c * 4 + 1, 4) AS ckey
-         |       FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS c) t)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST($hamming AS BIGINT) AS hamming
-         |FROM ch a JOIN ch b
-         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
-         |WHERE $hamming <= 6""".stripMargin
-    },
+    "simhash_pairs_md5" -> SIMHASH_PAIRS_MD5_SQL,
 
-    "winnow_md5" ->
-      s"""WITH w AS (SELECT doc_id, $WORDS AS words FROM documents),
-         |kg AS (SELECT doc_id, i AS pos,
-         |    md5(concat_ws(' ', ${(0 until TextOps.WinnowK).map(k => s"words[i+$k]").mkString(", ")})) AS h
-         |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - ${TextOps.WinnowK - 2})) AS i) t)
-         |SELECT DISTINCT doc_id,
-         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
-         |FROM kg""".stripMargin,
+    "winnow_md5" -> WINNOW_MD5_SQL,
+
+    "dedup_agreement" ->
+      s"""WITH a AS (SELECT doc_a, doc_b FROM ($NGRAM_PAIRS_SQL)),
+         |b AS (SELECT doc_a, doc_b FROM ($SIMHASH_PAIRS_MD5_SQL)),
+         |fpc AS (SELECT doc_id, fp FROM ($WINNOW_MD5_SQL)),
+         |c AS (SELECT DISTINCT f1.doc_id AS doc_a, f2.doc_id AS doc_b
+         |      FROM fpc f1 JOIN fpc f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id),
+         |m AS (
+         |  SELECT 'jaccard' AS method_a, 'simhash' AS method_b,
+         |    (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b,
+         |    (SELECT count(*) FROM a JOIN b USING (doc_a, doc_b)) AS n_common
+         |  UNION ALL SELECT 'jaccard', 'winnow',
+         |    (SELECT count(*) FROM a), (SELECT count(*) FROM c),
+         |    (SELECT count(*) FROM a JOIN c USING (doc_a, doc_b))
+         |  UNION ALL SELECT 'simhash', 'winnow',
+         |    (SELECT count(*) FROM b), (SELECT count(*) FROM c),
+         |    (SELECT count(*) FROM b JOIN c USING (doc_a, doc_b)))
+         |SELECT method_a, method_b, n_a, n_b, n_common,
+         |  round(CAST(n_common AS DOUBLE)
+         |    / CAST(greatest(n_a + n_b - n_common, 1) AS DOUBLE), 6) AS pair_jaccard
+         |FROM m""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $NGRAM_CTES,

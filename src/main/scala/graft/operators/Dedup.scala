@@ -500,6 +500,45 @@ object Dedup {
           .as("est_recall"))
   }
 
+  /** Dedup method-agreement matrix (dedup_agreement) — the comparison a
+    * curation team runs when CHOOSING a near-dup detector: the pair sets
+    * found by the exact df-capped Jaccard join, the banded SimHash, and
+    * the winnowing shared-fingerprint join, scored pairwise (counts,
+    * common pairs, and the Jaccard of the pair SETS themselves). The
+    * three detectors answer subtly different questions (set overlap vs
+    * bit-vector distance vs shared runs), so their disagreement pattern —
+    * not any one method's output — is the evidence for a method choice.
+    * Completes the eval family next to [[qLshEval]] (which grades ONE
+    * method against the exact truth).
+    *
+    * Scale shape: three pair tables (each already bounded by its own
+    * cap/banding), three semi-join intersections, nine 1-row aggs
+    * crossJoined (broadcast). */
+  def qDedupAgreement(s: SparkSession, d: String): DataFrame = {
+    val a = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).persist()
+    val b = qSimHashPairsMd5(s, d).select(col("doc_a"), col("doc_b")).persist()
+    val fps = graft.operators.TextOps.qWinnowFingerprintMd5(s, d)
+    val c = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().persist()
+    def cmp(nameA: String, dfA: DataFrame, nameB: String, dfB: DataFrame) = {
+      val na = dfA.agg(count(lit(1)).as("n_a"))
+      val nb = dfB.agg(count(lit(1)).as("n_b"))
+      val nc = dfA.join(dfB, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      na.crossJoin(nb).crossJoin(nc)
+        .select(lit(nameA).as("method_a"), lit(nameB).as("method_b"),
+          col("n_a"), col("n_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            greatest(col("n_a") + col("n_b") - col("n_common"), lit(1L)).cast("double"), 6)
+            .as("pair_jaccard"))
+    }
+    cmp("jaccard", a, "simhash", b)
+      .unionByName(cmp("jaccard", a, "winnow", c))
+      .unionByName(cmp("simhash", b, "winnow", c))
+  }
+
   /** Incremental NEAR-dup detection — the MinHash face of
     * [[qDedupIncremental]]: a new ingest batch is checked against the
     * EXISTING corpus through its signature/band-key tables, never against

@@ -167,7 +167,8 @@ object ScaleProbe {
       "passage_search" -> TextOps.qPassageSearch _,
       "heldout_surprisal" -> Curation.qHeldoutSurprisal _,
       "embedding_drift" -> Similarity.qEmbeddingDrift _,
-      "curate_incremental" -> Pipeline.qCurateIncremental _)
+      "curate_incremental" -> Pipeline.qCurateIncremental _,
+      "dedup_agreement" -> Dedup.qDedupAgreement _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe
     // just its new families without re-timing the whole catalogue

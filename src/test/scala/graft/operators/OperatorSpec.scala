@@ -1671,6 +1671,24 @@ class OperatorSpec extends AnyFunSuite {
     withSplit.unpersist()
   }
 
+  test("dedup_agreement: counts reconcile with the three registered pair entries") {
+    val rows = Dedup.qDedupAgreement(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(rows.map(x => (x._1, x._2)).toSet ==
+      Set(("jaccard", "simhash"), ("jaccard", "winnow"), ("simhash", "winnow")))
+    val nJac = Dedup.qNgramJaccard(spark, d).count()
+    val nSim = Dedup.qSimHashPairsMd5(spark, d).count()
+    rows.foreach { case (ma, _, na, nb, nc, pj) =>
+      if (ma == "jaccard") assert(na == nJac)
+      if (ma == "simhash") assert(na == nSim)
+      assert(nc <= math.min(na, nb))
+      val expected = nc.toDouble / math.max(na + nb - nc, 1L)
+      assert(math.abs(pj - expected) < 1e-6)
+    }
+    assert(rows.exists(_._5 > 0), "the detectors must agree on at least one pair")
+  }
+
   test("sizeClass matches the bit-arithmetic reference over random magnitudes") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814)
