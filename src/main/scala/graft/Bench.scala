@@ -193,11 +193,13 @@ object Bench {
       val curationPipeline = Seq(
         "corpus_curate" -> time { ccVerdict.queryExecution.toRdd.count() },
         "curation_funnel" -> time {
-          operators.Pipeline.curationFunnel(ccVerdict).queryExecution.toRdd.count() })
+          operators.Pipeline.curationFunnel(ccVerdict).queryExecution.toRdd.count() },
+        "curation_report" -> time {
+          operators.Pipeline.curationReport(ccVerdict).queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
-      val shared = Set("corpus_curate", "curation_funnel",
+      val shared = Set("corpus_curate", "curation_funnel", "curation_report",
         "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",

@@ -198,6 +198,7 @@ object SparkEntry {
     "domain_mix"          -> (Pipeline.qDomainMix _),
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "curation_funnel"     -> (Pipeline.qCurationFunnel _), // per-gate drop accounting over the curation keep conjunction
+    "curation_report"     -> (Pipeline.qCurationReport _), // per-source gate-flag counts + keep rate (the dashboard grain)
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
     "curate_incremental"  -> (Pipeline.qCurateIncremental _), // fresh batch gated by FROZEN state-corpus statistics (no state rescan)
     // ---- graph analytics (iterative join+agg rounds) ----
@@ -1593,6 +1594,21 @@ object SparkEntry {
          |LEFT JOIN ppl ON d.doc_id = ppl.doc_id
          |JOIN mix ON d.doc_id = mix.doc_id""".stripMargin
     },
+
+    "curation_report" ->
+      s"""WITH cc AS ($CORPUS_CURATE_SQL)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT dedup_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CASE WHEN quality < ${Pipeline.CurateQualityMin} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_low_quality,
+         |  CAST(sum(CASE WHEN ppl_bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_ppl_tail,
+         |  CAST(sum(CASE WHEN NOT mix_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_mix_dropped,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+         |FROM cc GROUP BY source""".stripMargin,
 
     "curation_funnel" ->
       s"""WITH cc AS ($CORPUS_CURATE_SQL),

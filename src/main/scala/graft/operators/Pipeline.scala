@@ -209,6 +209,34 @@ object Pipeline {
           .as("drop_rate"))
   }
 
+  /** Per-source curation report (curation_report) — the dashboard grain
+    * of [[qCurationFunnel]]: for each SOURCE, how many documents each
+    * gate flags and what fraction survives. A source whose keep rate
+    * collapses (or whose contamination rate spikes) is the
+    * acquisition-pipeline alarm; the funnel says WHICH gate, this says
+    * WHOSE data. One source-grain conditional agg over the shared
+    * corpus_curate verdict frame. */
+  def qCurationReport(s: SparkSession, d: String): DataFrame =
+    curationReport(qCorpusCurate(s, d))
+
+  def curationReport(cc: DataFrame): DataFrame = {
+    def rate(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") / col("n_docs").cast("double"), 6)
+    cc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("dedup_rep"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("quality") < CurateQualityMin, 1L).otherwise(0L)).as("n_low_quality"),
+        sum(when(col("ppl_bucket") === "tail", 1L).otherwise(0L)).as("n_ppl_tail"),
+        sum(when(!col("mix_kept"), 1L).otherwise(0L)).as("n_mix_dropped"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_dup"), col("n_repetitive"),
+        col("n_contaminated"), col("n_low_quality"), col("n_ppl_tail"),
+        col("n_mix_dropped"), col("n_keep"),
+        rate(col("n_keep")).as("keep_rate"))
+  }
+
   /** Incremental curation (curate_incremental) — [[qCorpusCurate]] for a
     * GROWING corpus: a fresh ingest batch is gated using statistics
     * FROZEN from the state corpus, which is never rescanned — the only

@@ -1671,6 +1671,20 @@ class OperatorSpec extends AnyFunSuite {
     withSplit.unpersist()
   }
 
+  test("curation_report: per-source counts reconcile with the verdict frame and funnel") {
+    val cc = Pipeline.qCorpusCurate(spark, d).persist()
+    val rows = Pipeline.qCurationReport(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(8), r.getDouble(9))).toMap
+    assert(rows.values.map(_._1).sum == cc.count(), "sources must partition the corpus")
+    assert(rows.values.map(_._2).sum == cc.filter(col("keep")).count(),
+      "per-source keeps must sum to the total keep count")
+    rows.foreach { case (src, (nDocs, nKeep, rate)) =>
+      assert(nKeep <= nDocs)
+      assert(math.abs(rate - nKeep.toDouble / nDocs) < 1e-6, s"source $src rate off")
+    }
+    cc.unpersist()
+  }
+
   test("dedup_agreement: counts reconcile with the three registered pair entries") {
     val rows = Dedup.qDedupAgreement(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
