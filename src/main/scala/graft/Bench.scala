@@ -190,16 +190,34 @@ object Bench {
       // artifact (billed as corpus_curate); the funnel reads it cached —
       // the report is an agg over the run's own output, as in production
       val ccVerdict = operators.Pipeline.qCorpusCurate(spark, sfDir).persist()
+      // The frozen-state artifact is built ONCE per ingest cycle in
+      // production (r9 VERDICT task 1) — billed as its own entry; the
+      // serving query then pays only fresh-batch work, which is the number
+      // that matters at 100 TB (state >> fresh).
+      val csPath = java.nio.file.Files
+        .createTempDirectory("graft-bench-cstate").toString
+      val docsForCs = Tables.documents(spark, sfDir)
       val curationPipeline = Seq(
         "corpus_curate" -> time { ccVerdict.queryExecution.toRdd.count() },
         "curation_funnel" -> time {
           operators.Pipeline.curationFunnel(ccVerdict).queryExecution.toRdd.count() },
         "curation_report" -> time {
-          operators.Pipeline.curationReport(ccVerdict).queryExecution.toRdd.count() })
+          operators.Pipeline.curationReport(ccVerdict).queryExecution.toRdd.count() },
+        "curation_state_build" -> time {
+          operators.CurationState.write(
+            operators.CurationState.compute(
+              docsForCs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)),
+            csPath) },
+        "curate_incremental" -> time {
+          operators.Pipeline.curateIncrementalFromState(
+            operators.CurationState.load(spark, csPath),
+            docsForCs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+            .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
       val shared = Set("corpus_curate", "curation_funnel", "curation_report",
+        "curation_state_build", "curate_incremental",
         "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
@@ -248,7 +266,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val cal = calibrations.map(r3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"}"""
+    println(summary)
+    // Machine-readable artifact (r9 VERDICT task 3): the stdout tail the
+    // driver captures is line-bounded, so per-query round-over-round diffs
+    // used to depend on what survived it. bench.json carries EVERY query's
+    // min-of-N plus the calibration column; commit a copy per round.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val perQuery = results
+      .map { case (k, v) => s"""    "$k": ${r3(v)}""" }.mkString(",\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      s"""{\n  "summary": $summary,\n  "queries": {\n$perQuery\n  }\n}\n""")
     spark.stop()
   }
 }

@@ -301,7 +301,7 @@ object SparkEntry {
        |fresh AS (SELECT content_fp, min(doc_id) AS keep_id, count(*) AS dup_count
        |          FROM f WHERE doc_id % 2 = 1 GROUP BY 1)
        |SELECT content_fp, keep_id, dup_count FROM fresh
-       |WHERE content_fp NOT IN (SELECT content_fp FROM known)""".stripMargin
+       |WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.content_fp = fresh.content_fp)""".stripMargin
 
   /** md5-MinHash SQL pieces shared by minhash_lsh_md5 and
     * minhash_incremental (must mirror Dedup.md5Sigs / md5BandTable /
@@ -760,10 +760,10 @@ object SparkEntry {
          |  (SELECT count(*) FROM est) AS n_est,
          |  (SELECT count(*) FROM est JOIN truth USING (doc_a, doc_b)) AS n_est_hit)
          |SELECT n_truth, n_cand, n_cand_hit, n_est, n_est_hit,
-         |  round(CAST(n_cand_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS cand_precision,
-         |  round(CAST(n_cand_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS cand_recall,
-         |  round(CAST(n_est_hit AS DOUBLE) / CAST(n_est AS DOUBLE), 6) AS est_precision,
-         |  round(CAST(n_est_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS est_recall
+         |  round(CAST(n_cand_hit AS DOUBLE) / greatest(n_cand, 1), 6) AS cand_precision,
+         |  round(CAST(n_cand_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS cand_recall,
+         |  round(CAST(n_est_hit AS DOUBLE) / greatest(n_est, 1), 6) AS est_precision,
+         |  round(CAST(n_est_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS est_recall
          |FROM m""".stripMargin,
 
     "minhash_incremental" ->
@@ -1079,8 +1079,8 @@ object SparkEntry {
          |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
          |        / len(words)), 4) >= ${Pipeline.CurateQualityMin} AS label
          |  FROM t),
-         |th AS (SELECT CAST(unnest([${Curation.EvalThresholds.mkString(", ")}]) AS DOUBLE)
-         |         AS threshold),
+         |th AS (SELECT CAST(unnest([${Curation.EvalThresholdHundredths.mkString(", ")}])
+         |         AS DOUBLE) / 100.0 AS threshold),
          |c AS (SELECT threshold,
          |    CAST(sum(CASE WHEN score > threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
          |    CAST(sum(CASE WHEN score > threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -1414,8 +1414,8 @@ object SparkEntry {
            |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
            |  CAST(sum(re) AS BIGINT) AS re_tokens,
            |  CAST(sum(ch) AS BIGINT) AS n_chars,
-           |  round(CAST(sum(ch) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS ws_chars_per_token,
-           |  round(CAST(sum(ch) AS DOUBLE) / CAST(sum(re) AS DOUBLE), 6) AS re_chars_per_token
+           |  round(CAST(sum(ch) AS DOUBLE) / greatest(sum(ws), 1), 6) AS ws_chars_per_token,
+           |  round(CAST(sum(ch) AS DOUBLE) / greatest(sum(re), 1), 6) AS re_chars_per_token
            |FROM t GROUP BY lang""".stripMargin,
 
     "bpe_pair_counts" ->
@@ -1607,7 +1607,7 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN NOT mix_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_mix_dropped,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+         |    / greatest(count(*), 1), 6) AS keep_rate
          |FROM cc GROUP BY source""".stripMargin,
 
     "curation_funnel" ->
@@ -1631,7 +1631,7 @@ object SparkEntry {
          |  UNION ALL SELECT 5, 'perplexity', n4, n5 FROM a
          |  UNION ALL SELECT 6, 'domain_mix', n5, n6 FROM a)
          |SELECT stage_idx, stage, n_in, n_out, n_in - n_out AS n_dropped,
-         |  round(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 6) AS drop_rate
+         |  round(CAST(n_in - n_out AS DOUBLE) / greatest(n_in, 1), 6) AS drop_rate
          |FROM f""".stripMargin,
 
     "domain_mix" ->
@@ -1950,7 +1950,8 @@ object SparkEntry {
          |hot AS (SELECT seg_text FROM seg GROUP BY seg_text
          |        HAVING count(DISTINCT doc_id) >= ${Curation.BoilerplateDocFreq}),
          |mark AS (SELECT doc_id, seg, seg_text,
-         |    seg_text NOT IN (SELECT seg_text FROM hot) AS kept FROM seg)
+         |    NOT EXISTS (SELECT 1 FROM hot WHERE hot.seg_text = seg.seg_text) AS kept
+         |  FROM seg)
          |SELECT doc_id, count(*) AS n_segs,
          |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
          |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text

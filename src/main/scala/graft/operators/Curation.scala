@@ -94,18 +94,33 @@ object Curation {
   def contaminationFrom(docs: DataFrame): DataFrame =
     contaminationFromTokens(tokens(docs))
 
-  def contaminationFromTokens(toks: DataFrame): DataFrame = {
+  /** The (doc_id, source, g) [[ContamK]]-gram table of a token frame — the
+    * shared grain of the contamination check and the frozen benchmark-gram
+    * artifact ([[CurationState]]). */
+  def contamGrams(toks: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = toks
+    toks
       .select(col("doc_id"), col("source"),
         concat_ws(" ",
           col("w") +: (1 until ContamK).map(k => lead(col("w"), k).over(byPos)): _*).as("g"),
         lead(col("w"), ContamK - 1).over(byPos).as("wk"))
       .filter(col("wk").isNotNull)
       .select(col("doc_id"), col("source"), col("g"))
-    val benchGrams = grams.filter(col("source") === BenchmarkSource).select("g").distinct()
-    val docGrams = grams.filter(col("source") =!= BenchmarkSource)
-      .select("doc_id", "g").distinct()
+  }
+
+  def contaminationFromTokens(toks: DataFrame): DataFrame = {
+    val grams = contamGrams(toks)
+    contaminationAgainst(
+      grams.filter(col("source") === BenchmarkSource).select("g").distinct(),
+      grams.filter(col("source") =!= BenchmarkSource).select("doc_id", "g"))
+  }
+
+  /** Contamination check against an explicit (distinct) benchmark-gram set
+    * — the frozen-artifact form: `benchGrams` may be loaded from parquet
+    * instead of recomputed from the corpus. `docGrams` is the (doc_id, g)
+    * gram table of the documents under test. */
+  def contaminationAgainst(benchGrams: DataFrame, docGramsRaw: DataFrame): DataFrame = {
+    val docGrams = docGramsRaw.select("doc_id", "g").distinct()
     val total = docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = docGrams.join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
@@ -377,7 +392,13 @@ object Curation {
     * are 0. Scale shape: per-doc scores (one broadcast model join) ×
     * an 11-row broadcast threshold frame → threshold-grain conditional
     * agg, map-side combined. */
-  val EvalThresholds: Seq[Double] = (-5 to 5).map(_ / 100.0)
+  /** Thresholds are kept as INTEGER hundredths and divided by 100.0 at use
+    * site on BOTH engines (Spark here, `unnest([ints]) / 100.0` in the
+    * oracle SQL) — an int/100.0 IEEE division yields identical bits
+    * everywhere, so the oracle never depends on a printed Double
+    * round-tripping through DuckDB's parser (ADVICE r9). */
+  val EvalThresholdHundredths: Seq[Int] = -5 to 5
+  val EvalThresholds: Seq[Double] = EvalThresholdHundredths.map(_ / 100.0)
 
   def qClassifierEval(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)

@@ -462,8 +462,12 @@ object Dedup {
     * side costs the capped inverted-index self-join — at 100 TB this eval
     * runs on a SAMPLE of the corpus (any doc_id hash band), which changes
     * none of the plumbing. */
-  def qLshEval(s: SparkSession, d: String): DataFrame =
-    lshEvalFrom(shingleTable(documents(s, d)).persist())
+  def qLshEval(s: SparkSession, d: String): DataFrame = {
+    // lshEvalFrom is eager (1 bounded summary row), so the shingle table
+    // can be released before returning — no cache leak across entries
+    val ex = shingleTable(documents(s, d)).persist()
+    try lshEvalFrom(ex) finally ex.unpersist()
+  }
 
   /** See [[qLshEval]]; takes a prebuilt [[shingleTable]] (the bench
     * threads its shared one). */
@@ -484,20 +488,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     def one(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
     val pairKeys = Seq("doc_a", "doc_b")
-    one(truth, "n_truth")
+    // greatest(·, 1): an empty candidate/truth set reports metric 0, not a
+    // Spark-NULL vs DuckDB-NaN divergence (ADVICE r9; mirrored in the
+    // oracle SQL)
+    def ratio(num: Column, den: Column) =
+      round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 6)
+    val summary = one(truth, "n_truth")
       .crossJoin(one(cand, "n_cand"))
       .crossJoin(one(cand.join(truth, pairKeys, "left_semi"), "n_cand_hit"))
       .crossJoin(one(est, "n_est"))
       .crossJoin(one(est.join(truth, pairKeys, "left_semi"), "n_est_hit"))
       .select(col("n_truth"), col("n_cand"), col("n_cand_hit"), col("n_est"), col("n_est_hit"),
-        round(col("n_cand_hit").cast("double") / col("n_cand").cast("double"), 6)
-          .as("cand_precision"),
-        round(col("n_cand_hit").cast("double") / col("n_truth").cast("double"), 6)
-          .as("cand_recall"),
-        round(col("n_est_hit").cast("double") / col("n_est").cast("double"), 6)
-          .as("est_precision"),
-        round(col("n_est_hit").cast("double") / col("n_truth").cast("double"), 6)
-          .as("est_recall"))
+        ratio(col("n_cand_hit"), col("n_cand")).as("cand_precision"),
+        ratio(col("n_cand_hit"), col("n_truth")).as("cand_recall"),
+        ratio(col("n_est_hit"), col("n_est")).as("est_precision"),
+        ratio(col("n_est_hit"), col("n_truth")).as("est_recall"))
+    eagerRelease(summary, sigs, cand)
+  }
+
+  /** Materialize a BOUNDED summary frame eagerly, then release the persisted
+    * intermediates that fed it — the cache-hygiene contract for the eval
+    * harnesses (ADVICE r9: back-to-back entries must not accumulate cached
+    * partitions). Only call with results of fixed, tiny cardinality (the
+    * collect here is a handful of metric rows, never data-sized). */
+  private[operators] def eagerRelease(summary: DataFrame,
+                                      cached: DataFrame*): DataFrame = {
+    val rows = summary.collect()
+    cached.foreach(_.unpersist())
+    summary.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), summary.schema)
   }
 
   /** Dedup method-agreement matrix (dedup_agreement) — the comparison a
@@ -534,9 +553,12 @@ object Dedup {
             greatest(col("n_a") + col("n_b") - col("n_common"), lit(1L)).cast("double"), 6)
             .as("pair_jaccard"))
     }
-    cmp("jaccard", a, "simhash", b)
+    val matrix = cmp("jaccard", a, "simhash", b)
       .unionByName(cmp("jaccard", a, "winnow", c))
       .unionByName(cmp("simhash", b, "winnow", c))
+    // 3 bounded comparison rows: materialize, then release the three
+    // persisted pair tables (ADVICE r9 cache hygiene)
+    eagerRelease(matrix, a, b, c)
   }
 
   /** Incremental NEAR-dup detection — the MinHash face of

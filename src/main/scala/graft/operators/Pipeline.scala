@@ -66,8 +66,14 @@ object Pipeline {
     * sampled under the state corpus's cutoffs without rescanning it. A
     * source absent from the stats frame keeps nothing (left join,
     * keep_prob 0). */
-  def domainMixFrozen(statsDocs: DataFrame, docs: DataFrame): DataFrame = {
-    val perDomain = statsDocs.groupBy("source").agg(count(lit(1)).as("n_source"))
+  def domainMixFrozen(statsDocs: DataFrame, docs: DataFrame): DataFrame =
+    domainMixFromCounts(
+      statsDocs.groupBy("source").agg(count(lit(1)).as("n_source")), docs)
+
+  /** [[domainMixFrozen]] from an explicit (source, n_source) count table —
+    * the frozen-artifact form ([[CurationState]]): the per-source counts
+    * may be loaded from parquet instead of recomputed. */
+  def domainMixFromCounts(perDomain: DataFrame, docs: DataFrame): DataFrame = {
     val totals = perDomain.agg(
       sum(col("n_source")).as("n_total"),
       sum(sqrt(col("n_source").cast("double"))).as("sum_w"))
@@ -205,7 +211,11 @@ object Pipeline {
         |  6, 'domain_mix',    n5, n6) AS (stage_idx, stage, n_in, n_out)""".stripMargin))
       .select(col("stage_idx"), col("stage"), col("n_in"), col("n_out"),
         (col("n_in") - col("n_out")).as("n_dropped"),
-        round((col("n_in") - col("n_out")).cast("double") / col("n_in").cast("double"), 6)
+        // greatest(·, 1): a gate that drops EVERYTHING hands the next stage
+        // n_in = 0 — report drop_rate 0 there (0/1), not a Spark-NULL vs
+        // DuckDB-NaN divergence (ADVICE r9; guard mirrored in the oracle)
+        round((col("n_in") - col("n_out")).cast("double") /
+          greatest(col("n_in"), lit(1L)).cast("double"), 6)
           .as("drop_rate"))
   }
 
@@ -220,8 +230,10 @@ object Pipeline {
     curationReport(qCorpusCurate(s, d))
 
   def curationReport(cc: DataFrame): DataFrame = {
+    // n_docs is a per-group count(*) so it is always >= 1; the greatest
+    // guard is belt-and-braces consistency with the funnel (ADVICE r9)
     def rate(c: org.apache.spark.sql.Column) =
-      round(c.cast("double") / col("n_docs").cast("double"), 6)
+      round(c.cast("double") / greatest(col("n_docs"), lit(1L)).cast("double"), 6)
     cc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("dedup_rep"), 1L).otherwise(0L)).as("n_dup"),
@@ -264,73 +276,73 @@ object Pipeline {
     *  - domain mix: [[domainMixFrozen]] under state source counts.
     *
     * Output schema matches [[qCorpusCurate]] (fresh docs only). Scale
-    * shape: everything fresh-batch-sized except the state-side count
-    * aggs (vocabulary/bigram grain, built once per ingest cycle in
-    * production); the three LM lookups use the salted left join (Zipf
-    * hot keys spread structurally, misses kept as NULL → smoothed). */
+    * shape: SERVING is entirely fresh-batch-sized — the state statistics
+    * are a persisted [[CurationState]] artifact (written once per ingest
+    * cycle, merged from per-batch partials) that the server only READS;
+    * the three LM lookups use the salted left join (Zipf hot keys spread
+    * structurally, misses kept as NULL → smoothed).
+    *
+    * The registered entry runs THROUGH the persisted artifact: the state
+    * half's statistics are written to a scratch directory and loaded back
+    * before serving, so the driver's hash gate covers the parquet round
+    * trip as well as the gating algebra (r9 VERDICT task 1). */
   def qCurateIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    curateIncremental(docs.filter(col("doc_id") % 2 === 0),
+    val path = java.nio.file.Files.createTempDirectory("graft-curation-state")
+      .toString
+    CurationState.write(
+      CurationState.compute(docs.filter(col("doc_id") % 2 === 0)), path)
+    curateIncrementalFromState(CurationState.load(s, path),
       docs.filter(col("doc_id") % 2 === 1))
   }
 
-  def curateIncremental(state: DataFrame, fresh: DataFrame): DataFrame = {
-    val toksState = Curation.tokens(state).persist()
+  /** Direct (no-artifact) form — [[CurationState.compute]] piped straight
+    * into the server; tests pin artifact == direct. */
+  def curateIncremental(state: DataFrame, fresh: DataFrame): DataFrame =
+    curateIncrementalFromState(CurationState.compute(state), fresh)
+
+  /** Serve one fresh ingest batch against a FROZEN [[CurationState]] — all
+    * work here is fresh-batch-sized: the state side contributes only its
+    * materialized count tables (vocabulary grain), fingerprint / benchmark
+    * gram sets (anti-join / semi-join sides), a 1-row stats frame and the
+    * 1-row tercile bounds. Nothing rescans state documents. */
+  def curateIncrementalFromState(cs: CurationState, fresh: DataFrame): DataFrame = {
+    // three consumers (repetition, contamination, LM) share the fresh
+    // tokenize; callers running entries back-to-back should clearCache
+    // after materializing (the bench does; ADVICE r9 cache note)
     val toksFresh = Curation.tokens(fresh).persist()
 
-    def fps(df: DataFrame) = df.select(col("doc_id"),
-      md5(TextOps.normText(col("text")).cast("binary")).as("fp"))
-    val keepRep = fps(fresh).groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .join(fps(state).select(col("fp")).distinct(), Seq("fp"), "left_anti")
+    val keepRep = CurationState.contentFp(fresh)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(cs.fp, Seq("fp"), "left_anti")
       .select(col("doc_id"), lit(true).as("dedup_rep"))
 
     val rep = Curation.repetitionSignalsFrom(toksFresh)
       .select(col("doc_id"), col("repetitive"))
 
-    val benchState = Curation.tokens(state.filter(col("source") === Curation.BenchmarkSource))
-    val con = Curation.contaminationFromTokens(benchState.unionByName(toksFresh))
+    // the benchmark set is a FIXED asset spanning both halves: the frozen
+    // state-side grams union any benchmark docs arriving in this batch
+    val freshGrams = Curation.contamGrams(toksFresh)
+    val benchAll = cs.benchGrams.unionByName(
+        freshGrams.filter(col("source") === Curation.BenchmarkSource).select("g"))
+      .distinct()
+    val con = Curation.contaminationAgainst(benchAll,
+        freshGrams.filter(col("source") =!= Curation.BenchmarkSource)
+          .select("doc_id", "g"))
       .select(col("doc_id"), col("contaminated"))
 
     val qual = fresh.select(col("doc_id"), TextOps.qualityExpr(col("text")).as("quality"))
 
-    // --- smoothed state LM + frozen tercile cutoffs ---
-    val c1 = toksState.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val stStats = toksState.agg(count(lit(1)).as("t"), countDistinct(col("w")).as("v"))
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    def bigrams(toks: DataFrame) = toks
-      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(byPos).as("w2"))
-      .filter(col("w2").isNotNull)
-    val c2 = bigrams(toksState).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    def leftSalted(rows: DataFrame, counts: DataFrame, keys: Seq[String]) = {
-      val salted = counts.withColumn("salt",
-        explode(sequence(lit(0), lit(Curation.CountJoinSalt - 1))))
-      rows.withColumn("salt", pmod(hash(col("doc_id")), lit(Curation.CountJoinSalt)))
-        .join(salted, keys :+ "salt", "left").drop("salt")
-    }
-    def lmScores(toks: DataFrame) = {
-      val p2 = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
-        (coalesce(col("c1w"), lit(0L)) + col("v") + lit(1L)).cast("double")
-      val p1 = (coalesce(col("c1u"), lit(0L)) + lit(1L)).cast("double") /
-        (col("t") + col("v") + lit(1L)).cast("double")
-      leftSalted(leftSalted(leftSalted(bigrams(toks), c2, Seq("w1", "w2")),
-          c1.select(col("w").as("w1"), col("c").as("c1w")), Seq("w1")),
-          c1.select(col("w").as("w2"), col("c").as("c1u")), Seq("w2"))
-        .crossJoin(broadcast(stStats))
-        .select(col("doc_id"),
-          (-log(lit(Curation.BigramLambda) * p2 + lit(Curation.UnigramLambda) * p1)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(round(avg(col("s")), 6).as("avg_surprisal"))
-    }
-    val bounds = Relational.equidepthBoundsArray(
-      lmScores(toksState).select(col("avg_surprisal").as("x")), 3)
-    val ppl = lmScores(toksFresh).crossJoin(broadcast(bounds))
+    val ppl = CurationState.lmScores(
+        CurationState.bigramsOf(toksFresh), cs.c1, cs.c2, cs.stats)
+      .crossJoin(broadcast(cs.bounds))
       .select(col("doc_id"), col("avg_surprisal"),
         when(col("avg_surprisal") <= element_at(col("bs"), 1), "head")
           .when(col("avg_surprisal") <= element_at(col("bs"), 2), "middle")
           .otherwise("tail").as("ppl_bucket"))
 
-    val mix = domainMixFrozen(state, fresh).select(col("doc_id"), col("kept").as("mix_kept"))
+    val mix = domainMixFromCounts(cs.srcCounts, fresh)
+      .select(col("doc_id"), col("kept").as("mix_kept"))
 
     fresh.select(col("doc_id"), col("source"))
       .join(keepRep, Seq("doc_id"), "left")

@@ -599,8 +599,13 @@ object TextOps {
     passageSearchFrom(qDocChunk(s, d), Bm25Query, 10)
 
   def passageSearchFrom(chunks: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    // split("", " ") yields [""] while the oracle unnests the chunk's word
+    // array (zero rows for a zero-word chunk) — filter the empty token so a
+    // zero-word document cannot inflate dl/n_docs/avgdl (words themselves
+    // are never empty, so this is exactly the oracle's unnest semantics)
     val toks = chunks.select(col("doc_id"), col("chunk_idx"),
       explode(split(col("chunk_text"), " ")).as("w"))
+      .filter(col("w") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("chunk_idx"), col("w"))
       .agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id"), col("chunk_idx")).agg(count(lit(1)).as("dl"))
@@ -1066,9 +1071,15 @@ object TextOps {
         sum(col("re")).as("re_tokens"),
         sum(col("ch")).as("n_chars"))
       .select(col("lang"), col("n_docs"), col("ws_tokens"), col("re_tokens"), col("n_chars"),
-        round(col("n_chars").cast("double") / col("ws_tokens").cast("double"), 6)
+        // greatest(·, 1): a language whose documents are all zero-token
+        // (possible in a pathological shard) reports fertility 0, not a
+        // NULL-vs-NaN engine divergence (ADVICE r9; guard mirrored in the
+        // oracle SQL)
+        round(col("n_chars").cast("double") /
+          greatest(col("ws_tokens"), lit(1L)).cast("double"), 6)
           .as("ws_chars_per_token"),
-        round(col("n_chars").cast("double") / col("re_tokens").cast("double"), 6)
+        round(col("n_chars").cast("double") /
+          greatest(col("re_tokens"), lit(1L)).cast("double"), 6)
           .as("re_chars_per_token"))
   }
 }
