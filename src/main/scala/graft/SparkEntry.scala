@@ -122,7 +122,7 @@ object SparkEntry {
     "token_fertility"     -> (TextOps.qTokenFertility _), // per-language chars-per-token under both tokenizers
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
     "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
-    "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // rows-only: tokenization depends on the merge loop; hand-derived counts + sandwich bound pinned in OperatorSpec
+    "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // apply step oracled via the frozen segmentation artifact (bpeSegsPath); the merge LOOP stays rows-only as bpe_merges
     "html_extract"        -> (TextOps.qHtmlExtract _), // web-corpus boilerplate strip + entity decode
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
@@ -1418,6 +1418,21 @@ object SparkEntry {
            |  round(CAST(sum(ch) AS DOUBLE) / greatest(sum(re), 1), 6) AS re_chars_per_token
            |FROM t GROUP BY lang""".stripMargin,
 
+    // The apply-step twin reads the SAME frozen segmentation parquet the
+    // Spark entry writes and serves from (TextOps.bpeSegsPath): the merge
+    // loop itself is iterative (bpe_merges, rows-only), but everything
+    // downstream of it — the salted vocab join + per-doc aggregation — is
+    // hash-gated here. Path is pinned to the driver's verify SF (0.01).
+    "bpe_tokenize" ->
+      s"""WITH segs AS (SELECT w, n_pieces, saved
+         |  FROM read_parquet('${TextOps.bpeSegsPath("/root/testdata/sf0.01")}/*.parquet')),
+         |t AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
+         |tt AS (SELECT doc_id, w FROM t WHERE len(w) > 0)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(saved) AS BIGINT) AS chars_saved
+         |FROM tt JOIN segs USING (w) GROUP BY doc_id""".stripMargin,
+
     "bpe_pair_counts" ->
       s"""WITH t AS (SELECT unnest($WORDS) AS w FROM documents),
          |wf AS (SELECT w, count(*) AS freq FROM t WHERE len(w) > 0 GROUP BY 1),
@@ -2452,7 +2467,6 @@ object SparkEntry {
     "bigram_surprisal_scale" -> "percentile_approx tercile cut: >=95% bucket agreement with exact bigram_surprisal (driver-matched) in CurationSpec",
     "corpus_curate_scale" -> "sketch-cut perplexity gate: >=95% keep-agreement with exact corpus_curate (driver-matched) in CurationSpec",
     "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
-    "bpe_tokenize" -> "applies the bpe_merges loop's segmentation table (not SQL-expressible): hand-derived per-doc counts on the reference corpus + per-word piece-count sandwich pinned in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",
     "media_frames" -> "frame sampling: stride/index determinism pinned in OperatorSpec",

@@ -825,23 +825,49 @@ object TextOps {
     * Zipf-hot word stream as the surprisal gates. Emits
     * (doc_id, n_words, bpe_tokens, chars_saved): bpe_tokens = Σ |syms(w)|,
     * chars_saved = how many symbols the merges removed vs the char+</w>
-    * baseline. Rows-only (tokenization depends on the merge loop); pinned
-    * in OperatorSpec against hand-derived counts on the classic corpus
-    * and a chars+1 ≥ pieces ≥ 1 sandwich per word on real data. */
-  def qBpeTokenize(s: SparkSession, d: String): DataFrame =
-    bpeTokenize(documents(s, d), BpeMergeRounds)
-
-  /** See [[qBpeTokenize]]. */
-  def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
-    val (_, words) = bpeTrain(docs, rounds)
-    val segs = words.toDF("w", "freq", "syms")
+    * baseline.
+    *
+    * ORACLE PATH (r9 VERDICT task 4): the merge LOOP is inherently
+    * iterative (bpe_merges stays rows-only, pinned in OperatorSpec against
+    * a hand-computed reference corpus), but the APPLY step is a
+    * deterministic join GIVEN the segmentation table — so the registered
+    * entry freezes that table to parquet at [[bpeSegsPath]] and serves
+    * from the loaded copy, and the DuckDB twin reads the same parquet and
+    * reproduces the join + aggregation. The driver hash thus covers
+    * everything downstream of the loop. */
+  def qBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (_, words) = bpeTrain(docs, BpeMergeRounds)
+    val segDir = bpeSegsPath(d)
+    words.toDF("w", "freq", "syms")
       .select(col("w"), size(col("syms")).as("n_pieces"),
         (length(col("w")) + 1 - size(col("syms"))).as("saved"))
-    val toks = docs.select(col("doc_id"), explode(normWords(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      .write.mode("overwrite").parquet(segDir)
+    words.unpersist()
+    bpeTokenizeFromSegs(docs, s.read.parquet(segDir))
+  }
+
+  /** Frozen-segmentation-table location for a data directory — shared
+    * verbatim with the DuckDB oracle's read_parquet. */
+  def bpeSegsPath(d: String): String =
+    "/tmp/graft-bpe-segs/" + new java.io.File(d).getName
+
+  /** Direct (no-artifact) form — kept for the crafted-corpus specs. */
+  def bpeTokenize(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, words) = bpeTrain(docs, rounds)
     // words stays persisted: the returned frame is lazy, and the
     // segmentation table is its vocabulary-sized shared input (the same
     // convention as the shingle/token tables — no unpersist-before-use)
+    bpeTokenizeFromSegs(docs, words.toDF("w", "freq", "syms")
+      .select(col("w"), size(col("syms")).as("n_pieces"),
+        (length(col("w")) + 1 - size(col("syms"))).as("saved")))
+  }
+
+  /** The apply join over an explicit (w, n_pieces, saved) segmentation
+    * table (loaded from the frozen artifact or computed in memory). */
+  def bpeTokenizeFromSegs(docs: DataFrame, segs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(normWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
     Curation.saltedCountJoin(toks, segs, Seq("w"), col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, RangeExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamFixture.spark
+
+/** Plan-shape lint over the ENTIRE registered catalogue (r9 VERDICT task
+  * 2): turns the per-round manual plan audit into a regression gate. For
+  * every `SparkEntry.queries` entry the pre-AQE physical plan must be free
+  * of:
+  *
+  *  1. `CartesianProductExec` — an unbroadcast all-pairs join is never the
+  *     right plan at 100 TB; every intentional crossJoin in this library
+  *     broadcasts a bounded side and therefore plans as a broadcast NLJ.
+  *  2. `BroadcastNestedLoopJoinExec` whose BUILD side is not provably
+  *     bounded (a grand aggregate, a limit, a local relation, or a small
+  *     `range`) — a broadcast NLJ against a data-sized build side is a
+  *     Cartesian product wearing a trench coat.
+  *  3. `ShuffleExchangeExec(SinglePartition)` over a non-bounded child —
+  *     the "every row through one task" shape (unpartitioned windows,
+  *     global collects). Declared exceptions carry a justification in
+  *     [[singlePartitionAllowlist]] and each has a registered scale twin.
+  *
+  * Boundedness is structural (the subtree CONTAINS a 1-row-per-partition
+  * producer with no re-expanding generate above it would be exact; the
+  * lint's contains-check is the conservative approximation that matches
+  * every legitimate pattern in this codebase — grand aggregates, bounds
+  * arrays, codebooks, stats frames).
+  */
+class PlanLintSpec extends AnyFunSuite {
+
+  val d = "/root/testdata/sf0.001"
+
+  /** Entries whose plan legitimately funnels data-sized input through one
+    * partition, each the DECLARED exact form with a registered sketch/
+    * scale twin (SURVEY §2.4, VERDICT r8/r9 adjudications). */
+  val singlePartitionAllowlist: Map[String, String] = Map(
+    "bigram_surprisal" -> ("exact ntile(3) tercile is an unpartitioned rank " +
+      "by declared design; scale twin = bigram_surprisal_scale (percentile_approx)"),
+    "unigram_surprisal" -> ("exact ntile(3) tercile, same design; scale twin " +
+      "= unigram_surprisal_scale"),
+    "corpus_curate" -> ("composes the exact tercile gate (doc-grain rank " +
+      "rows, not tokens); scale twin = corpus_curate_scale"),
+    "curation_funnel" -> "aggregates corpus_curate (exact-tercile form)",
+    "curation_report" -> "aggregates corpus_curate (exact-tercile form)",
+    "global_shuffle" -> ("reproducible global order is the OPERATOR " +
+      "(seeded-hash sort); doc-grain rows, writer re-chunks downstream"))
+
+  def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }
+
+  /** A subtree that provably produces a bounded number of rows: a grand
+    * aggregate (no grouping keys), a limit, a local relation, or a small
+    * range. */
+  def bounded(p: SparkPlan): Boolean = p.exists {
+    case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+    case _: GlobalLimitExec | _: LocalLimitExec => true
+    case _: LocalTableScanExec => true
+    case r: RangeExec => r.numElements <= BigInt(1000000)
+    case _ => false
+  }
+
+  test("no registered query plans a Cartesian product, an unbounded NLJ, " +
+    "or an unapproved data-sized single-partition exchange") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, d).queryExecution.sparkPlan
+        catch { case e: Throwable =>
+          failures += s"$name: query construction failed: ${e.getMessage}"
+          spark.catalog.clearCache()
+          null
+        }
+      if (plan != null) {
+        nodes(plan).foreach {
+          case _: CartesianProductExec =>
+            failures += s"$name: CartesianProductExec in plan"
+          case j: BroadcastNestedLoopJoinExec =>
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case _ => j.right
+            }
+            if (!bounded(build))
+              failures += s"$name: BroadcastNestedLoopJoin with unbounded build side"
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+            if (!bounded(e.child) && !singlePartitionAllowlist.contains(name))
+              failures += s"$name: Exchange SinglePartition over unbounded child"
+          case _ => ()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    assert(failures.isEmpty, "plan lint failures:\n" + failures.mkString("\n"))
+  }
+
+  test("single-partition allowlist names only registered queries") {
+    val unknown = singlePartitionAllowlist.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"allowlist entries without a registered query: $unknown")
+  }
+}
