@@ -158,6 +158,14 @@ object CurationState {
     } finally toks.unpersist()
   }
 
+  /** `foreachBatch` ingest sink — the streaming face of [[writePartial]]
+    * (CurationStreamSpec drains state-corpus chunks through it and pins
+    * finalize+serve == the direct batch pipeline). Micro-batch id = partial
+    * batch id, so Structured Streaming's retry semantics land on
+    * [[writePartial]]'s overwrite-own-directory idempotence. */
+  def curationStateSink(partialPath: String)(batch: DataFrame, id: Long): Unit =
+    writePartial(batch, partialPath, id)
+
   /** Merge all appended partials into a finalized bundle at `frozenPath`:
     * counts sum, distinct sets union, t/v derive from the merged unigram
     * table, and `bounds` comes from rescoring the merged `bg` partials under

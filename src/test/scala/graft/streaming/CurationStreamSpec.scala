@@ -218,4 +218,42 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(metrics.map(_.getAs[Long]("n_quality_pass")).sum == batch.getLong(1))
     } finally query.stop()
   }
+
+  test("streamed curation-state partials gate a fresh batch exactly like the batch pipeline") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // state corpus arrives as an ordered stream of 3 chunks; the fresh
+    // ingest batch is gated afterward against the finalized frozen state
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val state = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    val stateRows = state.select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val chunks = (0 until 3).map(i => stateRows.filter(_._1 % 3 == i))
+
+    val partialPath = Files.createTempDirectory("graft-cstate-stream").toString + "/partials"
+    val frozenPath = Files.createTempDirectory("graft-cstate-frozen").toString + "/frozen"
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .outputMode("update")
+      .queryName("cstate_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .foreachBatch(graft.operators.CurationState.curationStateSink(partialPath) _)
+      .start()
+    try {
+      chunks.foreach { chunk => input.addData(chunk: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    graft.operators.CurationState.finalizeFromPartials(spark, partialPath, frozenPath)
+    val streamed = graft.operators.Pipeline.curateIncrementalFromState(
+      graft.operators.CurationState.load(spark, frozenPath), fresh)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Pipeline.curateIncremental(state, fresh)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == direct,
+      s"stream-only: ${(streamed -- direct).take(3)}; batch-only: ${(direct -- streamed).take(3)}")
+    spark.catalog.clearCache()
+  }
 }
