@@ -217,6 +217,42 @@ object ValidationJob {
     def write(df: DataFrame, topic: String): Unit
   }
 
+  /** Two-phase transactional variant of [[OutputSink]] (X1 — the last
+    * at-least-once delta vs the reference's HA chaos contract,
+    * test/nightly/flink_validation_passthrough_high_availability_spec.rb:101-181):
+    * rows sent within an epoch step become visible ONLY at `commit()`; a
+    * failure mid-step `abort()`s and leaves the topic untouched, so a
+    * replayed step delivers exactly once even when the crash lands INSIDE
+    * a write — the per-step commit log alone covers only crashes BETWEEN
+    * steps (its markers record step completion, not write atomicity).
+    *
+    * The production Kafka analogue is the transactional producer
+    * (`transactional.id = "<job>-<step>"`, initTransactions / begin /
+    * commitTransaction, consumers at read_committed). Spark's bundled
+    * Kafka batch writer exposes no transactions, so the Kafka
+    * IMPLEMENTATION remains design-documented (COVERAGE.md), while the
+    * PROTOCOL — begin / send* / commit-or-abort per epoch step, wired
+    * through [[writeOutputs]] — is real and proven by RecoverySpec with
+    * an aborting in-memory implementation. */
+  private[streaming] trait TxOutputSink extends OutputSink {
+    def begin(epochId: Long, step: String): SinkTransaction
+
+    /** Single-write autocommit, so a transactional sink drops in anywhere
+      * a plain [[OutputSink]] is expected. */
+    override def write(df: DataFrame, topic: String): Unit = {
+      val tx = begin(-1L, "autocommit")
+      try { tx.send(df, topic); tx.commit() }
+      catch { case e: Throwable => tx.abort(); throw e }
+    }
+  }
+
+  /** One step's transaction: buffered sends, atomic visibility at commit. */
+  private[streaming] trait SinkTransaction {
+    def send(df: DataFrame, topic: String): Unit
+    def commit(): Unit
+    def abort(): Unit
+  }
+
   /** The production sink: Spark's Kafka batch writer, one `save()` per
     * topic per epoch (at-least-once within the step — see the class
     * scaladoc for why that residual is irreducible without a transactional
@@ -324,28 +360,38 @@ object ValidationJob {
     import spark.implicits._
     val cached = batch.persist()
     try {
-      def step(name: String)(body: => Unit): Unit =
+      // Each step body receives a WRITER: the plain sink's write, or — for
+      // a TxOutputSink — a transaction's send, committed after the body and
+      // aborted on failure, so a crash inside a write leaves no partial
+      // step visible (RecoverySpec's mid-write abort test).
+      def step(name: String)(body: ((DataFrame, String) => Unit) => Unit): Unit =
         if (!EpochCommitLog.stepDone(spark, commitDir, epochId, name)) {
-          body
+          sink match {
+            case t: TxOutputSink =>
+              val tx = t.begin(epochId, name)
+              try { body(tx.send); tx.commit() }
+              catch { case e: Throwable => tx.abort(); throw e }
+            case s => body(s.write)
+          }
           EpochCommitLog.markStep(spark, commitDir, epochId, name)
         }
 
-      step("k1")(sink.write(recordFrame(cached, Output.Valid), topics.out))
-      step("k2")(sink.write(recordFrame(cached, Output.Invalid), topics.invalid))
+      step("k1")(w => w(recordFrame(cached, Output.Valid), topics.out))
+      step("k2")(w => w(recordFrame(cached, Output.Invalid), topics.invalid))
 
       // Notifications are driver-rendered JSON (Jackson) — a handful of
       // lifecycle transitions per epoch, so the collect is bounded by design.
       val notifications = cached.where(col("tag") === lit(Output.Notification))
         .select("notification.*").as[BatchNotification]
         .collect().map(n => (n.id, NotificationJson.render(n)))
-      step("k3") {
+      step("k3") { w =>
         if (notifications.nonEmpty) {
           val nDf = notifications.toSeq.toDF("key", "value")
             .select(col("key").cast("binary"), col("value").cast("binary"))
-          sink.write(nDf, topics.notification) // K3
+          w(nDf, topics.notification) // K3
         }
       }
-      step("k4") {
+      step("k4") { _ => // no sink write: HTTP writeback
         mgmt.foreach { client => // K4 (production mode only); PUT is idempotent
           notifications.foreach { case (id, json) =>
             client.putStatus(topics.tenant, id, json)

@@ -275,6 +275,131 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("transactional sink: a crash INSIDE a step's write aborts it — no partial step ever visible") {
+    // Closes the residual the plain-OutputSink test documents as
+    // "at-least-once within the step": there, a crash mid-K1 leaves a
+    // PARTIAL prefix of the epoch's valid rows on the topic (harmless only
+    // because the k1 marker was not yet written, so the full replay
+    // re-delivers — duplicates). With the two-phase TxOutputSink, the
+    // aborted transaction leaves the topic UNTOUCHED: after the crash the
+    // out topic shows none of the doomed epoch's keys, and after the
+    // replay exactly one copy of each — the reference HA spec's
+    // transactional-producer contract, proven without a broker.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft-tx-ckpt").toString
+    val commitDir = s"$ckpt/sink-commits"
+    val topics = Topics(Topic)
+    val input = MemoryStream[PipelineEvent]
+    val tracker = new BatchTracker(PassthroughValidator, new MapBatchLookup(Seq.empty),
+      "porcupine", 150L)
+    val outputs = ValidationJob.pipeline(input.toDS(), tracker)
+
+    val committed = new ConcurrentLinkedQueue[(String, String)]()
+    val abortedSteps = new ConcurrentLinkedQueue[String]()
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new ValidationJob.TxOutputSink {
+      def begin(epochId: Long, step: String): ValidationJob.SinkTransaction =
+        new ValidationJob.SinkTransaction {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          def send(df: org.apache.spark.sql.DataFrame, topic: String): Unit = {
+            val rows = df.collect()
+            rows.zipWithIndex.foreach { case (r, i) =>
+              // die mid-send of a data-bearing K1: half the rows are
+              // already buffered in the doomed transaction
+              if (topic == topics.out && rows.length > 1 && i == rows.length / 2 &&
+                  crashArmed.getAndSet(false))
+                throw new RuntimeException("injected crash: mid-write of K1")
+              buf += ((topic, new String(r.getAs[Array[Byte]]("key"), UTF_8)))
+            }
+          }
+          def commit(): Unit = buf.foreach(committed.add)
+          def abort(): Unit = abortedSteps.add(step)
+        }
+    }
+
+    def start() = outputs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .foreachBatch { (b: Dataset[Output], epochId: Long) =>
+        if (epochId > ValidationJob.EpochCommitLog.lastCommitted(b.sparkSession, commitDir)) {
+          ValidationJob.writeOutputs(b, topics, sink, None, epochId, commitDir)
+          ValidationJob.EpochCommitLog.commit(b.sparkSession, commitDir, epochId)
+        } else b.foreach(_ => ())
+      }
+      .start()
+
+    def keysOn(topic: String): Seq[Int] =
+      committed.asScala.toSeq.collect { case (t, k) if t == topic => k.toInt }
+    def notifCount(): Int =
+      committed.asScala.toSeq.count(_._1 == topics.notification)
+    def pollUntil(cond: => Boolean): Unit = {
+      val limit = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < limit) Thread.sleep(50)
+      assert(cond, "condition not reached within 30s")
+    }
+
+    // Clean epoch(s): the tracked batch plus records 1..8.
+    val q1 = start()
+    input.addData(PipelineEvent.of(notif(Started), 0) +:
+      (1 to 8).map(i => PipelineEvent.of(rec(i), i.toLong)): _*)
+    pollUntil(keysOn(topics.out).size >= 8)
+
+    // Doomed epoch: 9..12 arrive, the sink dies HALFWAY through K1's rows.
+    crashArmed.set(true)
+    input.addData((9 to 12).map(i => PipelineEvent.of(rec(i), i.toLong)): _*)
+    val deadline = System.currentTimeMillis() + 30000
+    while (q1.isActive && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(!q1.isActive, "injected crash must kill the query")
+
+    // THE transactional contract: the aborted step left nothing behind —
+    // the out topic still shows exactly the pre-crash keys, no partial
+    // prefix of 9..12 (the plain-sink test tolerates that prefix).
+    assert(abortedSteps.asScala.toSeq.nonEmpty, "no transaction aborted")
+    assert(keysOn(topics.out).sorted == (1 to 8).toList,
+      s"aborted K1 leaked rows: ${keysOn(topics.out).sorted}")
+
+    // Replay delivers the doomed epoch exactly once, then the batch ends.
+    val q2 = start()
+    input.addData((13 to 15).map(i => PipelineEvent.of(rec(i), i.toLong)): _*)
+    input.addData(PipelineEvent.of(notif(SendCompleted, Some(15)), 16))
+    try {
+      pollUntil(keysOn(topics.out).size >= 15 && notifCount() > 0)
+      assert(keysOn(topics.out).sorted == (1 to 15).toList,
+        s"records duplicated or lost across the mid-write abort: ${keysOn(topics.out).sorted}")
+    } finally q2.stop()
+  }
+
+  test("TxOutputSink autocommit write aborts on failure and commits otherwise") {
+    val s = spark
+    import s.implicits._
+    val committed = new ConcurrentLinkedQueue[(String, String)]()
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+    def mk(failOn: String) = new ValidationJob.TxOutputSink {
+      def begin(epochId: Long, step: String): ValidationJob.SinkTransaction =
+        new ValidationJob.SinkTransaction {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          def send(df: org.apache.spark.sql.DataFrame, topic: String): Unit = {
+            if (topic == failOn) throw new RuntimeException("boom")
+            df.collect().foreach(r =>
+              buf += ((topic, new String(r.getAs[Array[Byte]]("key"), UTF_8))))
+          }
+          def commit(): Unit = buf.foreach(committed.add)
+          def abort(): Unit = aborted.incrementAndGet()
+        }
+    }
+    val df = Seq(("a", "va")).toDF("key", "value")
+      .select(org.apache.spark.sql.functions.col("key").cast("binary"),
+        org.apache.spark.sql.functions.col("value").cast("binary"))
+    mk("none").write(df, "t1")
+    assert(committed.asScala.toSeq == Seq(("t1", "a")) && aborted.get() == 0)
+    intercept[RuntimeException](mk("t2").write(df, "t2"))
+    assert(committed.asScala.toSeq == Seq(("t1", "a")) && aborted.get() == 1)
+  }
+
   test("EpochCommitLog per-step markers round-trip and are scoped to their epoch") {
     val spark = StreamFixture.spark
     val dir = Files.createTempDirectory("graft-epochlog").toString
