@@ -26,4 +26,16 @@ class EntryContractSpec extends AnyFunSuite {
       assert(reason.length > 20, s"$k: reason too thin: '$reason'")
     }
   }
+
+  test("no oracle SQL uses a NOT IN subquery (NULL-semantics footgun)") {
+    // `x NOT IN (SELECT ...)` yields NULL (not true) whenever the subquery
+    // produces a NULL, silently dropping rows — the dq_audit r9 lesson.
+    // Anti-joins in oracle SQL must be spelled NOT EXISTS, whose semantics
+    // match Spark's left_anti join for nullable columns.
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.toUpperCase.replaceAll("\\s+", " ")
+        .contains("NOT IN (SELECT") => name
+    }
+    assert(offenders.isEmpty, s"oracle SQL with NOT IN subqueries: $offenders")
+  }
 }

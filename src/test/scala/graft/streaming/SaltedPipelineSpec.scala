@@ -44,14 +44,16 @@ class SaltedPipelineSpec extends AnyFunSuite {
       validator: Validator = PassthroughValidator,
       lookup: BatchLookup = new MapBatchLookup(Seq.empty),
       echo: Boolean = true,
-      stubParallelism: Option[Int] = None)(
+      stubParallelism: Option[Int] = None,
+      terminalTtlMs: Long = -1L)(
       script: (MemoryStream[PipelineEvent], () => Seq[Output]) => Unit): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[PipelineEvent]
     val outputs = SaltedPipeline.pipeline(input.toDS(), validator, lookup,
-      "porcupine", completionDelayMs, salts, stubParallelism = stubParallelism)
+      "porcupine", completionDelayMs, salts, terminalTtlMs = terminalTtlMs,
+      stubParallelism = stubParallelism)
     val collected = new ConcurrentLinkedQueue[Output]()
     val echoSeq = new AtomicLong(1000000000L) // far above any test seq
     val query = outputs.writeStream
@@ -94,7 +96,7 @@ class SaltedPipelineSpec extends AnyFunSuite {
   }
 
   test("terminate replicates to salts in-trigger: records after terminated route to invalid") {
-    runSalted(completionDelayMs = 150L, salts = 4) { (input, results) =>
+    runSalted(completionDelayMs = 150L, salts = 4, terminalTtlMs = 30000L) { (input, results) =>
       val b = "salted-term"
       input.addData(
         PipelineEvent.of(notif(b, Started), 0),
@@ -102,7 +104,7 @@ class SaltedPipelineSpec extends AnyFunSuite {
         PipelineEvent.of(rec(2, b), 2))
       await(results)(r => valids(r).size == 2)
       input.addData(PipelineEvent.of(notif(b, Terminated), 3))
-      await(results)(_ => true); Thread.sleep(200) // let the notification land
+      await(results)(_ => true); Thread.sleep(800) // let the notification land (generous: box swings under co-tenant load)
       input.addData(PipelineEvent.of(rec(3, b), 4))
       val out = await(results)(r => invalids(r).nonEmpty)
       assert(valids(out).size == 2)
@@ -112,14 +114,17 @@ class SaltedPipelineSpec extends AnyFunSuite {
   }
 
   test("echo loop: a record after the B-decided `completed` routes to invalid with the clause-5 message") {
-    runSalted(completionDelayMs = 100L, salts = 4) { (input, results) =>
+    // terminalTtlMs pinned high: the clause-5 window would otherwise close
+    // 2x100ms after the echo lands, an inherent race under co-tenant load
+    // (r10 flake); TTL eviction itself is EvictionSpec's subject.
+    runSalted(completionDelayMs = 100L, salts = 4, terminalTtlMs = 30000L) { (input, results) =>
       val b = "salted-late"
       input.addData(
         PipelineEvent.of(notif(b, Started), 0),
         PipelineEvent.of(rec(1, b), 1),
         PipelineEvent.of(notif(b, SendCompleted, Some(1)), 2))
       await(results)(r => notifs(r).exists(_.status == Completed))
-      Thread.sleep(300) // let the completed echo replicate to the salts
+      Thread.sleep(1200) // let the completed echo replicate to the salts (generous: a 300ms window flaked under co-tenant load, r10)
       input.addData(PipelineEvent.of(rec(99, b), 10))
       val out = await(results)(r => invalids(r).nonEmpty)
       assert(invalids(out).map(r => new String(r.value, UTF_8)) ==
