@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
     "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // rows-only: coarse cells + compressed-code ADC; recall asserted in OperatorSpec
     "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
+    "centroid_incremental" -> (Similarity.qCentroidIncremental _), // merged (label,dim) decimal partials == direct (shared oracle)
     "embedding_drift"     -> (Similarity.qEmbeddingDrift _), // per-label centroid L2 shift between snapshots
     "embedding_quantize"  -> (Similarity.qEmbeddingQuantize _), // int8 symmetric quantization, integer-exact kernel
     // ---- LLM-pipeline: text analysis ----
@@ -200,6 +201,7 @@ object SparkEntry {
     "curation_funnel"     -> (Pipeline.qCurationFunnel _), // per-gate drop accounting over the curation keep conjunction
     "curation_report"     -> (Pipeline.qCurationReport _), // per-source gate-flag counts + keep rate (the dashboard grain)
     "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
+    "curation_state_report" -> (Pipeline.qCurationStateReport _), // frozen-artifact scalar audit (counts + tercile cutoffs), hash-gated
     "curate_incremental"  -> (Pipeline.qCurateIncremental _), // fresh batch gated by FROZEN state-corpus statistics (no state rescan)
     // ---- graph analytics (iterative join+agg rounds) ----
     "pagerank"            -> (Graph.qPageRank _),
@@ -368,6 +370,30 @@ object SparkEntry {
   /** Full per-document curation verdict SQL — shared by corpus_curate
     * and curation_funnel (the funnel aggregates this frame's gate
     * columns in keep-conjunction order). */
+  /** Shared by embedding_centroids and centroid_incremental (the merged-
+    * partials twin computes the SAME answer — decimal sums are
+    * associative, so the driver hash match proves merged == direct). */
+  private val EMBEDDING_CENTROIDS_SQL =
+    """WITH tok AS (SELECT label,
+      |        unnest([{'d': i, 'x': embedding[i]} FOR i IN range(1, 65)]) AS s
+      |      FROM embeddings),
+      |e AS (SELECT label, s.d - 1 AS dim, s.x AS x FROM tok),
+      |a AS (SELECT label, dim, count(*) AS n,
+      |        -- widen to DOUBLE before the decimal snap (Spark casts
+      |        -- float->decimal through the double value; DuckDB's direct
+      |        -- float->decimal rounds the float's shortest repr), and
+      |        -- round() explicitly first: Spark's decimal cast is
+      |        -- HALF_UP but DuckDB's is HALF_EVEN, which diverges on
+      |        -- binary-exact values like odd multiples of 2^-10 whose
+      |        -- expansion ends in a literal 5 at digit 10; DuckDB
+      |        -- round() is half-away-from-zero = Java HALF_UP, and the
+      |        -- cast of the pre-rounded double can no longer tie
+      |        CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx
+      |      FROM e GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+      |  CAST(n AS BIGINT) AS n, sx / n AS m
+      |FROM a""".stripMargin
+
   private val CORPUS_CURATE_SQL =
     s"""WITH t AS (SELECT doc_id, text, source, $WORDS AS words FROM documents),
        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
@@ -1009,26 +1035,8 @@ object SparkEntry {
          |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 3) AS novelty
          |FROM ex JOIN dfs USING (shingle) GROUP BY doc_id""".stripMargin,
 
-    "embedding_centroids" ->
-      """WITH tok AS (SELECT label,
-        |        unnest([{'d': i, 'x': embedding[i]} FOR i IN range(1, 65)]) AS s
-        |      FROM embeddings),
-        |e AS (SELECT label, s.d - 1 AS dim, s.x AS x FROM tok),
-        |a AS (SELECT label, dim, count(*) AS n,
-        |        -- widen to DOUBLE before the decimal snap (Spark casts
-        |        -- float->decimal through the double value; DuckDB's direct
-        |        -- float->decimal rounds the float's shortest repr), and
-        |        -- round() explicitly first: Spark's decimal cast is
-        |        -- HALF_UP but DuckDB's is HALF_EVEN, which diverges on
-        |        -- binary-exact values like odd multiples of 2^-10 whose
-        |        -- expansion ends in a literal 5 at digit 10; DuckDB
-        |        -- round() is half-away-from-zero = Java HALF_UP, and the
-        |        -- cast of the pre-rounded double can no longer tie
-        |        CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) AS sx
-        |      FROM e GROUP BY 1, 2)
-        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
-        |  CAST(n AS BIGINT) AS n, sx / n AS m
-        |FROM a""".stripMargin,
+    "embedding_centroids" -> EMBEDDING_CENTROIDS_SQL,
+    "centroid_incremental" -> EMBEDDING_CENTROIDS_SQL,
 
     "embedding_drift" ->
       """WITH tok AS (SELECT vec_id, label,
@@ -1509,6 +1517,48 @@ object SparkEntry {
          |         WHEN pred_lang = 'ru' THEN 'c0' ELSE 'zz' END""".stripMargin,
 
     "corpus_curate" -> CORPUS_CURATE_SQL,
+
+    // Mirrors the state-side CTEs of curate_incremental's oracle: the same
+    // fingerprint/LM/tercile/gram statistics, reported as the one-row
+    // artifact audit instead of applied to a fresh batch.
+    "curation_state_report" -> {
+      val lam2 = graft.operators.Curation.BigramLambda
+      val lam1 = graft.operators.Curation.UnigramLambda
+      s"""WITH state AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |fs AS (SELECT DISTINCT md5($NORM) AS fp FROM state),
+         |sw AS (SELECT doc_id, $WORDS AS l FROM state),
+         |stok AS (SELECT doc_id, unnest(l) AS w FROM sw),
+         |stt AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM stok),
+         |c1 AS (SELECT w, count(*) AS c FROM stok GROUP BY 1),
+         |sbg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM sw)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM sbg GROUP BY 1, 2),
+         |scs AS (SELECT sbg.doc_id,
+         |  -ln($lam2 * (CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+         |        / CAST(coalesce(u1.c, 0) + v + 1 AS DOUBLE))
+         |      + $lam1 * (CAST(coalesce(u2.c, 0) + 1 AS DOUBLE)
+         |        / CAST(t + v + 1 AS DOUBLE))) AS s
+         |  FROM sbg LEFT JOIN c2 USING (w1, w2)
+         |  LEFT JOIN c1 u1 ON sbg.w1 = u1.w LEFT JOIN c1 u2 ON sbg.w2 = u2.w
+         |  CROSS JOIN stt),
+         |paggs AS (SELECT doc_id, round(avg(s), 6) AS avg_surprisal FROM scs GROUP BY 1),
+         |b AS (SELECT quantile_cont(avg_surprisal, [${1.0 / 3}, ${2.0 / 3}]) AS bs FROM paggs),
+         |bw AS (SELECT doc_id, $WORDS AS words FROM state
+         |       WHERE source = '${Curation.BenchmarkSource}'),
+         |bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(words) - ${Curation.ContamK - 2}),
+         |    i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]))) AS g
+         |  FROM bw)
+         |SELECT
+         |  (SELECT count(*) FROM state) AS n_docs,
+         |  (SELECT count(DISTINCT source) FROM state) AS n_sources,
+         |  (SELECT t FROM stt) AS total_tokens,
+         |  (SELECT v FROM stt) AS vocab,
+         |  (SELECT count(*) FROM fs) AS n_fp,
+         |  (SELECT count(*) FROM bg) AS n_bench_grams,
+         |  (SELECT round(bs[1], 6) FROM b) AS ppl_cut_1,
+         |  (SELECT round(bs[2], 6) FROM b) AS ppl_cut_2""".stripMargin
+    },
 
     "curate_incremental" -> {
       val lam2 = graft.operators.Curation.BigramLambda

@@ -286,6 +286,32 @@ object Pipeline {
     * half's statistics are written to a scratch directory and loaded back
     * before serving, so the driver's hash gate covers the parquet round
     * trip as well as the gating algebra (r9 VERDICT task 1). */
+  /** Frozen-artifact audit report (curation_state_report): the scalar
+    * summary of a [[CurationState]] — corpus and source totals, vocabulary
+    * size, fingerprint and benchmark-gram cardinalities, and the two
+    * frozen perplexity tercile cutoffs — the one row a pipeline logs (and
+    * alerts on) after every finalize. Oracled end to end, so the artifact
+    * CONTENTS are driver-hash-gated, not just their downstream gating
+    * effect. All six counts are exact longs; the cutoffs round the same
+    * doubles both engines derive from identical inputs. Scale shape: six
+    * bounded aggregates crossJoined (every side ≤ 1 row). */
+  def qCurationStateReport(s: SparkSession, d: String): DataFrame =
+    curationStateReport(CurationState.compute(
+      documents(s, d).filter(col("doc_id") % 2 === 0)))
+
+  def curationStateReport(cs: CurationState): DataFrame =
+    cs.srcCounts
+      .agg(sum(col("n_source")).as("n_docs"), count(lit(1)).as("n_sources"))
+      .crossJoin(broadcast(cs.stats))
+      .crossJoin(broadcast(cs.fp.agg(count(lit(1)).as("n_fp"))))
+      .crossJoin(broadcast(cs.benchGrams.agg(count(lit(1)).as("n_bench_grams"))))
+      .crossJoin(broadcast(cs.bounds))
+      .select(col("n_docs"), col("n_sources"),
+        col("t").as("total_tokens"), col("v").as("vocab"),
+        col("n_fp"), col("n_bench_grams"),
+        round(element_at(col("bs"), 1), 6).as("ppl_cut_1"),
+        round(element_at(col("bs"), 2), 6).as("ppl_cut_2"))
+
   def qCurateIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val path = java.nio.file.Files.createTempDirectory("graft-curation-state")

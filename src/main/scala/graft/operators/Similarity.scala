@@ -726,6 +726,33 @@ object Similarity {
       .select(col("label"), col("dim"), col("n"),
         (col("sx").cast("double") / col("n")).as("m"))
 
+  /** Merge [[embeddingCentroidSums]] partials from disjoint corpus slices:
+    * plain sums over (label, dim) — decimal-exact and associative, the
+    * mergeable-artifact algebra shared with bm25/rollup/overlap partials. */
+  def centroidMergePartials(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"))
+
+  /** Incremental centroid maintenance (centroid_incremental): the state
+    * corpus's persisted (label, dim, n, sx) partial table merges with a
+    * fresh batch's by [[centroidMergePartials]] and the same mean
+    * projection serves the merged table — in production the state partial
+    * is READ from the artifact store, only the fresh batch aggregates.
+    * Registered with the DIRECT whole-corpus oracle (embedding_centroids'
+    * SQL): the driver hash match IS the merged == direct equivalence
+    * proof, exactly the bm25_incremental pattern. Exactness: decimal sums
+    * are associative, so the merged sx equals the direct sx bit for bit.
+    * Scale: each partial is labels×64 rows regardless of corpus size. */
+  def qCentroidIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    centroidMergePartials(Seq(
+        embeddingCentroidSums(e.filter(col("vec_id") % 2 === 0)),
+        embeddingCentroidSums(e.filter(col("vec_id") % 2 === 1))))
+      .select(col("label"), col("dim"), col("n"),
+        (col("sx").cast("double") / col("n")).as("m"))
+  }
+
   /** Vector-format centroids: (label, n_vectors, centroid array<double>). */
   def embeddingCentroids(vecs: DataFrame): DataFrame =
     embeddingCentroidsLong(vecs)
