@@ -147,7 +147,17 @@ object Dedup {
     * the ones prefixes exclude. Verification then computes the true
     * intersection ONLY for candidate pairs (a doc_id-keyed join, fact
     * rows never re-join by shingle). Candidate-superset + output equality
-    * vs [[qNgramJaccard]] are pinned in OperatorSpec. */
+    * vs [[qNgramJaccard]] are pinned in OperatorSpec.
+    *
+    * WHEN TO USE (measured regime boundary, docs/SCALEPROBE.md round 10):
+    * on corpora whose df distribution is scale-stable, the df-capped
+    * index stays cheaper through 30× (1×/30×: 1.9/22.7 s vs 4.3/92.2 s)
+    * — prefix_jaccard's extra cost is the price of its recall GUARANTEE
+    * (candidate-complete by the prefix lemma; the cap silently loses any
+    * pair whose every shared shingle is hot). Default to the capped
+    * index; switch here when [[qDedupAgreement]] shows the capped method
+    * diverging from exact truth on a sampled band — i.e. on heavily
+    * templated corpora, where the win is recall, not wall-clock. */
   def qPrefixJaccard(s: SparkSession, d: String): DataFrame =
     prefixJaccardFrom(shingleTable(documents(s, d)).persist())
 

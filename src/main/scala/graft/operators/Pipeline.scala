@@ -335,7 +335,11 @@ object Pipeline {
   def curateIncrementalFromState(cs: CurationState, fresh: DataFrame): DataFrame = {
     // three consumers (repetition, contamination, LM) share the fresh
     // tokenize; callers running entries back-to-back should clearCache
-    // after materializing (the bench does; ADVICE r9 cache note)
+    // after materializing (the bench does; ADVICE r9 cache note).
+    // (A pre-partitioned+sorted cache was probed in r10 and bought
+    // nothing — the per-gate window exchanges are not the cost; the
+    // fresh 5-gram distinct in the contamination gate is, and that is
+    // irreducible fresh-batch-sized work.)
     val toksFresh = Curation.tokens(fresh).persist()
 
     val keepRep = CurationState.contentFp(fresh)

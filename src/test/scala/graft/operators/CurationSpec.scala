@@ -265,9 +265,14 @@ class CurationSpec extends AnyFunSuite {
     // The corpus side must never shuffle for the membership test — eval
     // suites are MBs, corpora are TBs; a shuffled semi-join would move the
     // whole corpus n-gram table. Plan-asserted so it can't silently rot.
+    // (r10: the membership test became a broadcast LEFT join with a hit
+    // flag — one doc-grain agg instead of two branches — so the asserted
+    // shape is "broadcast hash join, no shuffle on the corpus side".)
     val plan = Curation.qContamination(spark, d).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"benchmark semi-join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark membership join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in contamination plan:\n$plan")
   }
 
   test("curation plans stay in column space — no object deserialization") {
