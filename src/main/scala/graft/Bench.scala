@@ -144,6 +144,27 @@ object Bench {
           operators.Overlap.overlapExact(srcShingles).queryExecution.toRdd.count() },
         "overlap_kmv" -> time {
           operators.Overlap.overlapKmv(srcShingles).queryExecution.toRdd.count() })
+      // SimHash + winnow twins live in the same cascade window so the
+      // method-agreement matrix can consume ALL THREE cached pair/
+      // fingerprint artifacts — its billed cost is the matrix itself
+      // (winnow pair join + nine bounded aggs), not three rebuilt
+      // cascades (r10; the standalone registration still builds its own).
+      val sigsMd5 = operators.Dedup.qSimHashMd5(spark, sfDir).persist()
+      var simPairs: org.apache.spark.sql.DataFrame = null
+      var winnowFps: org.apache.spark.sql.DataFrame = null
+      val simhashPipeline = Seq(
+        "simhash_md5" -> time { sigsMd5.queryExecution.toRdd.count() },
+        "simhash_pairs_md5" -> time {
+          simPairs = operators.Dedup.simHashPairsMd5From(sigsMd5).persist()
+          simPairs.queryExecution.toRdd.count() },
+        "winnow_md5" -> time {
+          winnowFps = operators.TextOps.qWinnowFingerprintMd5(spark, sfDir).persist()
+          winnowFps.queryExecution.toRdd.count() },
+        "dedup_agreement" -> time {
+          operators.Dedup.dedupAgreementFrom(
+            pairs.select("doc_a", "doc_b"),
+            simPairs.select("doc_a", "doc_b"),
+            winnowFps).queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // Token pipeline: the (doc_id, source, token) explode is built and
       // persisted ONCE (billed as token_table) and shared by every
@@ -177,14 +198,6 @@ object Bench {
           operators.TextOps.heavyHittersFrom(tokens).queryExecution.toRdd.count() },
         "heavy_hitters_exact" -> time {
           operators.TextOps.heavyHittersExactFrom(tokens).queryExecution.toRdd.count() })
-      spark.catalog.clearCache()
-      // SimHash twin pipeline: the signature table is the materialized
-      // artifact (billed as simhash_md5); banding+join reads it cached
-      val sigsMd5 = operators.Dedup.qSimHashMd5(spark, sfDir).persist()
-      val simhashPipeline = Seq(
-        "simhash_md5" -> time { sigsMd5.queryExecution.toRdd.count() },
-        "simhash_pairs_md5" -> time {
-          operators.Dedup.simHashPairsMd5From(sigsMd5).queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // Curation pipeline: the per-doc verdict frame is the materialized
       // artifact (billed as corpus_curate); the funnel reads it cached —
@@ -222,7 +235,7 @@ object Bench {
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
         "simhash_md5",
-        "simhash_pairs_md5", "novelty_score",
+        "simhash_pairs_md5", "winnow_md5", "dedup_agreement", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
         "vocab_build", "oov_rate", "corpus_divergence", "heavy_hitters",
         "heavy_hitters_exact", "overlap_exact", "overlap_kmv")

@@ -546,7 +546,15 @@ object Dedup {
   def qDedupAgreement(s: SparkSession, d: String): DataFrame = {
     val a = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).persist()
     val b = qSimHashPairsMd5(s, d).select(col("doc_a"), col("doc_b")).persist()
-    val fps = graft.operators.TextOps.qWinnowFingerprintMd5(s, d)
+    try dedupAgreementFrom(a, b, graft.operators.TextOps.qWinnowFingerprintMd5(s, d))
+    finally { a.unpersist(); b.unpersist() }
+  }
+
+  /** See [[qDedupAgreement]]; takes prebuilt Jaccard/SimHash pair tables
+    * and the winnow fingerprint table — the bench threads its shared
+    * cascade artifacts here, so the billed cost is the agreement MATRIX
+    * (winnow pair join + nine bounded aggs), not three rebuilt cascades. */
+  def dedupAgreementFrom(a: DataFrame, b: DataFrame, fps: DataFrame): DataFrame = {
     val c = fps.as("x").join(fps.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -566,9 +574,10 @@ object Dedup {
     val matrix = cmp("jaccard", a, "simhash", b)
       .unionByName(cmp("jaccard", a, "winnow", c))
       .unionByName(cmp("simhash", b, "winnow", c))
-    // 3 bounded comparison rows: materialize, then release the three
-    // persisted pair tables (ADVICE r9 cache hygiene)
-    eagerRelease(matrix, a, b, c)
+    // 3 bounded comparison rows: materialize, then release the winnow
+    // pair table built here (a and b belong to the caller — the bench
+    // keeps them cached for other consumers; ADVICE r9 cache hygiene)
+    eagerRelease(matrix, c)
   }
 
   /** Incremental NEAR-dup detection — the MinHash face of
