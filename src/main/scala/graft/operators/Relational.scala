@@ -1188,8 +1188,14 @@ object Relational {
         struct(lit("hi").as("which"), col("kHi").as("k")))).as("e"))
       .select(col("grp"), col("i"), col("r"),
         col("e.which").as("which"), col("e.k").as("k"))
-    // locate each needed within-group rank: its cell + 1-based cell rank
-    val located = ranks.join(cum.withColumnRenamed("grp", "g2"),
+    // locate each needed within-group rank: its cell + 1-based cell rank.
+    // ranks is bounded (|pcts| × groups × 2 rows) — broadcast EXPLICITLY:
+    // the range predicate makes this a nested-loop join, and when the
+    // `vals` input has no size statistics (an in-memory score frame
+    // rather than a parquet scan) the planner would otherwise fall back
+    // to a CartesianProduct (caught by PlanLintSpec on
+    // curation_state_report, r10).
+    val located = broadcast(ranks).join(cum.withColumnRenamed("grp", "g2"),
         col("grp") === col("g2") &&
           col("k") >= col("below") && col("k") < col("below") + col("cnt"))
       .select(col("grp"), col("i"), col("r"), col("which"), col("cb"),
