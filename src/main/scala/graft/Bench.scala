@@ -190,6 +190,8 @@ object Bench {
             bq, 10).queryExecution.toRdd.count() },
         "vocab_build" -> time {
           operators.TextOps.vocabBuildFrom(tokens, 1000).queryExecution.toRdd.count() },
+        "vocab_coverage" -> time {
+          operators.TextOps.vocabCoverageFrom(tokens).queryExecution.toRdd.count() },
         "oov_rate" -> time {
           operators.TextOps.oovRateFrom(tokens).queryExecution.toRdd.count() },
         "corpus_divergence" -> time {
@@ -237,7 +239,7 @@ object Bench {
         "simhash_md5",
         "simhash_pairs_md5", "winnow_md5", "dedup_agreement", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
-        "vocab_build", "oov_rate", "corpus_divergence", "heavy_hitters",
+        "vocab_build", "vocab_coverage", "oov_rate", "corpus_divergence", "heavy_hitters",
         "heavy_hitters_exact", "overlap_exact", "overlap_kmv")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }

@@ -119,6 +119,7 @@ object SparkEntry {
     "triplet_mine"        -> (Similarity.qTripletMine _), // contrastive (anchor, pos, neg) triplets with margin
     "triplet_mine_scale"  -> (Similarity.qTripletMineScale _), // rows-only: positives from the 2-level quantizer (subset-of-exact pinned)
     "vocab_build"         -> (TextOps.qVocabBuild _),
+    "vocab_coverage"      -> (TextOps.qVocabCoverage _), // Zipf coverage curve at vocab-size milestones
     "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
     "token_fertility"     -> (TextOps.qTokenFertility _), // per-language chars-per-token under both tokenizers
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
@@ -1392,6 +1393,19 @@ object SparkEntry {
          |  FROM pos CROSS JOIN ks WHERE i + k <= len(l))
          |SELECT wa, wb, count(*) AS pair_count, CAST(sum(wt) AS DOUBLE) AS w_sum
          |FROM pairs GROUP BY 1, 2 HAVING count(*) >= ${TextOps.CoocMinCount}""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($WORDS) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+         |r AS (SELECT row_number() OVER (ORDER BY c DESC, w) AS vocab_size,
+         |        sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM c),
+         |m AS (SELECT unnest([${TextOps.CoverageMilestones.mkString(", ")}]) AS vocab_size)
+         |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+         |  CAST(cum AS BIGINT) AS cum_tokens,
+         |  round(CAST(cum AS DOUBLE) / t, 6) AS coverage
+         |FROM r JOIN m USING (vocab_size) CROSS JOIN t""".stripMargin,
 
     "vocab_build" ->
       s"""WITH tok AS (SELECT doc_id, unnest($WORDS) AS token FROM documents),

@@ -250,6 +250,41 @@ object TextOps {
       .select(col("token_id"), col("token"), col("tf"), col("df"))
   }
 
+  /** Vocabulary size milestones for the coverage curve. */
+  val CoverageMilestones: Seq[Int] = Seq(4, 8, 16, 32, 64, 256, 1024, 4096, 16384)
+
+  /** Vocabulary coverage curve (vocab_coverage) — the tokenizer-sizing
+    * companion to [[vocabBuildFrom]] / [[qOovRate]]: the cumulative corpus
+    * token mass covered by the top-R vocabulary entries at size milestones
+    * R, i.e. the curve whose plateau picks the vocab size (the standard
+    * Zipf-coverage plot). One vocab-grain count agg; the rank + running
+    * sum are a VOCABULARY-grain global window — the heavy-hitters caveat
+    * applies (vocab ≪ corpus; |V| grows sublinearly under Zipf), and only
+    * |milestones| rows leave the operator. Deterministic (count desc,
+    * word) tiebreak shared with vocab_build. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverageFrom(tokenTable(documents(s, d)))
+
+  def vocabCoverageFrom(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokens.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val byFreq = Window.orderBy(col("c").desc, col("w"))
+    val ranked = counts.select(col("c"),
+      row_number().over(byFreq).cast("long").as("vocab_size"),
+      sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_tokens"))
+    val ms = tokens.sparkSession
+      .createDataFrame(CoverageMilestones.map(m => Tuple1(m.toLong)))
+      .toDF("vocab_size")
+    ranked.join(broadcast(ms), Seq("vocab_size"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("t").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Out-of-vocabulary rate per source against the [[vocabBuildFrom]]
     * top-N vocabulary — the report that picks a tokenizer vocab size: how
     * much of each source's token mass falls outside the vocab (and would

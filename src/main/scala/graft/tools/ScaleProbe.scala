@@ -116,6 +116,7 @@ object ScaleProbe {
       "stratified_sample" -> Sampling.qStratifiedSample _,
       "global_shuffle" -> Sampling.qGlobalShuffle _,
       "vocab_build" -> TextOps.qVocabBuild _,
+      "vocab_coverage" -> TextOps.qVocabCoverage _,
       "bpe_merges" -> TextOps.qBpeMerges _,
       "bpe_tokenize" -> TextOps.qBpeTokenize _,
       "media_features" -> ((s: SparkSession, dir: String) =>
@@ -168,6 +169,8 @@ object ScaleProbe {
       "heldout_surprisal" -> Curation.qHeldoutSurprisal _,
       "embedding_drift" -> Similarity.qEmbeddingDrift _,
       "curate_incremental" -> Pipeline.qCurateIncremental _,
+      "curation_state_report" -> Pipeline.qCurationStateReport _,
+      "centroid_incremental" -> Similarity.qCentroidIncremental _,
       "dedup_agreement" -> Dedup.qDedupAgreement _)
 
     // optional 4th arg: comma-separated family filter, so a round can probe

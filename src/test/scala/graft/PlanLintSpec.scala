@@ -50,7 +50,10 @@ class PlanLintSpec extends AnyFunSuite {
     "curation_funnel" -> "aggregates corpus_curate (exact-tercile form)",
     "curation_report" -> "aggregates corpus_curate (exact-tercile form)",
     "global_shuffle" -> ("reproducible global order is the OPERATOR " +
-      "(seeded-hash sort); doc-grain rows, writer re-chunks downstream"))
+      "(seeded-hash sort); doc-grain rows, writer re-chunks downstream"),
+    "vocab_coverage" -> ("Zipf coverage rank is a VOCABULARY-grain global " +
+      "window (vocab << corpus, sublinear under Zipf — the heavy-hitters " +
+      "caveat vocab_build's top-N cut already carries)"))
 
   /** Build sides that are bounded by DATA CONTRACT rather than plan
     * structure — each an explicit `broadcast()` the operator's scaladoc

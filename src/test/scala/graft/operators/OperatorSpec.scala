@@ -1752,4 +1752,25 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(math.abs(rep.map(_._6).sum - 1.0) < 1e-4)
   }
+
+  test("vocab_coverage: milestones are a monotone prefix of the Zipf curve") {
+    val out = TextOps.qVocabCoverage(spark, d)
+      .orderBy(col("vocab_size")).collect()
+    assert(out.nonEmpty)
+    // milestones present are exactly those <= |V|, in declared order
+    val sizes = out.map(_.getLong(0)).toSeq
+    assert(sizes == TextOps.CoverageMilestones.map(_.toLong).take(sizes.length))
+    // coverage strictly increases with vocab size and stays in (0, 1]
+    val cov = out.map(_.getDouble(2)).toSeq
+    assert(cov.zip(cov.tail).forall { case (a, b) => a < b })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    // cum at milestone R == sum of the top-R counts computed directly
+    val counts = Curation.tokens(graft.Tables.documents(spark, d))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).collect().map(_.getLong(1)).toSeq
+    out.foreach { r =>
+      val (size, cum) = (r.getLong(0).toInt, r.getLong(1))
+      assert(cum == counts.take(size).sum, s"milestone $size")
+    }
+  }
 }
