@@ -167,7 +167,7 @@ object SparkEntry {
     "unigram_surprisal"   -> (Curation.qUnigramSurprisal _),
     "heldout_surprisal"   -> (Curation.qHeldoutSurprisal _), // leak-free LM eval: train-split model scores the valid split
     "bigram_surprisal"    -> (Curation.qBigramSurprisal _),
-    "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScale _), // rows-only: sketch-cut terciles by declared design; ≥95% agreement with exact asserted in CurationSpec
+    "bigram_surprisal_scale" -> (Curation.qBigramSurprisalScaleArtifact _), // sketch cutoffs frozen to the pplCutsPath artifact; oracle recomputes scores + applies them (hash-green since r10)
     "sequence_pack"       -> (Curation.qSequencePack _),
     "pack_assemble"       -> (Curation.qPackAssemble _), // packed bins -> actual training examples
     "classifier_score"    -> (Curation.qClassifierScore _), // broadcast-model linear scoring
@@ -201,7 +201,7 @@ object SparkEntry {
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "curation_funnel"     -> (Pipeline.qCurationFunnel _), // per-gate drop accounting over the curation keep conjunction
     "curation_report"     -> (Pipeline.qCurationReport _), // per-source gate-flag counts + keep rate (the dashboard grain)
-    "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // rows-only: sketch-cut perplexity gate by declared design; ≥95% keep-agreement with corpus_curate asserted in CurationSpec
+    "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // sketch cutoffs frozen to the shared pplCutsPath artifact; oracle recomputes scores + gating (hash-green since r10)
     "curation_state_report" -> (Pipeline.qCurationStateReport _), // frozen-artifact scalar audit (counts + tercile cutoffs), hash-gated
     "curate_incremental"  -> (Pipeline.qCurateIncremental _), // fresh batch gated by FROZEN state-corpus statistics (no state rescan)
     // ---- graph analytics (iterative join+agg rounds) ----
@@ -395,7 +395,47 @@ object SparkEntry {
       |  CAST(n AS BIGINT) AS n, sx / n AS m
       |FROM a""".stripMargin
 
-  private val CORPUS_CURATE_SQL =
+  /** Corpus bigram-LM scoring CTEs shared by bigram_surprisal (exact
+    * ntile tercile) and bigram_surprisal_scale (frozen sketch cutoffs):
+    * both buckets sit on the SAME per-doc avg_surprisal table. */
+  private lazy val BIGRAM_SCORES_CTES =
+    s"""w AS (SELECT doc_id, $WORDS AS l FROM documents),
+       |tok AS (SELECT doc_id, unnest(l) AS w FROM w),
+       |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS t FROM tok),
+       |bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |sc AS (SELECT bg.doc_id,
+       |    -ln(${Curation.BigramLambda} * (CAST(c2.c2 AS DOUBLE) / u1.c)
+       |      + ${Curation.UnigramLambda} * (CAST(u2.c AS DOUBLE) / t)) AS s
+       |  FROM bg JOIN c2 USING (w1, w2)
+       |  JOIN c1 u1 ON bg.w1 = u1.w
+       |  JOIN c1 u2 ON bg.w2 = u2.w
+       |  CROSS JOIN tot),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    round(avg(s), 6) AS avg_surprisal
+       |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** ppl-gate CTE bodies for [[corpusCurateSql]]: the exact ntile tercile
+    * (corpus_curate) and the frozen-sketch-cutoff form reading the
+    * pplCutsPath artifact (corpus_curate_scale — only the sketch boundary
+    * comes from the engine under test; DuckDB recomputes the scores and
+    * the whole gating algebra). */
+  private val PPL_EXACT_CTE =
+    """SELECT doc_id, avg_surprisal,
+      |    CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
+      |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+      |  FROM pagg""".stripMargin
+  private val PPL_FROZEN_CTE =
+    s"""SELECT doc_id, avg_surprisal,
+      |    CASE WHEN avg_surprisal <= cut1 THEN 'head'
+      |         WHEN avg_surprisal <= cut2 THEN 'middle'
+      |         ELSE 'tail' END AS ppl_bucket
+      |  FROM pagg CROSS JOIN (SELECT cut1, cut2
+      |    FROM read_parquet('${Curation.pplCutsPath("/root/testdata/sf0.01")}/*.parquet'))""".stripMargin
+
+  private def corpusCurateSql(pplCte: String) =
     s"""WITH t AS (SELECT doc_id, text, source, $WORDS AS words FROM documents),
        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
        |base AS (SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_uniq FROM t),
@@ -436,10 +476,7 @@ object SparkEntry {
        |  FROM bgs JOIN c2 USING (w1, w2)
        |  JOIN c1 u1 ON bgs.w1 = u1.w JOIN c1 u2 ON bgs.w2 = u2.w CROSS JOIN tot2),
        |pagg AS (SELECT doc_id, round(avg(s), 6) AS avg_surprisal FROM sc GROUP BY 1),
-       |ppl AS (SELECT doc_id, avg_surprisal,
-       |    CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
-       |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-       |  FROM pagg),
+       |ppl AS ($pplCte),
        |pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
        |dtot AS (SELECT sum(n_source) AS n_total,
        |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
@@ -471,6 +508,9 @@ object SparkEntry {
        |JOIN sq ON d.doc_id = sq.doc_id
        |LEFT JOIN ppl ON d.doc_id = ppl.doc_id
        |JOIN mix ON d.doc_id = mix.doc_id""".stripMargin
+
+  private val CORPUS_CURATE_SQL = corpusCurateSql(PPL_EXACT_CTE)
+  private val CORPUS_CURATE_SCALE_SQL = corpusCurateSql(PPL_FROZEN_CTE)
 
   /** Full simhash-banded-pairs query — shared by simhash_pairs_md5 and
     * dedup_agreement. */
@@ -1531,6 +1571,7 @@ object SparkEntry {
          |         WHEN pred_lang = 'ru' THEN 'c0' ELSE 'zz' END""".stripMargin,
 
     "corpus_curate" -> CORPUS_CURATE_SQL,
+    "corpus_curate_scale" -> CORPUS_CURATE_SCALE_SQL,
 
     // Mirrors the state-side CTEs of curate_incremental's oracle: the same
     // fingerprint/LM/tercile/gram statistics, reported as the one-row
@@ -1949,27 +1990,27 @@ object SparkEntry {
          |GROUP BY doc_id""".stripMargin,
 
     "bigram_surprisal" ->
-      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents),
-         |tok AS (SELECT doc_id, unnest(l) AS w FROM w),
-         |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
-         |tot AS (SELECT count(*) AS t FROM tok),
-         |bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
-         |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |sc AS (SELECT bg.doc_id,
-         |    -ln(${Curation.BigramLambda} * (CAST(c2.c2 AS DOUBLE) / u1.c)
-         |      + ${Curation.UnigramLambda} * (CAST(u2.c AS DOUBLE) / t)) AS s
-         |  FROM bg JOIN c2 USING (w1, w2)
-         |  JOIN c1 u1 ON bg.w1 = u1.w
-         |  JOIN c1 u2 ON bg.w2 = u2.w
-         |  CROSS JOIN tot),
-         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-         |    round(avg(s), 6) AS avg_surprisal
-         |  FROM sc GROUP BY 1)
+      s"""WITH $BIGRAM_SCORES_CTES
          |SELECT doc_id, n_bigrams, avg_surprisal,
          |  CASE ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          |FROM agg""".stripMargin,
+
+    // The scale twin recomputes scores INDEPENDENTLY and applies the
+    // frozen percentile_approx cutoffs from the parquet artifact the
+    // Spark entry wrote (Curation.pplCutsPath; the bpe_tokenize pattern —
+    // only the sketch boundary itself is taken from the engine under
+    // test, everything downstream is verified). Path pinned to the
+    // driver's verify SF (0.01).
+    "bigram_surprisal_scale" ->
+      s"""WITH $BIGRAM_SCORES_CTES,
+         |cut AS (SELECT cut1, cut2
+         |  FROM read_parquet('${Curation.pplCutsPath("/root/testdata/sf0.01")}/*.parquet'))
+         |SELECT doc_id, n_bigrams, avg_surprisal,
+         |  CASE WHEN avg_surprisal <= cut1 THEN 'head'
+         |       WHEN avg_surprisal <= cut2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM agg CROSS JOIN cut""".stripMargin,
 
     "sequence_pack" ->
       s"""WITH sized AS (SELECT doc_id,
@@ -2528,8 +2569,6 @@ object SparkEntry {
     "ann_2level" -> "two-level quantizer: recall floor vs ann_brute + skew quota test (SkewSpec)",
     "embedding_dedup_blocked" -> "delegates to the two-level quantizer; output equality with embedding_dedup_2level pinned in OperatorSpec; exact twin embedding_dedup IS driver-matched",
     "embedding_dedup_2level" -> "bucketed near-dup: agreement vs exact embedding_dedup (ground truth, driver-matched) asserted in OperatorSpec",
-    "bigram_surprisal_scale" -> "percentile_approx tercile cut: >=95% bucket agreement with exact bigram_surprisal (driver-matched) in CurationSpec",
-    "corpus_curate_scale" -> "sketch-cut perplexity gate: >=95% keep-agreement with exact corpus_curate (driver-matched) in CurationSpec",
     "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",

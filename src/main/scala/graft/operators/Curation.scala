@@ -482,6 +482,42 @@ object Curation {
   def bigramSurprisalScale(docs: DataFrame): DataFrame =
     bigramSurprisalScaleFrom(tokens(docs))
 
+  /** Frozen-cutoff location for a data directory — shared verbatim with
+    * the DuckDB oracle's read_parquet (the bpeSegsPath pattern): the
+    * sketch cutoffs are the ONE engine-specific piece of the scale form,
+    * so the registered entry freezes them and the oracle independently
+    * recomputes everything else (scores, bucketing algebra) and applies
+    * the same frozen cuts — rows-only → hash-green. */
+  def pplCutsPath(d: String): String =
+    "/tmp/graft-ppl-cuts/" + new java.io.File(d).getName
+
+  /** Registered scale entry: [[bigramSurprisalScaleFrom]] with the
+    * percentile_approx cutoffs round-tripped through the parquet artifact
+    * both engines read. */
+  def qBigramSurprisalScaleArtifact(s: SparkSession, d: String): DataFrame =
+    bigramSurprisalScaleArtifactFrom(s, d, tokens(documents(s, d)))
+
+  /** See [[qBigramSurprisalScaleArtifact]]; takes a prebuilt token table
+    * (corpus_curate_scale threads its shared one — both entries write the
+    * SAME cuts for the same corpus, so the artifact is idempotent and
+    * order-independent). */
+  def bigramSurprisalScaleArtifactFrom(s: SparkSession, d: String,
+                                       toks: DataFrame): DataFrame = {
+    val scores = bigramScores(toks).persist()
+    val cutsPath = pplCutsPath(d)
+    scores.agg(
+        percentile_approx(col("avg_surprisal"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))
+      .select(element_at(col("cuts"), 1).as("cut1"),
+        element_at(col("cuts"), 2).as("cut2"))
+      .write.mode("overwrite").parquet(cutsPath)
+    scores.crossJoin(broadcast(s.read.parquet(cutsPath)))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_surprisal"),
+        when(col("avg_surprisal") <= col("cut1"), "head")
+          .when(col("avg_surprisal") <= col("cut2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** See [[bigramSurprisalScale]]; takes an already-built token table so a
     * composed pipeline (corpus_curate_scale) can share ONE tokenize with
     * the other n-gram gates. */

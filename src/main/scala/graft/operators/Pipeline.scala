@@ -129,9 +129,12 @@ object Pipeline {
     * percentile_approx cutoffs (one tiny broadcast, two comparisons per
     * document) instead of the exact `ntile(3)` — which is an unpartitioned
     * global window funneling every document through ONE task. Documents
-    * within sketch error of a boundary may land one bucket over, so this
-    * entry is rows-only by declared design; ≥95% keep-agreement with the
-    * exact composition is asserted in CurationSpec. */
+    * within sketch error of a boundary may land one bucket over vs the
+    * exact form (≥95% keep-agreement asserted in CurationSpec); since r10
+    * the entry is HASH-GREEN anyway: the sketch cutoffs round-trip through
+    * the shared pplCutsPath parquet artifact and the DuckDB twin
+    * recomputes the scores and the whole gating algebra against the same
+    * frozen boundary. */
   def qCorpusCurateScale(s: SparkSession, d: String): DataFrame =
     corpusCurate(s, d, exactTercile = false)
 
@@ -145,8 +148,11 @@ object Pipeline {
     val rep = Curation.repetitionSignalsFrom(toks).select(col("doc_id"), col("repetitive"))
     val con = Curation.contaminationFromTokens(toks).select(col("doc_id"), col("contaminated"))
     val qual = TextOps.qQualityScore(s, d).select(col("doc_id"), col("quality"))
+    // scale form: the sketch cutoffs go through the pplCutsPath parquet
+    // artifact (shared with bigram_surprisal_scale — same corpus, same
+    // cuts) so the DuckDB twin can apply the identical frozen boundary
     val ppl = (if (exactTercile) Curation.bigramSurprisalFrom(toks)
-               else Curation.bigramSurprisalScaleFrom(toks))
+               else Curation.bigramSurprisalScaleArtifactFrom(s, d, toks))
       .select(col("doc_id"), col("avg_surprisal"), col("ppl_bucket"))
     val mix = Pipeline.qDomainMix(s, d).select(col("doc_id"), col("kept").as("mix_kept"))
     documents(s, d).select(col("doc_id"), col("source"))

@@ -64,6 +64,9 @@ class PlanLintSpec extends AnyFunSuite {
     "hybrid_search" -> "build = the one query vector feeding the cosine leg",
     "curate_incremental" -> ("build = the CurationState stats/bounds artifacts " +
       "— 1-row parquet frames by construction (CurationStateSpec)"),
+    "bigram_surprisal_scale" -> ("build = the frozen pplCutsPath artifact — " +
+      "a 1-row (cut1, cut2) parquet by construction"),
+    "corpus_curate_scale" -> ("build = the same 1-row frozen-cuts artifact"),
     "overlap_exact" -> "build = per-source distinct-shingle totals (source grain, ~20 rows)",
     "overlap_kmv" -> "build = per-source KMV sketches (source grain)",
     "corpus_divergence" -> "build = per-source token totals (source grain)",
