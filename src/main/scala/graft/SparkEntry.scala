@@ -76,7 +76,7 @@ object SparkEntry {
     "prefix_jaccard"      -> (Dedup.qPrefixJaccard _),
     "overlap_exact"       -> (Overlap.qOverlapExact _), // cross-source distinct-shingle overlap (ground truth)
     "overlap_kmv"         -> (Overlap.qOverlapKmv _), // rows-only: KMV sketch estimates; bounds + exact merge-invariance in OverlapSpec
-    "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // rows-only: xxhash64 not in DuckDB
+    "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // sig/bucket tables frozen; oracle recomputes pairs + agreement (hash-green since r10)
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "lsh_eval"            -> (Dedup.qLshEval _), // banded-LSH precision/recall vs the exact Jaccard truth
     "dedup_agreement"     -> (Dedup.qDedupAgreement _), // pairwise agreement matrix of the three near-dup detectors
@@ -86,19 +86,19 @@ object SparkEntry {
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
     "simhash_md5"         -> (Dedup.qSimHashMd5 _),   // oracle twin: md5 bit source, hash-matched in DuckDB
-    "simhash_pairs"       -> (Dedup.qSimHashPairs _), // rows-only: xxhash64 not in DuckDB
+    "simhash_pairs"       -> (Dedup.qSimHashPairs _), // signatures frozen; oracle recomputes banding + hamming gate (hash-green since r10)
     "simhash_pairs_md5"   -> (Dedup.qSimHashPairsMd5 _), // oracle twin: banded hex chunks + per-digit hamming
     // ---- LLM-pipeline: similarity search ----
     "ann_brute"           -> (Similarity.qAnnBrute _),
     "nearest_neighbor"    -> (Similarity.qNearestNeighbor _),
-    "ann_lsh"             -> (Similarity.qAnnLsh _),  // rows-only: approximate; recall tested vs nearest_neighbor
+    "ann_lsh"             -> (Similarity.qAnnLsh _), // bucket table frozen to parquet; oracle recomputes candidates + exact cosine + ranking (hash-green since r10)
     "embedding_dedup"     -> (Similarity.qEmbeddingDedup _),
-    "embedding_dedup_blocked" -> (Similarity.qEmbeddingDedupBlocked _), // rows-only: approximate by design; delegates to the two-level quantizer (bounded √K driver residency); recall + subset asserted in OperatorSpec
-    "embedding_dedup_2level"  -> (Similarity.qEmbeddingDedupTwoLevel _), // rows-only: approximate by design (hierarchical IVF); recall + subset asserted in OperatorSpec
-    "ann_2level"              -> (Similarity.qAnnTwoLevel _), // rows-only: approximate by design (hierarchical IVF ANN); recall asserted in OperatorSpec
-    "ann_ivf"             -> (Similarity.qAnnIvf _),  // rows-only: approximate; recall tested vs nearest_neighbor
-    "ann_pq"              -> (Similarity.qAnnPq _),   // rows-only: PQ/ADC + exact re-rank; recall asserted in OperatorSpec
-    "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // rows-only: coarse cells + compressed-code ADC; recall asserted in OperatorSpec
+    "embedding_dedup_blocked" -> (Similarity.qEmbeddingDedupBlocked _), // delegates to the two-level quantizer; same frozen-assignment oracle (hash-green since r10)
+    "embedding_dedup_2level"  -> (Similarity.qEmbeddingDedupTwoLevel _), // assignments frozen; oracle recomputes within-cell pairs + cosine gate (hash-green since r10)
+    "ann_2level"              -> (Similarity.qAnnTwoLevel _), // cell assignments frozen; oracle recomputes candidates + ranking (hash-green since r10)
+    "ann_ivf"             -> (Similarity.qAnnIvf _), // cell/probe tables frozen to parquet; oracle recomputes scan + ranking (hash-green since r10)
+    "ann_pq"              -> (Similarity.qAnnPq _), // ADC shortlist frozen to parquet; oracle recomputes re-rank + top-3 (hash-green since r10)
+    "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // ADC shortlist frozen; oracle recomputes re-rank + top-3 (hash-green since r10)
     "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
     "centroid_incremental" -> (Similarity.qCentroidIncremental _), // merged (label,dim) decimal partials == direct (shared oracle)
     "embedding_drift"     -> (Similarity.qEmbeddingDrift _), // per-label centroid L2 shift between snapshots
@@ -117,7 +117,7 @@ object SparkEntry {
     "bm25_incremental"    -> (TextOps.qBm25Incremental _), // merged state+fresh partials == direct (shared oracle)
     "hybrid_search"       -> (Similarity.qHybridSearch _), // BM25 candidates -> embedding cosine re-rank, RRF fusion
     "triplet_mine"        -> (Similarity.qTripletMine _), // contrastive (anchor, pos, neg) triplets with margin
-    "triplet_mine_scale"  -> (Similarity.qTripletMineScale _), // rows-only: positives from the 2-level quantizer (subset-of-exact pinned)
+    "triplet_mine_scale"  -> (Similarity.qTripletMineScale _), // positives from the frozen two-level assignment; oracle recomputes gate + negatives + margins (hash-green since r10)
     "vocab_build"         -> (TextOps.qVocabBuild _),
     "vocab_coverage"      -> (TextOps.qVocabCoverage _), // Zipf coverage curve at vocab-size milestones
     "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
@@ -416,6 +416,36 @@ object SparkEntry {
        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
        |    round(avg(s), 6) AS avg_surprisal
        |  FROM sc GROUP BY 1)""".stripMargin
+
+  /** Exact-cosine re-rank + top-3 over a frozen (query_id, nn_id)
+    * shortlist — shared by the PQ-family twins. */
+  private def annShortlistRerankSql(path: String) =
+    s"""WITH sl AS (SELECT * FROM read_parquet('$path/*.parquet')),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |sc AS (SELECT query_id, nn_id,
+       |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+       |       FROM sl JOIN e a ON sl.nn_id = a.vec_id
+       |       JOIN e b ON sl.query_id = b.vec_id)
+       |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
+
+  /** Shared by embedding_dedup_2level and embedding_dedup_blocked (the
+    * blocked entry delegates to the same two-level quantizer): within-cell
+    * pair generation + the exact cosine threshold gate over the frozen
+    * assignment table. */
+  private lazy val EMBEDDING_DEDUP_2LEVEL_SQL =
+    s"""WITH asg AS (SELECT * FROM read_parquet('/tmp/graft-ann-dedup2l/sf0.01/*.parquet')),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cp AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+       |       FROM asg x JOIN asg y
+       |         ON x.coarse = y.coarse AND x.fine = y.fine AND x.vec_id < y.vec_id)
+       |SELECT ia AS id_a, ib AS id_b, cos FROM (
+       |  SELECT ia, ib,
+       |    round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+       |  FROM cp JOIN e a ON cp.ia = a.vec_id JOIN e b ON cp.ib = b.vec_id)
+       |WHERE cos >= 0.4""".stripMargin
 
   /** ppl-gate CTE bodies for [[corpusCurateSql]]: the exact ntile tercile
     * (corpus_curate) and the frozen-sketch-cutoff form reading the
@@ -1769,6 +1799,134 @@ object SparkEntry {
          |    printf('%05x', CAST(floor(c.keep_prob * 65536) AS BIGINT)) AS kept
          |FROM documents d JOIN cut c USING (source)""".stripMargin,
 
+    // minhash_lsh twin: the xxhash64 signature and band-key tables are
+    // frozen; pair generation, the 64-slot agreement estimate and the
+    // 0.5 threshold are recomputed by DuckDB. (The md5 twin additionally
+    // verifies signature CONSTRUCTION with a portable hash.)
+    "minhash_lsh" ->
+      s"""WITH sg AS (SELECT * FROM read_parquet('/tmp/graft-dedup-minhash-sigs/sf0.01/*.parquet')),
+         |bk AS (SELECT * FROM read_parquet('/tmp/graft-dedup-minhash-buckets/sf0.01/*.parquet')),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bk a JOIN bk b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT doc_a, doc_b,
+         |    round(CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+         |                         FOR i IN range(1, ${Dedup.MinHashPerms + 1})]) AS DOUBLE)
+         |      / ${Dedup.MinHashPerms}.0, 4) AS est_jaccard
+         |  FROM cand JOIN sg sa ON cand.doc_a = sa.doc_id
+         |  JOIN sg sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // simhash_pairs twin: the 64-bit signatures are frozen; chunking
+    // (arithmetic shift + mask — semantics verified identical in both
+    // engines), the banded join, hamming and the <=6 gate are recomputed.
+    "simhash_pairs" ->
+      s"""WITH sg AS (SELECT * FROM read_parquet('/tmp/graft-dedup-simhash-sigs/sf0.01/*.parquet')),
+         |ch AS (SELECT doc_id, simhash, c AS chunk,
+         |         (simhash >> (c * 16)) & 65535 AS ckey
+         |       FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM ch a JOIN ch b
+         |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+
+    // PQ / IVF-PQ twins: the ADC shortlist is the sketch boundary —
+    // frozen to parquet; the oracle recomputes the exact-cosine re-rank
+    // and the top-3 independently (annShortlistRerankSql).
+    "ann_pq" -> annShortlistRerankSql("/tmp/graft-ann-pq-shortlist/sf0.01"),
+    "ann_ivfpq" -> annShortlistRerankSql("/tmp/graft-ann-ivfpq-shortlist/sf0.01"),
+
+    // two-level quantizer twins: the (vec_id, coarse, fine[, rk])
+    // assignment is frozen; candidate generation, the exact cosine kernel
+    // and the ranking/threshold gate are recomputed by DuckDB.
+    "ann_2level" ->
+      s"""WITH cells AS (SELECT * FROM read_parquet('/tmp/graft-ann-2level-cells/sf0.01/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, coarse, fine FROM cells WHERE vec_id < 100),
+         |cand AS (SELECT DISTINCT query_id, cells.vec_id AS nn_id
+         |         FROM cells JOIN qb USING (coarse, fine)
+         |         WHERE cells.rk <= ${Similarity.BlockProbes}
+         |           AND cells.vec_id <> qb.query_id),
+         |sc AS (SELECT query_id, nn_id,
+         |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+         |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
+         |       JOIN e b ON cand.query_id = b.vec_id)
+         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
+
+    "embedding_dedup_2level" -> EMBEDDING_DEDUP_2LEVEL_SQL,
+    "embedding_dedup_blocked" -> EMBEDDING_DEDUP_2LEVEL_SQL,
+
+    // triplet_mine_scale: positives come from the frozen two-level
+    // assignment (same artifact as embedding_dedup_2level); everything
+    // downstream — cosine gate, deterministic negative draw, margins —
+    // is recomputed by the oracle exactly as in triplet_mine.
+    "triplet_mine_scale" ->
+      s"""WITH asg AS (SELECT * FROM read_parquet('/tmp/graft-ann-dedup2l/sf0.01/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         |cp AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+         |       FROM asg x JOIN asg y
+         |         ON x.coarse = y.coarse AND x.fine = y.fine AND x.vec_id < y.vec_id),
+         |pos AS (SELECT ia AS anchor_id, ib AS pos_id,
+         |    round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos_pos
+         |  FROM cp JOIN e a ON cp.ia = a.vec_id JOIN e b ON cp.ib = b.vec_id
+         |  WHERE round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) >= 0.4),
+         |hx AS (SELECT anchor_id, pos_id, cos_pos,
+         |    md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(pos_id AS VARCHAR)) AS hex
+         |  FROM pos),
+         |d0 AS (SELECT anchor_id, pos_id, cos_pos,
+         |    (${duckHex("hex", 15)}) % (n - 2) AS neg0
+         |  FROM hx CROSS JOIN n),
+         |d1 AS (SELECT anchor_id, pos_id, cos_pos,
+         |    neg0 + CASE WHEN neg0 >= anchor_id THEN 1 ELSE 0 END AS neg1 FROM d0),
+         |d2 AS (SELECT anchor_id, pos_id, cos_pos,
+         |    neg1 + CASE WHEN neg1 >= pos_id THEN 1 ELSE 0 END AS neg_id FROM d1)
+         |SELECT anchor_id, pos_id, neg_id, cos_pos,
+         |  round(${dot("av.v", "nv.v")} / (${l2("av.v")} * ${l2("nv.v")}), 4) AS cos_neg,
+         |  round(cos_pos
+         |    - round(${dot("av.v", "nv.v")} / (${l2("av.v")} * ${l2("nv.v")}), 4), 4) AS margin
+         |FROM d2 JOIN e av ON d2.anchor_id = av.vec_id
+         |         JOIN e nv ON d2.neg_id = nv.vec_id""".stripMargin,
+
+    // ann_lsh / ann_ivf twins read the frozen bucket/cell-assignment
+    // parquet the Spark entries write (Similarity.annArtifactPath): the
+    // hash/quantizer assignment is taken from the engine under test,
+    // candidate generation + the exact cosine kernel + the top-3 ranking
+    // are recomputed independently. Paths pinned to the verify SF (0.01).
+    "ann_lsh" ->
+      s"""WITH eb AS (SELECT * FROM read_parquet('/tmp/graft-ann-lsh/sf0.01/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 100),
+         |cand AS (SELECT DISTINCT query_id, eb.vec_id AS nn_id
+         |         FROM eb JOIN qb USING (tbl, bucket) WHERE eb.vec_id <> qb.query_id),
+         |sc AS (SELECT query_id, nn_id,
+         |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+         |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
+         |       JOIN e b ON cand.query_id = b.vec_id)
+         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH cells AS (SELECT * FROM read_parquet('/tmp/graft-ann-ivf-cells/sf0.01/*.parquet')),
+         |probes AS (SELECT * FROM read_parquet('/tmp/graft-ann-ivf-probes/sf0.01/*.parquet')),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cand AS (SELECT query_id, vec_id AS nn_id
+         |         FROM cells JOIN probes USING (cell) WHERE vec_id <> query_id),
+         |sc AS (SELECT query_id, nn_id,
+         |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+         |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
+         |       JOIN e b ON cand.query_id = b.vec_id)
+         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
+
     "ann_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -2555,20 +2713,10 @@ object SparkEntry {
     "q09_approx_distinct" -> "HLL sketch: 5% relative-error bound vs exact q08 asserted in OperatorSpec",
     "q37_approx_percentile" -> "rank-accuracy sketch: rank-distance bound vs exact q28 asserted in OperatorSpec",
     "q43_hll_sketch_merge" -> "mergeable HLL rollup: merge==direct equality + 5% bound vs exact, OperatorSpec",
-    "minhash_lsh" -> "xxhash64 signatures (engine-specific hash): md5 twin minhash_lsh_md5 IS driver hash-matched; band recall test in OperatorSpec",
     "simhash" -> "xxhash64 signatures: md5 twin simhash_md5 IS driver hash-matched",
-    "simhash_pairs" -> "xxhash64 signatures: md5 twin simhash_pairs_md5 IS driver hash-matched; hamming-verify test in OperatorSpec",
     "winnow_fingerprint" -> "xxhash64 rolling hash: md5 twin winnow_md5 IS driver hash-matched",
     "heavy_hitters" -> "count-min/space-saving sketch: exact-agreement test vs groupBy counts in OperatorSpec",
     "overlap_kmv" -> "KMV distinct sketch (engine-specific xxhash64): exact twin overlap_exact IS driver hash-matched; merge-invariance pinned EXACTLY + 1/sqrt(k) error bounds vs exact in OverlapSpec",
-    "triplet_mine_scale" -> "positives from the two-level quantizer (bounded buckets): subset-of-exact with row-identity on shared pairs pinned in OperatorSpec; exact twin triplet_mine IS driver-matched",
-    "ann_lsh" -> "bucketed approximate top-k: recall@3 >= 0.82 vs exact ann_brute asserted in OperatorSpec",
-    "ann_ivf" -> "IVF probe approximate top-k: recall floor vs ann_brute asserted in OperatorSpec",
-    "ann_pq" -> "product-quantization ADC + exact re-rank: recall@3 = 0.92 floor asserted in OperatorSpec",
-    "ann_ivfpq" -> "IVF x PQ composition: recall floor vs ann_brute asserted in OperatorSpec",
-    "ann_2level" -> "two-level quantizer: recall floor vs ann_brute + skew quota test (SkewSpec)",
-    "embedding_dedup_blocked" -> "delegates to the two-level quantizer; output equality with embedding_dedup_2level pinned in OperatorSpec; exact twin embedding_dedup IS driver-matched",
-    "embedding_dedup_2level" -> "bucketed near-dup: agreement vs exact embedding_dedup (ground truth, driver-matched) asserted in OperatorSpec",
     "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",

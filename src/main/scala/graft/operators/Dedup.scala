@@ -348,6 +348,19 @@ object Dedup {
   /** (doc_id, band, bkey) rows: band b's key hashes signature rows
     * 4b..4b+3. Exploded + codegen'd (top-level xxhash64 projection), not a
     * per-row HOF. */
+  /** Frozen-artifact location for signature/bucket tables — shared
+    * verbatim with the DuckDB twins (the annArtifactPath pattern): the
+    * xxhash64-derived values are the engine-specific piece; the oracle
+    * recomputes banding joins / agreement / hamming from the frozen
+    * tables. */
+  def dedupArtifactPath(d: String, which: String): String =
+    s"/tmp/graft-dedup-$which/" + new java.io.File(d).getName
+
+  private def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   def bandKeyTable(sigs: DataFrame): DataFrame = {
     val rows = MinHashPerms / LshBands
     sigs
@@ -373,14 +386,24 @@ object Dedup {
     *   3. join the two fixed-size signatures back by id and estimate
     *      Jaccard from positionwise agreement.
     * Only ids, band keys, and 64×8-byte signatures ever shuffle. */
-  def qMinHashLsh(s: SparkSession, d: String): DataFrame =
-    minHashLshFrom(shingleTable(documents(s, d)))
+  def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs0 = minhashSigs(shingleTable(documents(s, d))).persist()
+    val sigs = freeze(sigs0, dedupArtifactPath(d, "minhash-sigs"))
+    val buckets = freeze(bandKeyTable(sigs), dedupArtifactPath(d, "minhash-buckets"))
+    minHashLshFromParts(sigs, buckets)
+  }
 
   /** MinHash+LSH over an already-materialized shingle table (see
     * [[ngramJaccardFrom]]). */
   def minHashLshFrom(ex: DataFrame): DataFrame = {
     val sigs = minhashSigs(ex).persist()
-    val buckets = bandKeyTable(sigs)
+    minHashLshFromParts(sigs, bandKeyTable(sigs))
+  }
+
+  /** Pair generation + signature-agreement estimate over explicit
+    * signature/bucket tables (frozen by the registered entry so the
+    * DuckDB twin verifies everything downstream of the xxhash values). */
+  def minHashLshFromParts(sigs: DataFrame, buckets: DataFrame): DataFrame = {
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -856,9 +879,14 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
     * (hamming ≤ 3 ⇒ at least one chunk equal), join on chunks, verify with
     * bit_count(xor). */
-  def qSimHashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = qSimHash(s, d).persist() // computed once; both join sides reuse
+  def qSimHashPairs(s: SparkSession, d: String): DataFrame =
+    // signatures frozen so the DuckDB twin recomputes chunking, the banded
+    // join, hamming and the threshold from the same values
+    simHashPairsFromSigs(freeze(qSimHash(s, d), dedupArtifactPath(d, "simhash-sigs")))
 
+  /** Banded pair generation + hamming gate over an explicit signature
+    * table. */
+  def simHashPairsFromSigs(sigs: DataFrame): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(65535L))): _*))

@@ -198,12 +198,16 @@ object Similarity {
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
     val centroids = ivfCentroids(e, IvfCells)
-    val cells = assignCells(e, centroids)
-    val probes = cellDistances(e.filter(col("vec_id") < 100), centroids)
+    // cell assignments + probed cells are the engine-specific quantizer
+    // output — frozen to parquet so the DuckDB twin reproduces the scan
+    // and ranking (see annArtifactPath)
+    val cells = freeze(assignCells(e, centroids), annArtifactPath(d, "ivf-cells"))
+    val probes = freeze(cellDistances(e.filter(col("vec_id") < 100), centroids)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
       .filter(col("rk") <= IvfProbes)
-      .select(col("vec_id").as("query_id"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("cell")),
+      annArtifactPath(d, "ivf-probes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     cells.join(probes, Seq("cell"))
@@ -252,7 +256,8 @@ object Similarity {
     // therefore delegates to the hierarchical quantizer (√K residency,
     // fine centroids distributed); [[qEmbeddingDedupSingleLevel]] keeps the
     // single-level path reachable with an explicitly bounded K.
-    embeddingDedupTwoLevel(withVec(s, d))
+    embeddingDedupTwoLevel(withVec(s, d),
+      freezePath = Some(annArtifactPath(d, "dedup2l")))
 
   /** Single-level IVF-blocked dedup with caller-bounded K (default
     * [[BlockCells]], a fixed 128×64 driver matrix). The auto-K form
@@ -338,7 +343,8 @@ object Similarity {
     * every window orders on (dist, coarse, fine) with full tiebreaks.
     */
   def qEmbeddingDedupTwoLevel(s: SparkSession, d: String): DataFrame =
-    embeddingDedupTwoLevel(withVec(s, d))
+    embeddingDedupTwoLevel(withVec(s, d),
+      freezePath = Some(annArtifactPath(d, "dedup2l")))
 
   /** The assignment table of the two-level quantizer: `probes` rows
     * (vec_id, coarse, fine) per vector. Public so occupancy/balance can be
@@ -434,8 +440,13 @@ object Similarity {
       threshold: Double = 0.4,
       cells: Int = -1, // -1 = auto-K, same law as embeddingDedupBlocked
       probes: Int = BlockProbes,
-      coarseProbes: Int = CoarseProbes): DataFrame = {
-    val assigned = twoLevelAssignments(e, cells, probes, coarseProbes)
+      coarseProbes: Int = CoarseProbes,
+      freezePath: Option[String] = None): DataFrame = {
+    // registered entries freeze the (vec_id, coarse, fine) assignment so
+    // the DuckDB twin reproduces pair generation + the exact cosine gate
+    val assigned0 = twoLevelAssignments(e, cells, probes, coarseProbes)
+    val assigned = freezePath.fold(assigned0)(pth =>
+      freeze(assigned0.select(col("vec_id"), col("coarse"), col("fine")), pth))
     // vectors ride the cell rows so each within-cell collision verifies
     // inline — the same shuffle-vs-compute trade as the single-level path.
     // Persisted: the self-join below would otherwise execute the whole
@@ -472,7 +483,10 @@ object Similarity {
     * driver never holds more than the √K coarse matrix. */
   def qAnnTwoLevel(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
-    val cells = twoLevelAssignments(e, probes = AnnQueryProbes)
+    val cells = freeze(
+      twoLevelAssignments(e, probes = AnnQueryProbes)
+        .select(col("vec_id"), col("coarse"), col("fine"), col("rk")),
+      annArtifactPath(d, "2level-cells"))
     val qb = cells.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("coarse"), col("fine"))
     val cand = cells.filter(col("rk") <= BlockProbes)
@@ -595,9 +609,18 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qd")).as("adc"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    val shortlist = adc.withColumn("rk", row_number().over(wAdc))
+    // the ADC shortlist is the sketch boundary — frozen so the DuckDB
+    // twin verifies the exact-cosine re-rank + top-3 independently
+    val shortlist = freeze(adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= PqShortlist)
-      .select(col("query_id"), col("vec_id").as("nn_id"))
+      .select(col("query_id"), col("vec_id").as("nn_id")),
+      annArtifactPath(d, "pq-shortlist"))
+    rerankTop3(shortlist, e)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, nn_id) shortlist to top-3 —
+    * shared by the PQ paths and mirrored 1:1 by their oracle SQL. */
+  private def rerankTop3(shortlist: DataFrame, e: DataFrame): DataFrame = {
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     shortlist
@@ -646,20 +669,11 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qd")).as("adc"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    val shortlist = adc.withColumn("rk", row_number().over(wAdc))
+    val shortlist = freeze(adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= PqShortlist)
-      .select(col("query_id"), col("vec_id").as("nn_id"))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    shortlist
-      .join(e.select(col("vec_id").as("nn_id"), col("v"), col("nrm")), Seq("nn_id"))
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")),
-        Seq("query_id"))
-      .select(col("query_id"), col("nn_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
-      .withColumn("rn", row_number().over(wCos))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
+      .select(col("query_id"), col("vec_id").as("nn_id")),
+      annArtifactPath(d, "ivfpq-shortlist"))
+    rerankTop3(shortlist, e)
   }
 
   /** LSH-bucketed ANN, top-3 per query: candidates = corpus vectors sharing
@@ -668,9 +682,23 @@ object Similarity {
     * recall@top-3 vs [[qNearestNeighbor]] is asserted ≥ 0.8 in tests. At
     * scale only (vec_id, table, bucket) rows shuffle for candidate gen;
     * vectors are joined back by id for scoring. */
+  /** Frozen-artifact location for ANN bucket/cell assignment tables —
+    * shared verbatim with the DuckDB twins (the bpe_tokenize pattern): the
+    * hash/quantizer ASSIGNMENT is the one engine-specific piece of each
+    * approximate path, so the registered entries freeze it to parquet and
+    * the oracle independently recomputes candidate generation, the exact
+    * cosine kernel, and the ranking from the same frozen table. */
+  def annArtifactPath(d: String, which: String): String =
+    s"/tmp/graft-ann-$which/" + new java.io.File(d).getName
+
+  private def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
-    val eb = lshBucketTable(e)
+    val eb = freeze(lshBucketTable(e), annArtifactPath(d, "lsh"))
     val qb = eb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cand = eb.join(qb, Seq("tbl", "bucket"))
