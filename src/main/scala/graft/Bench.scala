@@ -227,12 +227,20 @@ object Bench {
           operators.Pipeline.curateIncrementalFromState(
             operators.CurationState.load(spark, csPath),
             docsForCs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+            .queryExecution.toRdd.count() },
+        // the audit report READS the artifact the build stage wrote —
+        // its billed cost is six bounded aggregates, as in production
+        // (the standalone registration recomputes from scratch so the
+        // driver hash stays independent of the artifact)
+        "curation_state_report" -> time {
+          operators.Pipeline.curationStateReport(
+            operators.CurationState.load(spark, csPath))
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
       val shared = Set("corpus_curate", "curation_funnel", "curation_report",
-        "curation_state_build", "curate_incremental",
+        "curation_state_build", "curate_incremental", "curation_state_report",
         "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
