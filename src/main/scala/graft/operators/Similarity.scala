@@ -781,6 +781,25 @@ object Similarity {
         (col("sx").cast("double") / col("n")).as("m"))
   }
 
+  /** `foreachBatch` ingest sink for centroid maintenance — the streaming
+    * face of [[centroidMergePartials]] (the bm25IndexSink pattern): each
+    * micro-batch's (label, dim, n, sx) decimal partial lands under
+    * `batch=<id>`; a retried batch OVERWRITES its own directory, so
+    * replays cannot double-count. CentroidStreamSpec pins served ==
+    * direct after every ingested chunk. */
+  def centroidPartialSink(statePath: String)(batch: DataFrame, id: Long): Unit =
+    embeddingCentroidSums(batch)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$id")
+
+  /** Serve the long-format centroid table from a [[centroidPartialSink]]
+    * state directory: merge-on-read of the appended partials (decimal
+    * sums — associative-exact), then the same mean projection as
+    * [[embeddingCentroidsLong]]. */
+  def centroidsFromPartials(s: SparkSession, statePath: String): DataFrame =
+    centroidMergePartials(Seq(s.read.parquet(statePath).drop("batch")))
+      .select(col("label"), col("dim"), col("n"),
+        (col("sx").cast("double") / col("n")).as("m"))
+
   /** Vector-format centroids: (label, n_vectors, centroid array<double>). */
   def embeddingCentroids(vecs: DataFrame): DataFrame =
     embeddingCentroidsLong(vecs)
