@@ -75,7 +75,7 @@ object SparkEntry {
     "ngram_jaccard"       -> (Dedup.qNgramJaccard _),
     "prefix_jaccard"      -> (Dedup.qPrefixJaccard _),
     "overlap_exact"       -> (Overlap.qOverlapExact _), // cross-source distinct-shingle overlap (ground truth)
-    "overlap_kmv"         -> (Overlap.qOverlapKmv _), // rows-only: KMV sketch estimates; bounds + exact merge-invariance in OverlapSpec
+    "overlap_kmv"         -> (Overlap.qOverlapKmv _), // hash table frozen; oracle recomputes k-min selection + pairwise estimates (hash-green since r11); merge-invariance + bounds in OverlapSpec
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // sig/bucket tables frozen; oracle recomputes pairs + agreement (hash-green since r10)
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "lsh_eval"            -> (Dedup.qLshEval _), // banded-LSH precision/recall vs the exact Jaccard truth
@@ -201,7 +201,7 @@ object SparkEntry {
     "corpus_curate"       -> (Pipeline.qCorpusCurate _),
     "curation_funnel"     -> (Pipeline.qCurationFunnel _), // per-gate drop accounting over the curation keep conjunction
     "curation_report"     -> (Pipeline.qCurationReport _), // per-source gate-flag counts + keep rate (the dashboard grain)
-    "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // sketch cutoffs frozen to the shared pplCutsPath artifact; oracle recomputes scores + gating (hash-green since r10)
+    "corpus_curate_scale" -> (Pipeline.qCorpusCurateScale _), // sketch cutoffs frozen to this entry's own pplCutsPath("curate") artifact; oracle recomputes scores + gating (hash-green since r10)
     "curation_state_report" -> (Pipeline.qCurationStateReport _), // frozen-artifact scalar audit (counts + tercile cutoffs), hash-gated
     "curate_incremental"  -> (Pipeline.qCurateIncremental _), // fresh batch gated by FROZEN state-corpus statistics (no state rescan)
     // ---- graph analytics (iterative join+agg rounds) ----
@@ -219,6 +219,14 @@ object SparkEntry {
   // TextOps.normText / normWords exactly).
   private val NORM  = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val WORDS = s"string_split($NORM, ' ')"
+
+  /** The driver's verify data directory — frozen-artifact oracle paths are
+    * pinned to it and ALWAYS built via the same Scala path helper the
+    * Spark writer uses (r10 ADVICE: a raw string literal desynchronizes
+    * silently when a helper changes; EntryContractSpec lints that no
+    * oracle SQL carries a literal artifact path the helpers don't
+    * produce). */
+  private val VerifySf = "/root/testdata/sf0.01"
 
   /** Shared oracle for q28_percentiles (single exact-percentile agg) and
     * q28_percentiles_scale (bounded two-pass refinement). */
@@ -436,7 +444,7 @@ object SparkEntry {
     * pair generation + the exact cosine threshold gate over the frozen
     * assignment table. */
   private lazy val EMBEDDING_DEDUP_2LEVEL_SQL =
-    s"""WITH asg AS (SELECT * FROM read_parquet('/tmp/graft-ann-dedup2l/sf0.01/*.parquet')),
+    s"""WITH asg AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "dedup2l")}/*.parquet')),
        |e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |cp AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
        |       FROM asg x JOIN asg y
@@ -463,7 +471,7 @@ object SparkEntry {
       |         WHEN avg_surprisal <= cut2 THEN 'middle'
       |         ELSE 'tail' END AS ppl_bucket
       |  FROM pagg CROSS JOIN (SELECT cut1, cut2
-      |    FROM read_parquet('${Curation.pplCutsPath("/root/testdata/sf0.01")}/*.parquet'))""".stripMargin
+      |    FROM read_parquet('${Curation.pplCutsPath(VerifySf, "curate")}/*.parquet'))""".stripMargin
 
   private def corpusCurateSql(pplCte: String) =
     s"""WITH t AS (SELECT doc_id, text, source, $WORDS AS words FROM documents),
@@ -817,6 +825,57 @@ object SparkEntry {
          |    / (ca.n + cb.n - coalesce(i, CAST(0 AS BIGINT))), 6) AS jaccard
          |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
          |LEFT JOIN inter ON inter.source_a = ca.source AND inter.source_b = cb.source""".stripMargin,
+
+    // overlap_kmv twin (r10 VERDICT task 1): the per-source xxhash64
+    // shingle-hash table is frozen (Overlap.overlapArtifactPath); DuckDB
+    // independently recomputes the k-minimum selection (unsigned 64-bit
+    // order == ORDER BY (h < 0), h), the per-source and pairwise-union
+    // cardinality estimates ((k-1)/U_k with U_k as a (0,1) fraction —
+    // the CAST chain below reproduces KMinValues.fraction's IEEE ops
+    // bit-for-bit), the sketch-intersection Jaccard, and the rint
+    // rounding (round_even == math.rint, verified on the half-way
+    // cases m/512*1e6 can hit).
+    "overlap_kmv" -> {
+      val k = graft.functions.KMinValues.DefaultK
+      def frac(h: String) =
+        s"(CAST(xor($h, -9223372036854775807 - 1) AS DOUBLE) + 9223372036854775808.0) / 1.8446744073709552e19"
+      s"""WITH hsh AS (SELECT DISTINCT source, h
+         |  FROM read_parquet('${Overlap.overlapArtifactPath(VerifySf)}/*.parquet')),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY (h < 0), h) AS rn
+         |       FROM hsh),
+         |sk AS (SELECT source, h, rn FROM rk WHERE rn <= $k),
+         |se AS (SELECT source, count(*) AS n,
+         |         max(CASE WHEN rn = $k THEN ${frac("h")} END) AS fr
+         |       FROM sk GROUP BY source),
+         |est AS (SELECT source,
+         |          CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+         |               ELSE round_even(($k - 1) / fr, 0) END AS e
+         |        FROM se),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb
+         |          FROM est a JOIN est b ON a.source < b.source),
+         |uv AS (SELECT p.sa, p.sb, s.h,
+         |         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+         |         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+         |       FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+         |       GROUP BY p.sa, p.sb, s.h),
+         |ur AS (SELECT sa, sb, h, ina, inb,
+         |         row_number() OVER (PARTITION BY sa, sb ORDER BY (h < 0), h) AS rn
+         |       FROM uv),
+         |ua AS (SELECT sa, sb, count(*) AS usize,
+         |         sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS m,
+         |         max(CASE WHEN rn = $k THEN ${frac("h")} END) AS fr
+         |       FROM ur WHERE rn <= $k GROUP BY sa, sb),
+         |jz AS (SELECT sa, sb, usize, fr,
+         |         CASE WHEN usize = 0 THEN 0.0 ELSE CAST(m AS DOUBLE) / usize END AS jac
+         |       FROM ua)
+         |SELECT j.sa AS source_a, j.sb AS source_b,
+         |  ea.e AS est_a, eb.e AS est_b,
+         |  round_even(j.jac * (CASE WHEN j.usize < $k THEN CAST(j.usize AS DOUBLE)
+         |                           ELSE ($k - 1) / j.fr END), 0) AS est_common,
+         |  round_even(j.jac * 1e6, 0) / 1e6 AS est_jaccard
+         |FROM jz j JOIN est ea ON j.sa = ea.source JOIN est eb ON j.sb = eb.source""".stripMargin
+    },
 
     "minhash_lsh_md5" ->
       // generated wide-form SQL: 64 min(md5) aggregates (lexicographic min
@@ -1517,7 +1576,7 @@ object SparkEntry {
     // hash-gated here. Path is pinned to the driver's verify SF (0.01).
     "bpe_tokenize" ->
       s"""WITH segs AS (SELECT w, n_pieces, saved
-         |  FROM read_parquet('${TextOps.bpeSegsPath("/root/testdata/sf0.01")}/*.parquet')),
+         |  FROM read_parquet('${TextOps.bpeSegsPath(VerifySf)}/*.parquet')),
          |t AS (SELECT doc_id, unnest($WORDS) AS w FROM documents),
          |tt AS (SELECT doc_id, w FROM t WHERE len(w) > 0)
          |SELECT doc_id, count(*) AS n_words,
@@ -1804,8 +1863,8 @@ object SparkEntry {
     // 0.5 threshold are recomputed by DuckDB. (The md5 twin additionally
     // verifies signature CONSTRUCTION with a portable hash.)
     "minhash_lsh" ->
-      s"""WITH sg AS (SELECT * FROM read_parquet('/tmp/graft-dedup-minhash-sigs/sf0.01/*.parquet')),
-         |bk AS (SELECT * FROM read_parquet('/tmp/graft-dedup-minhash-buckets/sf0.01/*.parquet')),
+      s"""WITH sg AS (SELECT * FROM read_parquet('${Dedup.dedupArtifactPath(VerifySf, "minhash-sigs")}/*.parquet')),
+         |bk AS (SELECT * FROM read_parquet('${Dedup.dedupArtifactPath(VerifySf, "minhash-buckets")}/*.parquet')),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bk a JOIN bk b
          |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1821,7 +1880,7 @@ object SparkEntry {
     // (arithmetic shift + mask — semantics verified identical in both
     // engines), the banded join, hamming and the <=6 gate are recomputed.
     "simhash_pairs" ->
-      s"""WITH sg AS (SELECT * FROM read_parquet('/tmp/graft-dedup-simhash-sigs/sf0.01/*.parquet')),
+      s"""WITH sg AS (SELECT * FROM read_parquet('${Dedup.dedupArtifactPath(VerifySf, "simhash-sigs")}/*.parquet')),
          |ch AS (SELECT doc_id, simhash, c AS chunk,
          |         (simhash >> (c * 16)) & 65535 AS ckey
          |       FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c))
@@ -1834,14 +1893,14 @@ object SparkEntry {
     // PQ / IVF-PQ twins: the ADC shortlist is the sketch boundary —
     // frozen to parquet; the oracle recomputes the exact-cosine re-rank
     // and the top-3 independently (annShortlistRerankSql).
-    "ann_pq" -> annShortlistRerankSql("/tmp/graft-ann-pq-shortlist/sf0.01"),
-    "ann_ivfpq" -> annShortlistRerankSql("/tmp/graft-ann-ivfpq-shortlist/sf0.01"),
+    "ann_pq" -> annShortlistRerankSql(Similarity.annArtifactPath(VerifySf, "pq-shortlist")),
+    "ann_ivfpq" -> annShortlistRerankSql(Similarity.annArtifactPath(VerifySf, "ivfpq-shortlist")),
 
     // two-level quantizer twins: the (vec_id, coarse, fine[, rk])
     // assignment is frozen; candidate generation, the exact cosine kernel
     // and the ranking/threshold gate are recomputed by DuckDB.
     "ann_2level" ->
-      s"""WITH cells AS (SELECT * FROM read_parquet('/tmp/graft-ann-2level-cells/sf0.01/*.parquet')),
+      s"""WITH cells AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "2level-cells")}/*.parquet')),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |qb AS (SELECT vec_id AS query_id, coarse, fine FROM cells WHERE vec_id < 100),
          |cand AS (SELECT DISTINCT query_id, cells.vec_id AS nn_id
@@ -1865,7 +1924,7 @@ object SparkEntry {
     // downstream — cosine gate, deterministic negative draw, margins —
     // is recomputed by the oracle exactly as in triplet_mine.
     "triplet_mine_scale" ->
-      s"""WITH asg AS (SELECT * FROM read_parquet('/tmp/graft-ann-dedup2l/sf0.01/*.parquet')),
+      s"""WITH asg AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "dedup2l")}/*.parquet')),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
          |cp AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
@@ -1898,7 +1957,7 @@ object SparkEntry {
     // candidate generation + the exact cosine kernel + the top-3 ranking
     // are recomputed independently. Paths pinned to the verify SF (0.01).
     "ann_lsh" ->
-      s"""WITH eb AS (SELECT * FROM read_parquet('/tmp/graft-ann-lsh/sf0.01/*.parquet')),
+      s"""WITH eb AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "lsh")}/*.parquet')),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 100),
          |cand AS (SELECT DISTINCT query_id, eb.vec_id AS nn_id
@@ -1913,8 +1972,8 @@ object SparkEntry {
          |WHERE rn <= 3""".stripMargin,
 
     "ann_ivf" ->
-      s"""WITH cells AS (SELECT * FROM read_parquet('/tmp/graft-ann-ivf-cells/sf0.01/*.parquet')),
-         |probes AS (SELECT * FROM read_parquet('/tmp/graft-ann-ivf-probes/sf0.01/*.parquet')),
+      s"""WITH cells AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "ivf-cells")}/*.parquet')),
+         |probes AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "ivf-probes")}/*.parquet')),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cand AS (SELECT query_id, vec_id AS nn_id
          |         FROM cells JOIN probes USING (cell) WHERE vec_id <> query_id),
@@ -2163,7 +2222,7 @@ object SparkEntry {
     "bigram_surprisal_scale" ->
       s"""WITH $BIGRAM_SCORES_CTES,
          |cut AS (SELECT cut1, cut2
-         |  FROM read_parquet('${Curation.pplCutsPath("/root/testdata/sf0.01")}/*.parquet'))
+         |  FROM read_parquet('${Curation.pplCutsPath(VerifySf, "bigram")}/*.parquet'))
          |SELECT doc_id, n_bigrams, avg_surprisal,
          |  CASE WHEN avg_surprisal <= cut1 THEN 'head'
          |       WHEN avg_surprisal <= cut2 THEN 'middle'
@@ -2716,7 +2775,6 @@ object SparkEntry {
     "simhash" -> "xxhash64 signatures: md5 twin simhash_md5 IS driver hash-matched",
     "winnow_fingerprint" -> "xxhash64 rolling hash: md5 twin winnow_md5 IS driver hash-matched",
     "heavy_hitters" -> "count-min/space-saving sketch: exact-agreement test vs groupBy counts in OperatorSpec",
-    "overlap_kmv" -> "KMV distinct sketch (engine-specific xxhash64): exact twin overlap_exact IS driver hash-matched; merge-invariance pinned EXACTLY + 1/sqrt(k) error bounds vs exact in OverlapSpec",
     "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",

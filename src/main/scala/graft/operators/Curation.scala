@@ -487,24 +487,30 @@ object Curation {
     * sketch cutoffs are the ONE engine-specific piece of the scale form,
     * so the registered entry freezes them and the oracle independently
     * recomputes everything else (scores, bucketing algebra) and applies
-    * the same frozen cuts — rows-only → hash-green. */
-  def pplCutsPath(d: String): String =
-    "/tmp/graft-ppl-cuts/" + new java.io.File(d).getName
+    * the same frozen cuts — rows-only → hash-green.
+    *
+    * Keyed PER ENTRY (`which`), not shared (r10 ADVICE): two entries
+    * overwriting one path would make the first entry's oracle depend on
+    * percentile_approx being bit-stable across separately-built token
+    * plans AND on driver execution order — each entry now freezes its own
+    * boundary and its oracle reads exactly the artifact its Spark run
+    * wrote. */
+  def pplCutsPath(d: String, which: String): String =
+    s"/tmp/graft-ppl-cuts-$which/" + new java.io.File(d).getName
 
   /** Registered scale entry: [[bigramSurprisalScaleFrom]] with the
     * percentile_approx cutoffs round-tripped through the parquet artifact
     * both engines read. */
   def qBigramSurprisalScaleArtifact(s: SparkSession, d: String): DataFrame =
-    bigramSurprisalScaleArtifactFrom(s, d, tokens(documents(s, d)))
+    bigramSurprisalScaleArtifactFrom(s, d, tokens(documents(s, d)), "bigram")
 
   /** See [[qBigramSurprisalScaleArtifact]]; takes a prebuilt token table
-    * (corpus_curate_scale threads its shared one — both entries write the
-    * SAME cuts for the same corpus, so the artifact is idempotent and
-    * order-independent). */
+    * plus the per-entry artifact key (corpus_curate_scale threads its
+    * shared token table and its own key). */
   def bigramSurprisalScaleArtifactFrom(s: SparkSession, d: String,
-                                       toks: DataFrame): DataFrame = {
+                                       toks: DataFrame, which: String): DataFrame = {
     val scores = bigramScores(toks).persist()
-    val cutsPath = pplCutsPath(d)
+    val cutsPath = pplCutsPath(d, which)
     scores.agg(
         percentile_approx(col("avg_surprisal"),
           array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))

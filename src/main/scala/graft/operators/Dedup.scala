@@ -387,8 +387,10 @@ object Dedup {
     *      Jaccard from positionwise agreement.
     * Only ids, band keys, and 64×8-byte signatures ever shuffle. */
   def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs0 = minhashSigs(shingleTable(documents(s, d))).persist()
-    val sigs = freeze(sigs0, dedupArtifactPath(d, "minhash-sigs"))
+    // no persist on the signature job: its single consumer is the freeze()
+    // write — every downstream read comes from the re-loaded frozen parquet,
+    // so a cached copy would live (unused) for the session (r10 ADVICE)
+    val sigs = freeze(minhashSigs(shingleTable(documents(s, d))), dedupArtifactPath(d, "minhash-sigs"))
     val buckets = freeze(bandKeyTable(sigs), dedupArtifactPath(d, "minhash-buckets"))
     minHashLshFromParts(sigs, buckets)
   }

@@ -85,8 +85,28 @@ object Overlap {
           .as("jaccard"))
   }
 
-  def qOverlapKmv(s: SparkSession, d: String): DataFrame =
-    overlapKmv(sourceShingleTable(documents(s, d)))
+  /** Frozen-artifact location for the per-source hashed-shingle table —
+    * shared verbatim with the DuckDB twin (the annArtifactPath pattern):
+    * the xxhash64 value per distinct (source, shingle) is the ONE
+    * engine-specific piece of the KMV path; the oracle recomputes the
+    * k-minimum selection, the pairwise union/intersection estimates and
+    * the rounding algebra from the same frozen values. */
+  def overlapArtifactPath(d: String): String =
+    "/tmp/graft-overlap-hashes/" + new java.io.File(d).getName
+
+  private def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Registered entry: hash table frozen to parquet, sketches + estimates
+    * served from the loaded copy so both engines see identical hash
+    * values (hash-green since r11; before that, rows-only). */
+  def qOverlapKmv(s: SparkSession, d: String): DataFrame = {
+    val hashed = sourceShingleTable(documents(s, d))
+      .select(col("source"), xxhash64(col("shingle")).as("h"))
+    overlapKmvFromHashes(freeze(hashed, overlapArtifactPath(d)))
+  }
 
   /** Sketch-side result row. Estimates are doubles (rounded for output
     * stability); `est_jaccard` carries ~1/√k standard error. */
@@ -99,10 +119,18 @@ object Overlap {
   def overlapKmv(ex: DataFrame, k: Int = KMinValues.DefaultK): DataFrame =
     pairEstimates(sketchTable(ex, k), k)
 
+  /** [[overlapKmv]] over a pre-hashed (source, h) table (the frozen
+    * artifact the registered entry serves from). */
+  def overlapKmvFromHashes(hashed: DataFrame, k: Int = KMinValues.DefaultK): DataFrame =
+    pairEstimates(sketchFromHashes(hashed, k), k)
+
   /** (source, sk) — one k-bounded KMV sketch per source. */
   def sketchTable(ex: DataFrame, k: Int = KMinValues.DefaultK): DataFrame =
-    ex.select(col("source"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("source"))
+    sketchFromHashes(ex.select(col("source"), xxhash64(col("shingle")).as("h")), k)
+
+  /** Sketch aggregation over an explicit (source, h) hash table. */
+  def sketchFromHashes(hashed: DataFrame, k: Int = KMinValues.DefaultK): DataFrame =
+    hashed.groupBy(col("source"))
       .agg(KMinValues.kmv(k)(col("h")).as("sk"))
 
   /** Pairwise estimates over a sketch table. The arithmetic is a typed

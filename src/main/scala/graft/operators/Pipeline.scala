@@ -132,9 +132,9 @@ object Pipeline {
     * within sketch error of a boundary may land one bucket over vs the
     * exact form (≥95% keep-agreement asserted in CurationSpec); since r10
     * the entry is HASH-GREEN anyway: the sketch cutoffs round-trip through
-    * the shared pplCutsPath parquet artifact and the DuckDB twin
-    * recomputes the scores and the whole gating algebra against the same
-    * frozen boundary. */
+    * this entry's own pplCutsPath("curate") parquet artifact and the
+    * DuckDB twin recomputes the scores and the whole gating algebra
+    * against the same frozen boundary. */
   def qCorpusCurateScale(s: SparkSession, d: String): DataFrame =
     corpusCurate(s, d, exactTercile = false)
 
@@ -148,11 +148,11 @@ object Pipeline {
     val rep = Curation.repetitionSignalsFrom(toks).select(col("doc_id"), col("repetitive"))
     val con = Curation.contaminationFromTokens(toks).select(col("doc_id"), col("contaminated"))
     val qual = TextOps.qQualityScore(s, d).select(col("doc_id"), col("quality"))
-    // scale form: the sketch cutoffs go through the pplCutsPath parquet
-    // artifact (shared with bigram_surprisal_scale — same corpus, same
-    // cuts) so the DuckDB twin can apply the identical frozen boundary
+    // scale form: the sketch cutoffs go through THIS entry's own
+    // pplCutsPath("curate") parquet artifact so the DuckDB twin applies
+    // the identical frozen boundary regardless of entry execution order
     val ppl = (if (exactTercile) Curation.bigramSurprisalFrom(toks)
-               else Curation.bigramSurprisalScaleArtifactFrom(s, d, toks))
+               else Curation.bigramSurprisalScaleArtifactFrom(s, d, toks, "curate"))
       .select(col("doc_id"), col("avg_surprisal"), col("ppl_bucket"))
     val mix = Pipeline.qDomainMix(s, d).select(col("doc_id"), col("kept").as("mix_kept"))
     documents(s, d).select(col("doc_id"), col("source"))
