@@ -84,7 +84,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "canonical_select"    -> (Dedup.qCanonicalSelect _), // cluster labels + quality argmax
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
-    "simhash"             -> (Dedup.qSimHash _),      // rows-only: xxhash64 not in DuckDB
+    "simhash"             -> (Dedup.qSimHash _),      // token-hash bag frozen; oracle recomputes votes + bit assembly (hash-green since r11)
     "simhash_md5"         -> (Dedup.qSimHashMd5 _),   // oracle twin: md5 bit source, hash-matched in DuckDB
     "simhash_pairs"       -> (Dedup.qSimHashPairs _), // signatures frozen; oracle recomputes banding + hamming gate (hash-green since r10)
     "simhash_pairs_md5"   -> (Dedup.qSimHashPairsMd5 _), // oracle twin: banded hex chunks + per-digit hamming
@@ -109,7 +109,7 @@ object SparkEntry {
     "token_count"         -> (TextOps.qTokenCount _),
     "corpus_stats"        -> (TextOps.qCorpusStats _),
     "fingerprint"         -> (TextOps.qFingerprint _),
-    "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // rows-only: xxhash64 not in DuckDB
+    "winnow_fingerprint"  -> (TextOps.qWinnowFingerprint _), // k-gram hash table frozen; oracle recomputes window-min + distinct (hash-green since r11)
     "winnow_md5"          -> (TextOps.qWinnowFingerprintMd5 _), // oracle twin: md5-string window min, hash-matched in DuckDB
     "q31_tfidf"           -> (TextOps.qTfIdf _),
     "bm25_topterms"       -> (TextOps.qBm25 _),
@@ -123,8 +123,8 @@ object SparkEntry {
     "oov_rate"            -> (TextOps.qOovRate _), // per-source OOV mass vs the top-N vocab (tokenizer sizing report)
     "token_fertility"     -> (TextOps.qTokenFertility _), // per-language chars-per-token under both tokenizers
     "bpe_pair_counts"     -> (TextOps.qBpePairCounts _),
-    "bpe_merges"          -> (TextOps.qBpeMerges _), // rows-only: iterative argmax not SQL-expressible; round-0 scoring table IS the driver-matched bpe_pair_counts twin, loop pinned vs hand-computed reference in OperatorSpec
-    "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // apply step oracled via the frozen segmentation artifact (bpeSegsPath); the merge LOOP stays rows-only as bpe_merges
+    "bpe_merges"          -> (TextOps.qBpeMerges _), // 8 chained CTE rounds recompute every argmax + greedy merge in DuckDB (hash-green since r11); loop also pinned vs hand-computed reference in OperatorSpec
+    "bpe_tokenize"        -> (TextOps.qBpeTokenize _), // apply step oracled via the frozen segmentation artifact (bpeSegsPath); the merge loop itself is oracled by bpe_merges' chained CTEs
     "html_extract"        -> (TextOps.qHtmlExtract _), // web-corpus boilerplate strip + entity decode
     "q39_array_setops"    -> (TextOps.qArraySetOps _),
     "q40_range_band_join" -> (R.qRangeBandJoin _),
@@ -941,9 +941,47 @@ object SparkEntry {
       s"""WITH $SIMHASH_MD5_CTES
          |SELECT doc_id, simhash FROM sig""".stripMargin,
 
+    // simhash twin (r10 VERDICT task 2): the per-(doc, token-occurrence)
+    // xxhash64 BAG is frozen (Dedup.dedupArtifactPath "simhash-toks");
+    // DuckDB recomputes the 64 signed vote sums (arithmetic >> + mask,
+    // the simhash_pairs-verified semantics) and assembles the two's-
+    // complement BIGINT signature — bit 63 as the explicit Long.MinValue
+    // literal, bits 0..62 as positive literals; terms are disjoint so the
+    // 64-term scalar sum never overflows. The md5 twin (simhash_md5)
+    // additionally verifies signature construction with a portable hash.
+    "simhash" -> {
+      val votes = (0 until 64)
+        .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n|    ")
+      val asm = (0 until 63).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" +\n|  ") + " +\n|  CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END"
+      s"""WITH h AS (SELECT doc_id, h
+         |  FROM read_parquet('${Dedup.dedupArtifactPath(VerifySf, "simhash-toks")}/*.parquet')),
+         |v AS (SELECT doc_id,
+         |    $votes
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |  $asm AS simhash
+         |FROM v""".stripMargin
+    },
+
     "simhash_pairs_md5" -> SIMHASH_PAIRS_MD5_SQL,
 
     "winnow_md5" -> WINNOW_MD5_SQL,
+
+    // winnow_fingerprint twin (r10 VERDICT task 2): the per-(doc, pos)
+    // k-gram xxhash64 table is frozen (TextOps.textArtifactPath
+    // "winnow-kgrams"); DuckDB recomputes the sliding-window minimum
+    // (same ROWS frame over the same pos order) and the distinct. The
+    // md5 twin (winnow_md5) pins the k-gram construction portably.
+    "winnow_fingerprint" ->
+      s"""WITH kg AS (SELECT doc_id, pos, h
+         |  FROM read_parquet('${TextOps.textArtifactPath(VerifySf, "winnow-kgrams")}/*.parquet')),
+         |mn AS (SELECT doc_id,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
+         |       FROM kg)
+         |SELECT DISTINCT doc_id, fp FROM mn""".stripMargin,
 
     "dedup_agreement" ->
       s"""WITH a AS (SELECT doc_a, doc_b FROM ($NGRAM_PAIRS_SQL)),
@@ -1593,6 +1631,44 @@ object SparkEntry {
          |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq FROM pr GROUP BY 1)
          |SELECT pair, pair_freq FROM agg
          |ORDER BY pair_freq DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // bpe_merges twin (r10 VERDICT task 3): the 8-round argmax-and-merge
+    // loop expressed as 8 chained CTE stages over the word-frequency
+    // table — no frozen artifact at all; DuckDB recomputes EVERY round's
+    // pair counts, the (count desc, left asc, right asc) argmax, and the
+    // greedy left-to-right merge application. The merge uses replace()
+    // over a double-space-wrapped symbol encoding (' a  b ' per adjacent
+    // pair): wrapping each symbol as ' sym ' makes adjacent matches share
+    // no characters, so replace's leftmost non-overlapping scan is
+    // EXACTLY TextOps.mergePair's greedy i+=2 walk (verified on the
+    // aaa/aaaa chain cases); symbols never contain a space (whitespace
+    // tokenization), so the encoding is unambiguous and the space-joined
+    // pair string preserves the (left, right) tuple sort order.
+    "bpe_merges" -> {
+      def round(r: Int): String = {
+        val prev = s"w${r - 1}"
+        s"""p$r AS (SELECT l[g] || ' ' || l[g+1] AS pair, freq
+           |  FROM (SELECT freq, string_split(trim(s), '  ') AS l FROM $prev) t$r,
+           |       unnest(generate_series(1, len(t$r.l) - 1)) AS u$r(g)),
+           |c$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM p$r GROUP BY 1),
+           |m$r AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, c
+           |        FROM c$r ORDER BY c DESC, string_split(pair, ' ')[1], string_split(pair, ' ')[2]
+           |        LIMIT 1),
+           |w$r AS (SELECT freq, replace(s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS s
+           |        FROM $prev CROSS JOIN m$r m)""".stripMargin
+      }
+      val rounds = (1 to TextOps.BpeMergeRounds).map(round).mkString(",\n")
+      val out = (1 to TextOps.BpeMergeRounds).map(r =>
+        s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, c AS pair_freq FROM m$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT unnest($WORDS) AS w FROM documents),
+         |wf AS (SELECT w, count(*) AS freq FROM t WHERE len(w) > 0 GROUP BY 1),
+         |w0 AS (SELECT freq,
+         |  ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), '  ') || ' ' AS s
+         |  FROM wf),
+         |$rounds
+         |$out""".stripMargin
+    },
 
     "release_manifest" ->
       s"""WITH t AS (SELECT doc_id, source, text, $NORM AS norm, $WORDS AS words FROM documents),
@@ -2772,10 +2848,7 @@ object SparkEntry {
     "q09_approx_distinct" -> "HLL sketch: 5% relative-error bound vs exact q08 asserted in OperatorSpec",
     "q37_approx_percentile" -> "rank-accuracy sketch: rank-distance bound vs exact q28 asserted in OperatorSpec",
     "q43_hll_sketch_merge" -> "mergeable HLL rollup: merge==direct equality + 5% bound vs exact, OperatorSpec",
-    "simhash" -> "xxhash64 signatures: md5 twin simhash_md5 IS driver hash-matched",
-    "winnow_fingerprint" -> "xxhash64 rolling hash: md5 twin winnow_md5 IS driver hash-matched",
     "heavy_hitters" -> "count-min/space-saving sketch: exact-agreement test vs groupBy counts in OperatorSpec",
-    "bpe_merges" -> "iterative argmax loop not SQL-expressible: round-0 scoring table IS the driver-matched bpe_pair_counts twin; full loop pinned vs a hand-computed reference corpus in OperatorSpec",
     "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
     "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",
     "media_frames" -> "frame sampling: stride/index determinism pinned in OperatorSpec",

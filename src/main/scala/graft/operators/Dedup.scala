@@ -645,11 +645,25 @@ object Dedup {
     * votes +1/−1 by bit j of xxhash64(token); bit set iff the vote sum is
     * positive. Same explode + codegen + partial-agg shape as
     * [[minhashSigs]]: one hash per (doc, token) row, 64 signed-sum
-    * aggregates (map-side combined), bit assembly in a final projection. */
+    * aggregates (map-side combined), bit assembly in a final projection.
+    *
+    * HASH-GREEN since r11 (r10 VERDICT task 2): the per-(doc, token-
+    * occurrence) xxhash64 table — the ONE engine-specific piece — is
+    * frozen to parquet, and the DuckDB twin recomputes the 64 vote sums
+    * (arithmetic `>>` + mask, identical semantics) and the two's-
+    * complement bit assembly (bit 63 as the explicit Long.MinValue
+    * literal) from the same frozen values. The md5 twin additionally
+    * pins signature CONSTRUCTION with a portable hash. */
   def qSimHash(s: SparkSession, d: String): DataFrame = {
-    val h = documents(s, d)
+    val h0 = documents(s, d)
       .select(col("doc_id"), explode(normWords(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    simHashFromTokenHashes(freeze(h0, dedupArtifactPath(d, "simhash-toks")))
+  }
+
+  /** Vote sums + bit assembly over an explicit (doc_id, h) token-hash
+    * BAG (duplicates count — each occurrence votes). */
+  def simHashFromTokenHashes(h: DataFrame): DataFrame = {
     val voteCols = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$j")

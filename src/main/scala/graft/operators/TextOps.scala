@@ -325,14 +325,36 @@ object TextOps {
   val WinnowK = 4  // words per rolling k-gram
   val WinnowW = 8  // window of consecutive k-gram hashes to min over
 
+  /** Frozen-artifact location for text-family hash tables — shared
+    * verbatim with the DuckDB twins (the dedupArtifactPath pattern). */
+  def textArtifactPath(d: String, which: String): String =
+    s"/tmp/graft-text-$which/" + new java.io.File(d).getName
+
+  private def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Registered entry — HASH-GREEN since r11 (r10 VERDICT task 2): the
+    * per-(doc, pos) k-gram xxhash64 table is frozen to parquet and the
+    * DuckDB twin recomputes the sliding-window minimum selection
+    * (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING) and the distinct from
+    * the same frozen values — only the hash itself comes from the engine
+    * under test; the md5 twin pins hash construction portably. */
   def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
-    winnowFingerprints(documents(s, d))
+    winnowFromKgramHashes(
+      freeze(winnowKgramHashes(documents(s, d)), textArtifactPath(d, "winnow-kgrams")))
 
   /** Winnowing over any (doc_id, text) frame — see [[qWinnowFingerprint]]. */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowFromKgramHashes(winnowKgramHashes(docs))
+
+  /** (doc_id, pos, h): xxhash64 of each word k-gram at its start
+    * position — the window-lead construction shared with the md5 twin. */
+  def winnowKgramHashes(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val kgram = docs
+    docs
       .select(col("doc_id"), posexplode(normWords(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("w") +: (1 until WinnowK).map(k => lead(col("w"), k).over(byPos)): _*)
@@ -340,6 +362,13 @@ object TextOps {
         lead(col("w"), WinnowK - 1).over(byPos).as("wk"))
       .filter(col("wk").isNotNull)
       .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+  }
+
+  /** Window-min fingerprint selection over an explicit (doc_id, pos, h)
+    * k-gram hash table. */
+  def winnowFromKgramHashes(kgram: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     kgram
       .select(col("doc_id"),
         min(col("h")).over(byPos.rowsBetween(0, WinnowW - 1)).as("fp"))
@@ -801,10 +830,14 @@ object TextOps {
     * vocabulary-sized, not corpus-sized). Output is the merge-rule table:
     * (merge_rank, left_sym, right_sym, merged, pair_freq).
     *
-    * No oracle (iterative argmax is not SQL-expressible): the round-0
-    * scoring table IS driver-matched as bpe_pair_counts, and the full
-    * loop is pinned against a hand-computed reference (the classic
-    * low/lower/newest/widest corpus) plus invariants in TextOpsSpec. */
+    * HASH-GREEN since r11: the fixed-round loop IS SQL-expressible as
+    * chained CTE stages — the DuckDB twin recomputes every round's pair
+    * counts, argmax (same total-order tiebreak) and greedy merge (string
+    * replace over a space-wrapped symbol encoding reproduces
+    * [[mergePair]]'s non-overlapping left-to-right walk exactly). The
+    * loop is additionally pinned against a hand-computed reference (the
+    * classic low/lower/newest/widest corpus) plus invariants in
+    * TextOpsSpec. */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val (merges, words) = bpeTrain(docs, rounds)
     words.unpersist()
