@@ -176,9 +176,8 @@ object SparkEntry {
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()),
-    "media_resize"        -> ((s: SparkSession, d: String) =>
-      Multimodal.resize(Multimodal.mediaFromDocuments(s, d), 320, 240).toDF()
-        .drop("content")), // metadata slice; payload bytes are opaque
+    "media_resize"        -> (Multimodal.qMediaResize _), // decoded input dims frozen; oracle recomputes the resize-box arithmetic (hash-green since r11)
+    "media_report"        -> (Multimodal.qMediaReport _), // decoded table frozen; oracle recomputes the per-type aggregation algebra (NEW r11)
     "media_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
     // ---- LLM-pipeline: split / sample / order ----
@@ -2780,6 +2779,46 @@ object SparkEntry {
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin,
 
+    // media_resize twin (r10 VERDICT task 7): decoded input dims frozen
+    // (Multimodal.mediaArtifactPath "resize-in" — a REAL ImageIO/
+    // AudioSystem decode pass on executors); DuckDB recomputes the
+    // aspect-keeping box arithmetic. floor() == Scala's positive .toInt
+    // truncation; the s >= 1 passthrough keeps decoded dims verbatim;
+    // audio (and degenerate zero-dim payloads) pass through.
+    "media_resize" ->
+      s"""WITH f AS (SELECT asset_id, media_type, width AS w0, height AS h0, n_frames
+         |  FROM read_parquet('${Multimodal.mediaArtifactPath(VerifySf, "resize-in")}/*.parquet')),
+         |sc AS (SELECT asset_id, media_type, w0, h0, n_frames,
+         |         least(1.0, least(320.0 / w0, 240.0 / h0)) AS s
+         |       FROM f WHERE media_type <> 'audio' AND w0 > 0 AND h0 > 0)
+         |SELECT asset_id, media_type,
+         |  CASE WHEN s >= 1.0 THEN w0
+         |       ELSE greatest(1, CAST(floor(w0 * s) AS INT)) END AS width,
+         |  CASE WHEN s >= 1.0 THEN h0
+         |       ELSE greatest(1, CAST(floor(h0 * s) AS INT)) END AS height,
+         |  n_frames
+         |FROM sc
+         |UNION ALL
+         |SELECT asset_id, media_type, w0 AS width, h0 AS height, n_frames
+         |FROM f WHERE media_type = 'audio' OR w0 = 0 OR h0 = 0""".stripMargin,
+
+    // media_report twin: the decoded per-asset table is the frozen
+    // boundary; the per-type aggregation algebra (counts, byte/frame
+    // mass, dimension envelope, order-free decimal checksum) is
+    // recomputed by DuckDB from the same parquet.
+    "media_report" ->
+      s"""WITH f AS (SELECT *
+         |  FROM read_parquet('${Multimodal.mediaArtifactPath(VerifySf, "features")}/*.parquet'))
+         |SELECT media_type,
+         |  count(*) AS n_assets,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(sum(n_frames_sampled) AS BIGINT) AS total_frames,
+         |  max(width) AS max_width,
+         |  max(height) AS max_height,
+         |  CAST(CAST(sum(CAST(checksum AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS checksum_sum
+         |FROM f GROUP BY media_type""".stripMargin,
+
     // Integer micro-unit PageRank: every division is `//` (DuckDB) / `div`
     // (Spark) on BIGINT, sums stay integral (HUGEINT→BIGINT cast), so the
     // 3-round recurrence is bit-exact across engines. The CTE chain is the
@@ -2849,8 +2888,7 @@ object SparkEntry {
     "q37_approx_percentile" -> "rank-accuracy sketch: rank-distance bound vs exact q28 asserted in OperatorSpec",
     "q43_hll_sketch_merge" -> "mergeable HLL rollup: merge==direct equality + 5% bound vs exact, OperatorSpec",
     "heavy_hitters" -> "count-min/space-saving sketch: exact-agreement test vs groupBy counts in OperatorSpec",
-    "media_features" -> "real ImageIO/AudioSystem decode of synthesized payloads: deterministic checksums pinned in OperatorSpec; metadata twin multimodal_meta IS driver-matched",
-    "media_resize" -> "decode+scale+re-encode: output dims and checksums pinned in OperatorSpec",
-    "media_frames" -> "frame sampling: stride/index determinism pinned in OperatorSpec",
+    "media_features" -> "the decode boundary itself (real ImageIO/AudioSystem codecs; no SQL equivalent): deterministic checksums + distributed==local equality pinned in OperatorSpec; downstream algebra hash-gated via media_report's frozen-table oracle; metadata twin multimodal_meta IS driver-matched",
+    "media_frames" -> "frame sampling re-decodes payloads per frame (no SQL equivalent): stride/index determinism pinned in OperatorSpec; the sibling resize/report algebra is hash-gated from the frozen decode boundary",
   )
 }

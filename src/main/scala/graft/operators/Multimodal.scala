@@ -371,6 +371,65 @@ object Multimodal {
     assets.flatMap(frameRows(_, k))
   }
 
+  // ------------------------------------------------ frozen decode boundary
+
+  /** Frozen-artifact location for the decode boundary — shared verbatim
+    * with the DuckDB twins (the annArtifactPath pattern): decode itself
+    * cannot run in DuckDB, so the per-asset DECODED table is the frozen
+    * boundary and everything downstream of it (resize-box arithmetic,
+    * per-type aggregation algebra) is recomputed independently by the
+    * oracle. The decode stays pinned by OperatorSpec's deterministic-
+    * checksum and distributed==local equality tests. */
+  def mediaArtifactPath(d: String, which: String): String =
+    s"/tmp/graft-media-$which/" + new java.io.File(d).getName
+
+  private def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Registered media_resize entry — HASH-GREEN since r11 (r10 VERDICT
+    * task 7): freezes the decoded INPUT dimensions (a separate real
+    * decode pass), then runs the real decode → nearest-neighbor scale →
+    * re-encode pipeline. The oracle recomputes the aspect-keeping box
+    * arithmetic (s = min(1, 320/w, 240/h); out = max(1, ⌊dim·s⌋)) from
+    * the frozen input dims, so the hash gate covers decode determinism
+    * across passes plus the whole resize-accounting algebra; the pixel-
+    * level scale/re-encode content stays pinned by OperatorSpec's
+    * checksum assertions (payload bytes are opaque to the driver). */
+  def qMediaResize(s: SparkSession, d: String): DataFrame = {
+    val assets = mediaFromDocuments(s, d)
+    freeze(
+      extractFeatures(assets).toDF()
+        .select(col("asset_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames_sampled").as("n_frames")),
+      mediaArtifactPath(d, "resize-in"))
+    resize(assets, 320, 240).toDF().drop("content")
+  }
+
+  /** Per-type corpus accounting over the decoded-feature table — the
+    * report a media-curation run ships (asset counts, payload mass,
+    * frame totals, decoded-dimension envelope, order-independent decoded-
+    * content checksum). The registered entry freezes the decoded table
+    * ([[mediaArtifactPath]] "features") and aggregates the loaded copy;
+    * the DuckDB twin recomputes the whole aggregation from the same
+    * parquet — the downstream algebra of the media family is hash-gated
+    * even though the decode boundary itself cannot run in SQL. Checksum
+    * travels as decimal(38,0)-summed STRING (the release_manifest
+    * convention: order/partitioning-independent, engine-portable). */
+  def qMediaReport(s: SparkSession, d: String): DataFrame = {
+    val frozen = freeze(extractFeatures(mediaFromDocuments(s, d)).toDF(),
+      mediaArtifactPath(d, "features"))
+    frozen.groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_assets"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("n_frames_sampled").cast("long")).as("total_frames"),
+      max(col("width")).as("max_width"),
+      max(col("height")).as("max_height"),
+      sum(col("checksum").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string").as("checksum_sum"))
+  }
+
   /** Oracle-checkable slice of the multimodal path: binary payload length,
     * content digest, and the batch shape a frame-sampler would use. */
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
