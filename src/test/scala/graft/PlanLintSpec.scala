@@ -53,7 +53,21 @@ class PlanLintSpec extends AnyFunSuite {
       "(seeded-hash sort); doc-grain rows, writer re-chunks downstream"),
     "vocab_coverage" -> ("Zipf coverage rank is a VOCABULARY-grain global " +
       "window (vocab << corpus, sublinear under Zipf — the heavy-hitters " +
-      "caveat vocab_build's top-N cut already carries)"))
+      "caveat vocab_build's top-N cut already carries)"),
+    // ---- grain-bounded single-partition windows surfaced when the lint
+    // moved to the PREPARED plan (r11): each child is an aggregate whose
+    // grain is fixed by the data contract, not corpus size ----
+    "ingest_anomaly" -> ("trailing-week z-score runs over DAY-grain counts " +
+      "— rows = #calendar days, invariant under corpus scale"),
+    "q46_histogram" -> ("cumulative distribution over fixed-width value " +
+      "buckets — rows = value-range/25, a constant (~17)"),
+    "weighted_sample" -> ("global cumulative base over the 256-bucket md5 " +
+      "prefix grain — exactly 256 rows at any scale"),
+    "equidepth_hist" -> ("boundary refinement over the 10-coarse-bucket " +
+      "grain (the bounded two-pass design: only bucket stats, never " +
+      "values, cross the single partition)"),
+    "selectivity_estimate" -> ("embeds equidepth_hist's 10-bucket " +
+      "boundary refinement — same grain bound"))
 
   /** Build sides that are bounded by DATA CONTRACT rather than plan
     * structure — each an explicit `broadcast()` the operator's scaladoc
@@ -87,23 +101,48 @@ class PlanLintSpec extends AnyFunSuite {
         case e => e.foldable
       }
     case _: GlobalLimitExec | _: LocalLimitExec => true
+    // prepared-plan spellings of a limit (the lint runs on executedPlan
+    // since r11: EnsureRequirements inserts the exchanges it audits)
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    // ReusedExchangeExec is a LEAF pointing at another exchange — descend
+    // into the referenced subtree or every reuse reads as unbounded
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      bounded(r.child)
     case _: LocalTableScanExec => true
     case r: RangeExec => r.numElements <= BigInt(1000000)
     case _ => false
   }
 
+  /** One plan build per entry, shared by the shape lint and the
+    * exchange-count budget (building 170+ plans — including the frozen-
+    * artifact entries' eager freeze writes — is the expensive part; pay
+    * it once). The plan is the PREPARED physical plan with AQE disabled:
+    * `sparkPlan` predates EnsureRequirements, so it carries only explicit
+    * repartitions — the exchanges that define the shuffle budget (and the
+    * single-partition shapes the lint hunts) are INSERTED during
+    * preparation, and AQE must be off so the tree is the concrete plan,
+    * not an AdaptiveSparkPlanExec placeholder. */
+  lazy val built: Seq[(String, Either[String, SparkPlan])] = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val r =
+        try Right(fn(spark, d).queryExecution.executedPlan)
+        catch { case e: Throwable => Left(s"${e.getMessage}") }
+      spark.catalog.clearCache()
+      (name, r)
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("no registered query plans a Cartesian product, an unbounded NLJ, " +
     "or an unapproved data-sized single-partition exchange") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, d).queryExecution.sparkPlan
-        catch { case e: Throwable =>
-          failures += s"$name: query construction failed: ${e.getMessage}"
-          spark.catalog.clearCache()
-          null
-        }
-      if (plan != null) {
+    built.foreach {
+      case (name, Left(err)) =>
+        failures += s"$name: query construction failed: $err"
+      case (name, Right(plan)) =>
         nodes(plan).foreach {
           case _: CartesianProductExec =>
             failures += s"$name: CartesianProductExec in plan"
@@ -120,10 +159,49 @@ class PlanLintSpec extends AnyFunSuite {
               failures += s"$name: Exchange SinglePartition over unbounded child"
           case _ => ()
         }
-        spark.catalog.clearCache()
-      }
     }
     assert(failures.isEmpty, "plan lint failures:\n" + failures.mkString("\n"))
+  }
+
+  /** r10 VERDICT task 6: the shuffle BUDGET. The shape lint above forbids
+    * catastrophic plans; this gate pins each entry's ShuffleExchangeExec
+    * COUNT against a committed manifest so an edit that introduces an
+    * avoidable exchange fails CI as a diff, not as a bench mover three
+    * rounds later. Counts are pre-AQE (structural, deterministic at the
+    * fixed sf0.001 fixture). An INTENTIONAL plan change regenerates the
+    * manifest: GRAFT_REGEN_EXCHANGE_MANIFEST=1 sbt "testOnly *PlanLintSpec"
+    * rewrites src/test/resources/exchange_counts.tsv — the diff then
+    * carries the new counts for review, which is the point. */
+  val manifestPath = "src/test/resources/exchange_counts.tsv"
+
+  test("per-entry shuffle-exchange counts match the committed manifest") {
+    val counts: Seq[(String, Int)] = built.collect { case (name, Right(plan)) =>
+      (name, nodes(plan).count(_.isInstanceOf[ShuffleExchangeExec]))
+    }
+    val rendered = counts.map { case (n, c) => s"$n\t$c" }.mkString("", "\n", "\n")
+    if (sys.env.contains("GRAFT_REGEN_EXCHANGE_MANIFEST")) {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath), rendered)
+      info(s"regenerated $manifestPath with ${counts.size} entries")
+    } else {
+      val f = java.nio.file.Paths.get(manifestPath)
+      assert(java.nio.file.Files.exists(f),
+        s"missing $manifestPath — run with GRAFT_REGEN_EXCHANGE_MANIFEST=1 to create it")
+      val expected = java.nio.file.Files.readString(f).linesIterator
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, c) = l.split("\t"); (n, c.toInt)
+        }.toMap
+      val diffs = counts.flatMap { case (n, c) =>
+        expected.get(n) match {
+          case Some(e) if e == c => None
+          case Some(e) => Some(s"$n: plan has $c exchanges, manifest pins $e")
+          case None => Some(s"$n: not in manifest (new entry? regenerate)")
+        }
+      } ++ (expected.keySet -- counts.map(_._1).toSet)
+        .map(n => s"$n: in manifest but not registered (stale? regenerate)")
+      assert(diffs.isEmpty,
+        "exchange-budget drift (if intentional, regenerate the manifest and " +
+          "review its diff):\n" + diffs.mkString("\n"))
+    }
   }
 
   test("allowlists name only registered queries") {
