@@ -246,10 +246,22 @@ object ValidationJob {
     }
   }
 
-  /** One step's transaction: buffered sends, atomic visibility at commit. */
+  /** One step's transaction: buffered sends, atomic visibility at commit.
+    *
+    * `commit(marker)` runs the step's replay marker AT THE COMMIT POINT —
+    * the marker is part of the transaction, not a separate action after it
+    * (r10 ADVICE: with the marker outside, a crash between commit() and
+    * markStep replayed the whole step and delivered a second full copy;
+    * the transaction only narrowed the duplicate window, it did not close
+    * it). An implementation must make rows-visible and marker-written land
+    * together from the replayer's point of view: the production Kafka
+    * analogue commits the marker/offsets INSIDE the transaction
+    * (`sendOffsetsToTransaction` — read_committed replayers see both or
+    * neither), and RecoverySpec pins the protocol by crashing immediately
+    * after a committed step and asserting the replay skips it. */
   private[streaming] trait SinkTransaction {
     def send(df: DataFrame, topic: String): Unit
-    def commit(): Unit
+    def commit(marker: () => Unit = () => ()): Unit
     def abort(): Unit
   }
 
@@ -368,12 +380,24 @@ object ValidationJob {
         if (!EpochCommitLog.stepDone(spark, commitDir, epochId, name)) {
           sink match {
             case t: TxOutputSink =>
+              // the step marker is COMMITTED WITH the transaction (see
+              // SinkTransaction scaladoc): a crash anywhere around the
+              // commit point leaves rows+marker either both present
+              // (replay skips the step) or both absent (replay re-runs an
+              // invisible step) — never a committed step without a marker
               val tx = t.begin(epochId, name)
-              try { body(tx.send); tx.commit() }
+              try {
+                body(tx.send)
+                tx.commit(() => EpochCommitLog.markStep(spark, commitDir, epochId, name))
+              }
               catch { case e: Throwable => tx.abort(); throw e }
-            case s => body(s.write)
+            case s =>
+              // plain sink: the write itself is not atomic, so the marker
+              // stays a separate follow-up — the documented at-least-once
+              // residual of the non-transactional path
+              body(s.write)
+              EpochCommitLog.markStep(spark, commitDir, epochId, name)
           }
-          EpochCommitLog.markStep(spark, commitDir, epochId, name)
         }
 
       step("k1")(w => w(recordFrame(cached, Output.Valid), topics.out))

@@ -68,6 +68,26 @@ class CurationStateSpec extends AnyFunSuite {
     assertFrameEqual(merged.benchGrams, direct.benchGrams, "benchGrams")
   }
 
+  test("merged partials (10-way split) == direct whole-state computation " +
+    "(r10 VERDICT task 4: the merge algebra is split-count invariant)") {
+    val partials = tmp("cs-partials10")
+    val frozen = tmp("cs-frozen10")
+    (0 until 10).foreach { i =>
+      CurationState.writePartial(
+        state.filter(pmod(col("doc_id"), lit(10)) === i), partials, i.toLong)
+    }
+    CurationState.finalizeFromPartials(spark, partials, frozen)
+    val merged = CurationState.load(spark, frozen)
+    val direct = CurationState.compute(state)
+    assertFrameEqual(merged.c1, direct.c1, "c1 (10-way)")
+    assertFrameEqual(merged.c2, direct.c2, "c2 (10-way)")
+    assertFrameEqual(merged.stats, direct.stats, "stats (10-way)")
+    assertFrameEqual(merged.bounds, direct.bounds, "bounds (10-way)")
+    assertFrameEqual(merged.fp, direct.fp, "fp (10-way)")
+    assertFrameEqual(merged.srcCounts, direct.srcCounts, "srcCounts (10-way)")
+    assertFrameEqual(merged.benchGrams, direct.benchGrams, "benchGrams (10-way)")
+  }
+
   test("a retried partial batch overwrites its own directory (idempotent replay)") {
     val partials = tmp("cs-replay")
     val frozenOnce = tmp("cs-frozen-once")

@@ -300,6 +300,7 @@ class RecoverySpec extends AnyFunSuite {
     val committed = new ConcurrentLinkedQueue[(String, String)]()
     val abortedSteps = new ConcurrentLinkedQueue[String]()
     val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val crashAfterCommit = new java.util.concurrent.atomic.AtomicBoolean(false)
     val sink = new ValidationJob.TxOutputSink {
       def begin(epochId: Long, step: String): ValidationJob.SinkTransaction =
         new ValidationJob.SinkTransaction {
@@ -315,7 +316,16 @@ class RecoverySpec extends AnyFunSuite {
               buf += ((topic, new String(r.getAs[Array[Byte]]("key"), UTF_8)))
             }
           }
-          def commit(): Unit = buf.foreach(committed.add)
+          def commit(marker: () => Unit): Unit = {
+            // rows + marker land together (the coupled-commit contract);
+            // crashAfterCommit fires AFTER the atomic point — the window
+            // that used to duplicate the step when the marker was written
+            // outside the transaction. Only a DATA-BEARING K1 commit
+            // triggers it (empty trigger epochs also run the steps).
+            buf.foreach(committed.add); marker()
+            if (buf.exists(_._1 == topics.out) && crashAfterCommit.getAndSet(false))
+              throw new RuntimeException("injected crash: after committed step, before epoch commit")
+          }
           def abort(): Unit = abortedSteps.add(step)
         }
     }
@@ -366,11 +376,41 @@ class RecoverySpec extends AnyFunSuite {
     val q2 = start()
     input.addData((13 to 15).map(i => PipelineEvent.of(rec(i), i.toLong)): _*)
     input.addData(PipelineEvent.of(notif(SendCompleted, Some(15)), 16))
+    pollUntil(keysOn(topics.out).size >= 15 && notifCount() > 0)
+    assert(keysOn(topics.out).sorted == (1 to 15).toList,
+      s"records duplicated or lost across the mid-write abort: ${keysOn(topics.out).sorted}")
+
+    // Phase 3 (r10 ADVICE): crash AFTER a step committed but BEFORE the
+    // epoch commit — the window that used to deliver a second full copy
+    // of the step when the marker was a separate action after commit().
+    // The marker now lands atomically WITH the commit, so the replayed
+    // epoch sees stepDone and skips the already-delivered step. A SECOND
+    // batch carries the phase-3 records (the first completed at 15; its
+    // late records would route invalid, not to the out topic).
+    val Batch2 = "ha-batch-2"
+    def notif2(status: String): BatchNotification =
+      BatchNotification(Batch2, "HaBatch2", status, "procedure",
+        "2020-04-08T03:02:23Z", "2020-04-11T16:02:44Z", None, Topic)
+    def rec2(key: Int): HriRecord =
+      HriRecord(Seq(HriHeader("batchId", Batch2.getBytes(UTF_8))),
+        key.toString.getBytes(UTF_8), s"body-$key".getBytes(UTF_8), Topic, 0, key.toLong)
+    crashAfterCommit.set(true)
+    input.addData(PipelineEvent.of(notif2(Started), 100L) +:
+      (16 to 20).map(i => PipelineEvent.of(rec2(i), 100L + i)): _*)
+    val deadline3 = System.currentTimeMillis() + 30000
+    while (q2.isActive && System.currentTimeMillis() < deadline3) Thread.sleep(50)
+    assert(!q2.isActive, "injected post-commit crash must kill the query")
+    assert(keysOn(topics.out).sorted == (1 to 20).toList,
+      s"post-commit crash lost or duplicated rows: ${keysOn(topics.out).sorted}")
+
+    val q3 = start()
+    input.addData((21 to 23).map(i => PipelineEvent.of(rec2(i), 100L + i)): _*)
     try {
-      pollUntil(keysOn(topics.out).size >= 15 && notifCount() > 0)
-      assert(keysOn(topics.out).sorted == (1 to 15).toList,
-        s"records duplicated or lost across the mid-write abort: ${keysOn(topics.out).sorted}")
-    } finally q2.stop()
+      pollUntil(keysOn(topics.out).size >= 23)
+      assert(keysOn(topics.out).sorted == (1 to 23).toList,
+        "committed step replayed — the marker did not land with the commit: " +
+          keysOn(topics.out).sorted.mkString(","))
+    } finally q3.stop()
   }
 
   test("TxOutputSink autocommit write aborts on failure and commits otherwise") {
@@ -387,7 +427,7 @@ class RecoverySpec extends AnyFunSuite {
             df.collect().foreach(r =>
               buf += ((topic, new String(r.getAs[Array[Byte]]("key"), UTF_8))))
           }
-          def commit(): Unit = buf.foreach(committed.add)
+          def commit(marker: () => Unit): Unit = { buf.foreach(committed.add); marker() }
           def abort(): Unit = aborted.incrementAndGet()
         }
     }
