@@ -4,19 +4,31 @@ for each entry in oracle_sql.json, run the SQL in DuckDB over the sf
 parquet tables and compare (rows, schema-ish, values) with the Spark
 parquet dump. Columns sorted by name, rows sorted by all columns.
 
-Usage: python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/vout
+Usage: python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/vout [name,name,...]
+
+The optional third arg restricts the compare to a comma-separated entry
+subset — pair it with graft.Verify's same-format filter for a fast
+edit-verify loop on the entries a change touches. When checking a
+non-sf0.01 directory, frozen-artifact paths inside the oracle SQL are
+rewritten to the directory's basename (the driver does the same).
 """
-import sys, json, glob
+import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
+base = os.path.basename(sfdir.rstrip("/"))
+if base != "sf0.01":
+    oracle = {k: v.replace("/sf0.01/", f"/{base}/") for k, v in oracle.items()}
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
