@@ -388,21 +388,60 @@ object Multimodal {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Image dimensions via the codec's HEADER parse — `ImageReader
+    * .getWidth/getHeight` read the PNG IHDR without rasterizing a single
+    * pixel. This is the 100 TB-correct way to learn geometry (a dims
+    * pass over petabytes of media must not raster-decode every payload);
+    * it is still a REAL codec read, so a corrupt header fails loudly. */
+  def pngDims(bytes: Array[Byte]): (Int, Int) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"payload of ${bytes.length} bytes has no image reader")
+      val r = readers.next()
+      try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Header-parse-only dims/frames row: image = IHDR dims; audio = frame
+    * count from the WAV header (no sample read); video = demux the frame
+    * TABLE (length prefixes only) + IHDR of the first frame. Agrees with
+    * [[decode]]'s raster-level values by construction — MediaSpec pins
+    * the equality and the media_resize driver hash runs through it. */
+  def dimsOnly(a: MediaAsset): (Long, String, Int, Int, Int) = a.media_type match {
+    case "image" =>
+      val (w, h) = pngDims(a.content)
+      (a.asset_id, a.media_type, w, h, 1)
+    case "audio" =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(a.content))
+      val samples = in.getFrameLength.toInt // 16-bit mono: frames == samples
+      (a.asset_id, a.media_type, 0, 0, (samples + AudioWindow - 1) / AudioWindow)
+    case _ =>
+      val frames = videoFrames(a.content)
+      if (frames.isEmpty) (a.asset_id, a.media_type, 0, 0, 0)
+      else {
+        val (w, h) = pngDims(frames.head)
+        (a.asset_id, a.media_type, w, h, frames.length)
+      }
+  }
+
   /** Registered media_resize entry — HASH-GREEN since r11 (r10 VERDICT
-    * task 7): freezes the decoded INPUT dimensions (a separate real
-    * decode pass), then runs the real decode → nearest-neighbor scale →
-    * re-encode pipeline. The oracle recomputes the aspect-keeping box
-    * arithmetic (s = min(1, 320/w, 240/h); out = max(1, ⌊dim·s⌋)) from
-    * the frozen input dims, so the hash gate covers decode determinism
-    * across passes plus the whole resize-accounting algebra; the pixel-
-    * level scale/re-encode content stays pinned by OperatorSpec's
+    * task 7): freezes the decoded INPUT dimensions (a header-parse codec
+    * pass — [[dimsOnly]]), then runs the real decode → nearest-neighbor
+    * scale → re-encode pipeline. The oracle recomputes the aspect-keeping
+    * box arithmetic (s = min(1, 320/w, 240/h); out = max(1, ⌊dim·s⌋))
+    * from the frozen input dims, so the hash gate covers header-vs-raster
+    * decode agreement plus the whole resize-accounting algebra; the
+    * pixel-level scale/re-encode content stays pinned by OperatorSpec's
     * checksum assertions (payload bytes are opaque to the driver). */
   def qMediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val assets = mediaFromDocuments(s, d)
     freeze(
-      extractFeatures(assets).toDF()
-        .select(col("asset_id"), col("media_type"), col("width"), col("height"),
-          col("n_frames_sampled").as("n_frames")),
+      assets.mapPartitions(_.map(dimsOnly))
+        .toDF("asset_id", "media_type", "width", "height", "n_frames"),
       mediaArtifactPath(d, "resize-in"))
     resize(assets, 320, 240).toDF().drop("content")
   }

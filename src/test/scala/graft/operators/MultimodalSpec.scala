@@ -23,6 +23,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s1.sameElements(s2), "WAV synthesis/decode is not deterministic")
   }
 
+  test("header-parse dimsOnly agrees with the raster-level decode for every media type") {
+    // the media_resize frozen artifact is produced by dimsOnly (IHDR/WAV-
+    // header parse, no rasterization); its values must be IDENTICAL to
+    // what full decode() reports or the driver hash gate would drift
+    (0L until 12L).foreach { id =>
+      val a = Multimodal.synthesizeAsset(id)
+      val f = Multimodal.decode(a)
+      val (aid, mt, w, h, nf) = Multimodal.dimsOnly(a)
+      assert(aid == f.asset_id && mt == f.media_type, s"id $id identity")
+      assert(w == f.width && h == f.height, s"id $id dims: header ($w,$h) vs raster (${f.width},${f.height})")
+      assert(nf == f.n_frames_sampled, s"id $id frames: header $nf vs raster ${f.n_frames_sampled}")
+    }
+  }
+
   test("image resize fits the box, keeps aspect, and reports re-decoded dims") {
     val a = Multimodal.synthesizeAsset(24L) // image, bigger than the 320×240 box
     assert(a.media_type == "image" && (a.width > 320 || a.height > 240))

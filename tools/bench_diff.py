@@ -17,7 +17,6 @@ The previous round's artifact comes from git:
 """
 import argparse
 import json
-import statistics
 import sys
 
 
@@ -25,7 +24,11 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     cal = d.get("summary", {}).get("calibration_s") or []
-    return d.get("queries", {}), (statistics.median(cal) if cal else None), d.get("summary", {})
+    # MIN, not median: per-query numbers are min-of-N (the box swings under
+    # co-tenant load and pass 1 additionally pays JIT warmup — a median over
+    # 3 passes inherits both), so the comparable box-speed companion is the
+    # fastest calibration the run observed.
+    return d.get("queries", {}), (min(cal) if cal else None), d.get("summary", {})
 
 
 def main():
