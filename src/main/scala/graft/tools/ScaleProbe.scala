@@ -106,6 +106,13 @@ object ScaleProbe {
       "simhash_md5" -> Dedup.qSimHashMd5 _,
       "simhash_pairs_md5" -> Dedup.qSimHashPairsMd5 _,
       "winnow_md5" -> TextOps.qWinnowFingerprintMd5 _,
+      // r11 frozen-artifact registered forms (entry cost includes the
+      // artifact write+read the hash gate runs through)
+      "simhash" -> Dedup.qSimHash _,
+      "simhash_pairs" -> Dedup.qSimHashPairs _,
+      "winnow_fingerprint" -> TextOps.qWinnowFingerprint _,
+      "media_resize" -> graft.operators.Multimodal.qMediaResize _,
+      "media_report" -> graft.operators.Multimodal.qMediaReport _,
       "canonical_select" -> Dedup.qCanonicalSelect _,
       "q53_funnel" -> Relational.qFunnel _,
       "q54_retention" -> Relational.q54Retention _,
