@@ -189,6 +189,7 @@ object SparkEntry {
     "cluster_split"       -> (Sampling.qClusterSplit _), // leakage-free split keyed on near-dup cluster reps
     "domain_cap"          -> (Sampling.qDomainCap _),
     "weighted_sample"     -> (Sampling.qWeightedSample _), // integer systematic token-weighted sampling
+    "reservoir_sample"    -> (Sampling.qReservoirSample _), // Efraimidis–Spirakis weighted reservoir per source (without replacement, NEW r11)
     // ---- data layout (multi-dimensional clustering) ----
     "zorder_key"          -> (Layout.qZorderKey _), // Morton key over integer min-max buckets
     // ---- LLM-pipeline: end-to-end curation composition ----
@@ -1371,6 +1372,26 @@ object SparkEntry {
          |SELECT doc_id, n_tokens,
          |  CAST((cw + n_tokens) // ${Sampling.SampleStep} - cw // ${Sampling.SampleStep} AS BIGINT) AS n_picks
          |FROM c WHERE (cw + n_tokens) // ${Sampling.SampleStep} > cw // ${Sampling.SampleStep}""".stripMargin,
+
+    // reservoir_sample twin: the Efraimidis–Spirakis key recomputed from
+    // scratch — u = (md5-hex15 + 1)/16^15 (both engines CAST the same
+    // BIGINT to DOUBLE), key = round(-ln(u)·1e6/w, 6) (the bm25/surprisal
+    // round-before-rank convention absorbs last-ulp ln differences), then
+    // the per-source top-k by (key, doc_id). The key itself is rank-only
+    // and never output.
+    "reservoir_sample" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($WORDS) AS BIGINT) AS n_tokens FROM documents),
+         |tt AS (SELECT * FROM t WHERE n_tokens > 0),
+         |k AS (SELECT doc_id, source, n_tokens,
+         |        round(-ln((CAST(${duckHex("md5('res:' || CAST(doc_id AS VARCHAR))", 15)} AS DOUBLE) + 1.0)
+         |            / 1.152921504606846976e18)
+         |          * 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS rkey
+         |      FROM tt)
+         |SELECT source, doc_id, n_tokens, CAST(rn AS BIGINT) AS res_rank FROM (
+         |  SELECT k.*, row_number() OVER (PARTITION BY source ORDER BY rkey, doc_id) AS rn
+         |  FROM k)
+         |WHERE rn <= ${Sampling.ReservoirK}""".stripMargin,
 
     "zorder_key" ->
       s"""WITH d AS (SELECT o_orderkey, o_custkey,

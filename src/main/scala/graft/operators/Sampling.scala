@@ -191,6 +191,80 @@ object Sampling {
       .select(col(idCol), col(wCol), col("n_picks"))
   }
 
+  /** Reservoir size for [[qReservoirSample]]. */
+  val ReservoirK = 10
+  /** Salt buckets for the two-level reservoir window. */
+  val ReservoirSalts = 32
+
+  /** Weighted reservoir sampling WITHOUT replacement (reservoir_sample):
+    * the Efraimidis–Spirakis A-Res scheme — each item draws key
+    * u^(1/w) with u uniform in (0,1] and the k LARGEST keys are the
+    * sample, which selects every subset with the exact probabilities of
+    * sequential weighted draws without replacement. The missing face of
+    * the sampling family: [[weightedSample]] is systematic
+    * WITH-replacement multiplicity (temperature-sampler semantics);
+    * this is the distinct-document quota draw (pick k docs, heavier ones
+    * more likely, no duplicates).
+    *
+    * Determinism + cross-engine equality: u derives from md5 of the id
+    * (15 hex digits → BIGINT → the (0,1] fraction (h+1)/16^15 — both
+    * engines CAST the same integer to double), and the rank key is the
+    * order-equivalent −ln(u)/w (exponential-clocks form; smallest wins),
+    * scaled by 1e6 and ROUNDED AT 6 DECIMALS with an id tie-break before
+    * ranking — the bm25/surprisal convention that absorbs last-ulp `ln`
+    * differences between engines. The key is rank-only, never output.
+    *
+    * Scale shape: NO global or per-group unsalted window over data-sized
+    * input — a partial top-k per (group, id mod [[ReservoirSalts]])
+    * first (min-k of a group is contained in the union of its buckets'
+    * min-ks), then the real window over ≤ salts·k survivors per group.
+    * Mergeability is the KMV argument: the reservoir of a union is the
+    * top-k of the union of per-shard top-ks, so shards/streams compose
+    * exactly (SamplingSpec pins split-merge == direct). */
+  def qReservoirSample(s: SparkSession, d: String): DataFrame =
+    weightedReservoir(
+      documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.operators.TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      "source", "doc_id", "n_tokens", ReservoirK)
+
+  /** ES key as a Column: round(−ln((h15+1)/16^15) · 1e6 / w, 6). */
+  private def esKey(idCol: String, wCol: String) = {
+    val h = conv(substring(md5(concat(lit("res:"), col(idCol).cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1.152921504606846976e18) // 16^15
+    round(-log(u) * lit(1e6) / col(wCol).cast("double"), 6)
+  }
+
+  /** See [[qReservoirSample]]; `df` must carry unique `idCol` + positive
+    * integer weight `wCol`. */
+  def weightedReservoir(df: DataFrame, grpCol: String, idCol: String,
+                        wCol: String, k: Int): DataFrame = {
+    val keyed = df.select(col(grpCol), col(idCol), col(wCol),
+      esKey(idCol, wCol).as("rkey"),
+      pmod(col(idCol), lit(ReservoirSalts)).as("salt"))
+    val partialW = Window.partitionBy(col(grpCol), col("salt"))
+      .orderBy(col("rkey"), col(idCol))
+    val finalW = Window.partitionBy(col(grpCol)).orderBy(col("rkey"), col(idCol))
+    keyed
+      .withColumn("prank", row_number().over(partialW))
+      .filter(col("prank") <= k)
+      .withColumn("res_rank", row_number().over(finalW).cast("long"))
+      .filter(col("res_rank") <= k)
+      .select(col(grpCol), col(idCol), col(wCol), col("res_rank"))
+  }
+
+  /** Single-window reference form of [[weightedReservoir]] — kept for the
+    * SamplingSpec equality pin; not registered (per-group unsalted window
+    * over data-sized input is the skew shape the two-level form avoids). */
+  def weightedReservoirSingleWindow(df: DataFrame, grpCol: String, idCol: String,
+                                    wCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(esKey(idCol, wCol), col(idCol))
+    df.select(col(grpCol), col(idCol), col(wCol))
+      .withColumn("res_rank", row_number().over(w).cast("long"))
+      .filter(col("res_rank") <= k)
+  }
+
   /** Single-global-window reference form of [[weightedSample]] — kept for
     * the SamplingSpec equality pin; not registered. */
   def weightedSampleSingleWindow(df: DataFrame, idCol: String, wCol: String, step: Long): DataFrame = {

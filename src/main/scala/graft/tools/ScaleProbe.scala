@@ -132,6 +132,7 @@ object ScaleProbe {
       "prefix_jaccard" -> Dedup.qPrefixJaccard _,
       "domain_cap" -> Sampling.qDomainCap _,
       "weighted_sample" -> Sampling.qWeightedSample _,
+      "reservoir_sample" -> Sampling.qReservoirSample _,
       "boilerplate_strip" -> Curation.qBoilerplateStrip _,
       "robust_outliers" -> Curation.qRobustOutliers _,
       "zorder_key" -> graft.operators.Layout.qZorderKey _,

@@ -201,6 +201,55 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(99L) >= 10L && out(99L) <= 11L)
   }
 
+  test("reservoir_sample: two-level window equals the single-window reference; " +
+    "k binds per group; ranks contiguous") {
+    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("source"),
+        size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val two = rows(Sampling.weightedReservoir(docs, "source", "doc_id", "n_tokens", 5))
+    val one = rows(Sampling.weightedReservoirSingleWindow(docs, "source", "doc_id", "n_tokens", 5))
+    assert(two == one, "salted partial top-k must be indistinguishable from the per-group window")
+    val perGroup = two.groupBy(_._1)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach { case (src, picks) =>
+      assert(picks.size == math.min(5L, sizes(src)), s"$src reservoir size")
+      assert(picks.map(_._3).toSeq.sorted == (1L to picks.size).toList, s"$src ranks")
+    }
+  }
+
+  test("reservoir_sample composes under sharding: top-k of shard top-ks == direct " +
+    "(the streaming/mergeable contract)") {
+    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("source"),
+        size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    // shard by doc_id parity, take each shard's per-group reservoir, then
+    // reservoir over the union of the survivors — must equal the direct run
+    val shards = (0 to 1).map(i =>
+      Sampling.weightedReservoir(docs.filter(col("doc_id") % 2 === i),
+        "source", "doc_id", "n_tokens", 5).drop("res_rank"))
+    val merged = Sampling.weightedReservoir(shards.reduce(_ unionByName _),
+      "source", "doc_id", "n_tokens", 5)
+    val direct = Sampling.weightedReservoir(docs, "source", "doc_id", "n_tokens", 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rows(merged) == rows(direct), "reservoir must compose exactly under union")
+  }
+
+  test("reservoir_sample favors heavier items (deterministic ES keys, crafted weights)") {
+    val s = spark; import s.implicits._
+    // 50 light items (weight 1) + 10 heavy (weight 10000) in one group:
+    // with ES keys -ln(u)/w, the heavy items' keys concentrate near 0, so
+    // a k=10 reservoir should be dominated by heavy ids
+    val df = ((1L to 50L).map(i => ("g", i, 1L)) ++ (101L to 110L).map(i => ("g", i, 10000L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val picked = Sampling.weightedReservoir(df, "source", "doc_id", "n_tokens", 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(picked.count(_ >= 101L) >= 8, s"heavy items under-sampled: $picked")
+  }
+
   test("split_leakage accounts for every near-dup pair; cells are valid splits") {
     val nPairs = Dedup.qNgramJaccard(spark, d).count()
     val cells = Sampling.qSplitLeakage(spark, d).collect()
