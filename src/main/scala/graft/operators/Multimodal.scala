@@ -416,7 +416,15 @@ object Multimodal {
     case "audio" =>
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(a.content))
-      val samples = in.getFrameLength.toInt // 16-bit mono: frames == samples
+      // Fail-loud posture matching pngDims: close the stream, and reject
+      // streams with no declared length (getFrameLength returns
+      // AudioSystem.NOT_SPECIFIED = -1) rather than yielding 0 frames.
+      val samples =
+        try {
+          val n = in.getFrameLength
+          require(n >= 0, s"audio payload of asset ${a.asset_id} has no declared frame length")
+          n.toInt // 16-bit mono: frames == samples
+        } finally in.close()
       (a.asset_id, a.media_type, 0, 0, (samples + AudioWindow - 1) / AudioWindow)
     case _ =>
       val frames = videoFrames(a.content)

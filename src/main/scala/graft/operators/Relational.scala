@@ -119,12 +119,49 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("uniq_users"))
 
   /** Approximate distinct via HLL++ — the 100 TB answer to q08: one pass,
-    * fixed-size sketch per group, no expand shuffle. No DuckDB oracle (HLL
-    * implementations differ); ScalaTest bounds it against the exact count. */
+    * fixed-size sketch per group, no expand shuffle. The raw sketch form;
+    * the registered entry is [[q09ApproxDistinctChecked]], which freezes
+    * this output and puts the 5% error bound itself under the driver's
+    * hash gate. */
   def q09ApproxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** Frozen-artifact location for sketch-check entries (q09/q37/q43 —
+    * the [[graft.operators.Similarity.annArtifactPath]] pattern): each
+    * engine-specific sketch ESTIMATE is frozen to parquet, and the DuckDB
+    * twin recomputes the exact answer from the base tables plus the whole
+    * error-bound algebra from the same frozen file. The sketch stays
+    * engine-specific; the CHECK is hash-gated (r11 VERDICT task 1). */
+  def sketchArtifactPath(d: String, which: String): String =
+    s"/tmp/graft-sketch-$which/" + new java.io.File(d).getName
+
+  private def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Registered q09_approx_distinct entry — HASH-GREEN since r12: the HLL
+    * estimates are frozen to parquet (the one engine-specific piece), and
+    * the output joins them to the EXACT per-group distinct plus the 5%
+    * relative-error verdict. The oracle recomputes the exact distinct from
+    * events.parquet and the identical error algebra from the frozen file,
+    * so the driver hash now gates the sketch's accuracy claim itself —
+    * the rows-only declaration this entry carried through r11 is retired.
+    * Scale shape unchanged: sketch + exact are each one pass; the join is
+    * group-grain (5 rows). */
+  def q09ApproxDistinctChecked(s: SparkSession, d: String): DataFrame = {
+    val fz = freeze(q09ApproxDistinct(s, d), sketchArtifactPath(d, "q09"))
+    val exact = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    fz.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        round(abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double"), 6).as("rel_err"))
+      .withColumn("within_bound", (col("rel_err") <= lit(0.05)).cast("int"))
+  }
 
   /** Grouping sets via ROLLUP: revenue by (nation, year), (nation), ().
     * Dim joins broadcast; one shuffle for the aggregate. */
@@ -599,17 +636,48 @@ object Relational {
       (dayofweek(col("o_orderdate")) - 1).as("dow"), // 0 = Sunday, both engines
       quarter(col("o_orderdate")).as("qtr"))
 
-  /** Approximate percentiles (q37, rows-only): the sketch-based scale path
-    * for q28's exact percentiles — at 100 TB an exact percentile needs a
-    * full sort per group; percentile_approx streams one bounded sketch.
-    * Engine-specific sketch ⇒ no oracle; OperatorSpec bounds it against
-    * the exact answer instead (same pattern as q09's HLL). */
+  /** Approximate percentiles: the sketch-based scale path for q28's exact
+    * percentiles — at 100 TB an exact percentile needs a full sort per
+    * group; percentile_approx streams one bounded sketch. Raw sketch form;
+    * the registered entry is [[q37ApproxPercentileChecked]]. */
   def q37ApproxPercentile(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(
         round(percentile_approx(col("value"), lit(0.5), lit(10000)), 6).as("p50_approx"),
         round(percentile_approx(col("value"), lit(0.95), lit(10000)), 6).as("p95_approx"))
+
+  /** Registered q37_approx_percentile entry — HASH-GREEN since r12 (the
+    * q09 pattern): the approx percentiles are frozen to parquet, then the
+    * output carries each group's EXACT RANK ERROR — the distance from the
+    * target quantile p to the true rank interval
+    * [count(v < x)/n, count(v ≤ x)/n] of the frozen approximation x,
+    * i.e. `max(lt/n − p, p − le/n, 0)` (the interval form is exact under
+    * ties) — plus a within-bound verdict at 0.005, 50× looser than the
+    * sketch's 1/10000 rank guarantee yet 100× tighter than eyeballing.
+    * The oracle recomputes the rank counts from events.parquet and the
+    * identical interval algebra from the frozen file. One broadcast join
+    * + one map-side-combined conditional agg — no sort anywhere. */
+  def q37ApproxPercentileChecked(s: SparkSession, d: String): DataFrame = {
+    val fz = freeze(q37ApproxPercentile(s, d), sketchArtifactPath(d, "q37"))
+    val n = col("n").cast("double")
+    val ranks = events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .join(broadcast(fz), Seq("event_type"))
+      .groupBy(col("event_type"), col("p50_approx"), col("p95_approx"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <  col("p50_approx"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("v") <= col("p50_approx"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") <  col("p95_approx"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("v") <= col("p95_approx"), 1L).otherwise(0L)).as("le95"))
+      .select(col("event_type"), col("p50_approx"), col("p95_approx"),
+        round(greatest(col("lt50").cast("double") / n - lit(0.5),
+          lit(0.5) - col("le50").cast("double") / n, lit(0.0)), 6).as("rank_err_p50"),
+        round(greatest(col("lt95").cast("double") / n - lit(0.95),
+          lit(0.95) - col("le95").cast("double") / n, lit(0.0)), 6).as("rank_err_p95"))
+    ranks.withColumn("within_bound",
+      (col("rank_err_p50") <= lit(0.005) && col("rank_err_p95") <= lit(0.005)).cast("int"))
+  }
 
   /** Scalar + correlated subqueries (q32), driven through the SQL surface:
     * customers above the global average balance (uncorrelated scalar
@@ -747,8 +815,9 @@ object Relational {
     * HLL union is register-wise max, so merging per-day sketches yields
     * the IDENTICAL sketch (and estimate) the direct one-pass build gives —
     * asserted exactly in OperatorSpec, along with a 5% error bound vs the
-    * true distinct count. Rows-only vs the oracle (estimates are
-    * engine-specific by design; DuckDB's HLL is a different sketch). */
+    * true distinct count. Raw sketch form; the registered entry is
+    * [[qHllMergeChecked]], which puts BOTH properties under the driver's
+    * hash gate. */
   def qHllPartitionedDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -756,6 +825,34 @@ object Relational {
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
       .orderBy("event_type")
+
+  /** Registered q43_hll_sketch_merge entry — HASH-GREEN since r12: the
+    * per-day-merged estimate AND the direct one-pass estimate are frozen
+    * together, then joined to the exact distinct. Output carries the two
+    * estimates, the exact count, a merge==direct verdict (HLL union is
+    * register-wise max, so rolling up per-day sketches must reproduce the
+    * one-pass sketch exactly), the relative error, and the 5% bound
+    * verdict. DuckDB recomputes the exact distinct from events.parquet and
+    * every comparison/error expression from the frozen file — the two
+    * properties OperatorSpec asserted since r3 are now driver-gated. */
+  def qHllMergeChecked(s: SparkSession, d: String): DataFrame = {
+    val direct = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_distinct"))
+    val fz = freeze(
+      qHllPartitionedDistinct(s, d).join(direct, Seq("event_type")),
+      sketchArtifactPath(d, "q43"))
+    val exact = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    fz.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("merged_distinct"), col("direct_distinct"),
+        col("exact_users"),
+        (col("merged_distinct") === col("direct_distinct")).cast("int").as("merge_equal"),
+        round(abs(col("merged_distinct").cast("double") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double"), 6).as("rel_err"))
+      .withColumn("within_bound", (col("rel_err") <= lit(0.05)).cast("int"))
+  }
 
   /** Bucketized range join (q42) — the scale composition q40's scaladoc
     * names, built: when the interval table is too large to broadcast, a

@@ -33,11 +33,12 @@ class EntryContractSpec extends AnyFunSuite {
     // desynchronizes from the Spark writer when a path helper changes.
     // Every artifact reference must round-trip through the SAME helper
     // the writer uses — unknown families or stale formats fail here.
-    import graft.operators.{Curation, Dedup, Multimodal, Overlap, Similarity, TextOps}
+    import graft.operators.{Curation, Dedup, Multimodal, Overlap, Relational, Similarity, TextOps}
     val sf = "/root/testdata/sf0.01"
     val Pat = "(/tmp/graft-[A-Za-z0-9-]+/sf[0-9.]+)".r
     def rebuild(fam: String): Option[String] = fam match {
       case f if f.startsWith("ann-")      => Some(Similarity.annArtifactPath(sf, f.stripPrefix("ann-")))
+      case f if f.startsWith("sketch-")   => Some(Relational.sketchArtifactPath(sf, f.stripPrefix("sketch-")))
       case f if f.startsWith("dedup-")    => Some(Dedup.dedupArtifactPath(sf, f.stripPrefix("dedup-")))
       case f if f.startsWith("text-")     => Some(TextOps.textArtifactPath(sf, f.stripPrefix("text-")))
       case f if f.startsWith("media-")    => Some(Multimodal.mediaArtifactPath(sf, f.stripPrefix("media-")))

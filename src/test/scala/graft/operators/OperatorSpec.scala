@@ -48,6 +48,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-check entries: every verdict flag is 1 (the driver hash gates " +
+    "the algebra; this pins that the bounds actually HOLD)") {
+    // r11 VERDICT task 1: the four sketch entries are hash-green via
+    // frozen estimates + DuckDB-recomputed bound algebra. A hash match
+    // alone would also pass if a bound FAILED identically on both sides —
+    // so assert the verdict columns are all-1 here.
+    def allOnes(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit =
+      cols.foreach { c =>
+        val bad = df.filter(col(c) =!= 1).count()
+        assert(bad == 0, s"$c: $bad rows with flag != 1")
+      }
+    allOnes(Relational.q09ApproxDistinctChecked(spark, d), Seq("within_bound"))
+    allOnes(Relational.q37ApproxPercentileChecked(spark, d), Seq("within_bound"))
+    allOnes(Relational.qHllMergeChecked(spark, d), Seq("merge_equal", "within_bound"))
+    allOnes(TextOps.qHeavyHittersChecked(spark, d), Seq("count_match", "is_valid_topk"))
+  }
+
   test("ann_lsh recall@3 >= 0.8 vs exact nearest neighbor (VERDICT r01 #6)") {
     val truth = Similarity.qNearestNeighbor(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -64,7 +64,7 @@ def main():
 
     hdr = {
         "old_total": olds.get("value"), "new_total": news.get("value"),
-        "old_cal_median": oldcal, "new_cal_median": newcal,
+        "old_cal_min": oldcal, "new_cal_min": newcal,
         "cal_ratio": round(ratio, 3), "threshold": args.threshold,
         "n_compared": len(rows), "n_flagged": len(flagged),
         "added": added, "removed": removed,
@@ -74,7 +74,7 @@ def main():
         print(f"# Bench diff\n")
         print(f"- totals: {hdr['old_total']} -> {hdr['new_total']} s; "
               f"calibration ratio {hdr['cal_ratio']} "
-              f"(old median {oldcal}, new median {newcal})")
+              f"(fastest calibration: old {oldcal}, new {newcal})")
         print(f"- {len(rows)} entries compared, {len(flagged)} flagged at "
               f"{args.threshold}x (calibration-normalized); "
               f"added: {', '.join(added) or '-'}; removed: {', '.join(removed) or '-'}\n")
