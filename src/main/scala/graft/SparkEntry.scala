@@ -180,6 +180,7 @@ object SparkEntry {
     "media_report"        -> (Multimodal.qMediaReport _), // decoded table frozen; oracle recomputes the per-type aggregation algebra (NEW r11)
     "media_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
+    "media_frame_audit"   -> (Multimodal.qMediaFrameAudit _), // frozen dims table; oracle recomputes the sampler's stride/index arithmetic (NEW r12)
     // ---- LLM-pipeline: split / sample / order ----
     "hash_split"          -> (Sampling.qHashSplit _),
     "stratified_sample"   -> (Sampling.qStratifiedSample _),
@@ -2918,6 +2919,28 @@ object SparkEntry {
          |  CAST(CAST(sum(CAST(checksum AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
          |    AS checksum_sum
          |FROM f GROUP BY media_type""".stripMargin,
+
+    // media_frame_audit twin: the header-parse dims/frame-count table is
+    // the frozen boundary; DuckDB re-derives the sampler's stride
+    // arithmetic (per-type sample count n, then frame_idx =
+    // (n_frames * i) // n in integer math) and the Spark side emits the
+    // REAL sampler's positions — a hash match proves decode-and-sample
+    // lands exactly on the arithmetic's positions for every asset.
+    "media_frame_audit" ->
+      s"""WITH f AS (SELECT asset_id, media_type, n_frames
+         |  FROM read_parquet('${Multimodal.mediaArtifactPath(VerifySf, "frames-in")}/*.parquet')),
+         |n AS (SELECT asset_id, media_type, n_frames,
+         |        CASE media_type
+         |          WHEN 'image' THEN 1
+         |          WHEN 'audio' THEN least(4, greatest(1, n_frames))
+         |          ELSE least(4, n_frames) END AS n
+         |      FROM f),
+         |e AS (SELECT asset_id, media_type, n_frames, n, unnest(range(n)) AS i
+         |      FROM n WHERE n > 0)
+         |SELECT asset_id, media_type, n_frames,
+         |  CAST(i AS INT) AS sample_i,
+         |  CAST((CAST(n_frames AS BIGINT) * i) // n AS INT) AS frame_idx
+         |FROM e""".stripMargin,
 
     // Integer micro-unit PageRank: every division is `//` (DuckDB) / `div`
     // (Spark) on BIGINT, sums stay integral (HUGEINT→BIGINT cast), so the

@@ -477,6 +477,39 @@ object Multimodal {
         .cast("string").as("checksum_sum"))
   }
 
+  /** Registered media_frame_audit entry — HASH-GREEN frames accounting
+    * (r11 VERDICT task 4, completing the media family the media_report
+    * way): the header-parse dims/frame-count table is frozen
+    * ([[mediaArtifactPath]] "frames-in"), then the REAL sampler
+    * ([[sampleFrames]], k=4 — the registered media_frames entry's k) runs
+    * over the real decode and each asset's sampled container indices are
+    * emitted with their per-asset sample ordinal. The DuckDB twin
+    * recomputes the sampler's stride arithmetic PURELY from the frozen
+    * table — n = 1 (image) / min(k, max(1, windows)) (audio) /
+    * min(k, n_frames) (video, zero-frame containers dropped); frame_idx
+    * = ⌊n_frames·i/n⌋ in integer math — so a hash match proves the real
+    * decode-and-sample path hits exactly the positions the arithmetic
+    * promises, for every asset. media_frames itself stays declared
+    * rows-only (pixel decode); its accounting no longer is. The ordinal
+    * window is PARTITIONED by asset_id (≤ k rows per key — bounded). */
+  def qMediaFrameAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val assets = mediaFromDocuments(s, d)
+    val fz = freeze(
+      assets.mapPartitions(_.map(dimsOnly))
+        .toDF("asset_id", "media_type", "width", "height", "n_frames"),
+      mediaArtifactPath(d, "frames-in"))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    sampleFrames(assets, 4).toDF()
+      .select(col("asset_id"), col("frame_idx"))
+      .withColumn("sample_i", (row_number().over(byAsset) - 1).cast("int"))
+      .join(fz.select(col("asset_id"), col("media_type"), col("n_frames")),
+        Seq("asset_id"))
+      .select(col("asset_id"), col("media_type"), col("n_frames"),
+        col("sample_i"), col("frame_idx"))
+  }
+
   /** Oracle-checkable slice of the multimodal path: binary payload length,
     * content digest, and the batch shape a frame-sampler would use. */
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
