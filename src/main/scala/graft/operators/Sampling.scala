@@ -236,10 +236,13 @@ object Sampling {
     round(-log(u) * lit(1e6) / col(wCol).cast("double"), 6)
   }
 
-  /** See [[qReservoirSample]]; `df` must carry unique `idCol` + positive
-    * integer weight `wCol`. */
-  def weightedReservoir(df: DataFrame, grpCol: String, idCol: String,
-                        wCol: String, k: Int): DataFrame = {
+  /** Shared salted two-level top-k: partial rank per (group, salt), then
+    * the real rank over ≤ salts·k survivors per group. Keeps BOTH the
+    * final rank and the raw rank key so [[weightedReservoir]] (rank
+    * output) and [[reservoirPartial]] (mergeable key output) are the
+    * same plan. */
+  private def saltedRanked(df: DataFrame, grpCol: String, idCol: String,
+                           wCol: String, k: Int): DataFrame = {
     val keyed = df.select(col(grpCol), col(idCol), col(wCol),
       esKey(idCol, wCol).as("rkey"),
       pmod(col(idCol), lit(ReservoirSalts)).as("salt"))
@@ -249,6 +252,53 @@ object Sampling {
     keyed
       .withColumn("prank", row_number().over(partialW))
       .filter(col("prank") <= k)
+      .withColumn("res_rank", row_number().over(finalW).cast("long"))
+      .filter(col("res_rank") <= k)
+  }
+
+  /** See [[qReservoirSample]]; `df` must carry unique `idCol` + positive
+    * integer weight `wCol`. */
+  def weightedReservoir(df: DataFrame, grpCol: String, idCol: String,
+                        wCol: String, k: Int): DataFrame =
+    saltedRanked(df, grpCol, idCol, wCol, k)
+      .select(col(grpCol), col(idCol), col(wCol), col("res_rank"))
+
+  /** Per-group reservoir PARTIAL — the top-k WITH its rank key, the
+    * mergeable form: the reservoir of a union is the top-k of the union
+    * of per-shard top-ks (the KMV argument [[qReservoirSample]] cites),
+    * so partials compose exactly across shards, batches, or streams. */
+  def reservoirPartial(df: DataFrame, grpCol: String, idCol: String,
+                       wCol: String, k: Int): DataFrame =
+    saltedRanked(df, grpCol, idCol, wCol, k)
+      .select(col(grpCol), col(idCol), col(wCol), col("rkey"))
+
+  // ---------------------------------------------------------------------
+  // Streaming reservoir maintenance (foreachBatch partial sink — the
+  // Overlap.sketchSink / TextOps.bm25IndexSink shape)
+  // ---------------------------------------------------------------------
+
+  /** foreachBatch sink: reservoir-PARTIAL this micro-batch per group and
+    * write it under its batch id (overwrite — a retried micro-batch
+    * replaces its own partial, never double-counts: the bm25IndexSink
+    * idempotence contract). Per-batch state is ≤ groups × k rows (the
+    * salts collapse inside the partial); history is never rescanned. */
+  def reservoirSink(statePath: String, grpCol: String, idCol: String,
+                    wCol: String, k: Int)(batch: DataFrame, id: Long): Unit =
+    reservoirPartial(batch, grpCol, idCol, wCol, k)
+      .write.mode("overwrite").parquet(s"$statePath/res/batch=$id")
+
+  /** Serve the exact whole-stream reservoir from a [[reservoirSink]]
+    * state directory: union the per-batch partials (each already cut to
+    * ≤ groups × k rows) and take the per-group top-k by the stored rank
+    * key — identical tie-break to [[weightedReservoir]], so served ==
+    * direct EXACTLY after every chunk (SamplingStreamSpec pins it). The
+    * serve-side window input is ≤ batches × groups × k rows — bounded by
+    * state layout, not data; a compaction pass may re-reservoir the
+    * partials at any time (merge is associative and idempotent). */
+  def reservoirServeFromState(s: SparkSession, statePath: String,
+      grpCol: String, idCol: String, wCol: String, k: Int): DataFrame = {
+    val finalW = Window.partitionBy(col(grpCol)).orderBy(col("rkey"), col(idCol))
+    s.read.parquet(s"$statePath/res").drop("batch")
       .withColumn("res_rank", row_number().over(finalW).cast("long"))
       .filter(col("res_rank") <= k)
       .select(col(grpCol), col(idCol), col(wCol), col("res_rank"))

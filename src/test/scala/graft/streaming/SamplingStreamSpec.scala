@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, TextOps}
+
+/** Streaming weighted-reservoir maintenance (r11 VERDICT task 5): a
+  * document stream drained through the per-batch reservoir-partial sink
+  * must serve a per-group sample IDENTICAL to a direct whole-corpus
+  * [[Sampling.weightedReservoir]] pass after every chunk — exactly, not
+  * approximately, because the Efraimidis–Spirakis reservoir merges like
+  * KMV (top-k of a union = top-k of the union of per-shard top-ks, same
+  * deterministic (rkey, id) tie-break on both paths). This is the
+  * ingest-side form of reservoir_sample: the sample is maintained as the
+  * corpus arrives and history is never rescanned. */
+class SamplingStreamSpec extends AnyFunSuite {
+
+  private val K = Sampling.ReservoirK
+
+  private def weighted(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("source"), col("doc_id"),
+        size(TextOps.normWords(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("streamed reservoir partials serve exactly the direct sample after " +
+    "each chunk, per-batch state is bounded, and a retried batch is idempotent") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val chunks = (0 until 3).map(i =>
+      docs.filter($"doc_id" % 3 === i).as[(Long, String, String)].collect().toSeq)
+    val nGroups = docs.select("source").distinct().count()
+
+    val statePath = Files.createTempDirectory("graft-res").toString + "/state"
+    val input = MemoryStream[(Long, String, String)]
+    val query = weighted(input.toDF().toDF("doc_id", "source", "text"))
+      .writeStream
+      .outputMode("update")
+      .queryName("res_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-res-ckpt").toString)
+      .foreachBatch(Sampling.reservoirSink(statePath, "source", "doc_id", "n_tokens", K) _)
+      .start()
+    try {
+      var arrived = Seq.empty[(Long, String, String)]
+      chunks.foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+        arrived ++= chunk
+        val served = rows(Sampling.reservoirServeFromState(
+          spark, statePath, "source", "doc_id", "n_tokens", K))
+        val direct = rows(Sampling.weightedReservoir(
+          weighted(arrived.toDF("doc_id", "source", "text")),
+          "source", "doc_id", "n_tokens", K))
+        assert(served == direct, s"after ${arrived.size} docs")
+        assert(served.nonEmpty)
+      }
+      // state-size bound: every per-batch partial is <= groups * k rows
+      val perBatch = spark.read.parquet(s"$statePath/res")
+        .groupBy("batch").count().collect().map(_.getLong(1))
+      assert(perBatch.nonEmpty)
+      perBatch.foreach(n =>
+        assert(n <= nGroups * K, s"partial has $n rows > groups*k = ${nGroups * K}"))
+      // a retried micro-batch must overwrite its own partial, not add to it
+      val lastBatch = spark.read.parquet(s"$statePath/res")
+        .selectExpr("max(batch)").collect()(0).getInt(0)
+      Sampling.reservoirSink(statePath, "source", "doc_id", "n_tokens", K)(
+        weighted(chunks.last.toDF("doc_id", "source", "text")), lastBatch.toLong)
+      val reServed = rows(Sampling.reservoirServeFromState(
+        spark, statePath, "source", "doc_id", "n_tokens", K))
+      val direct = rows(Sampling.weightedReservoir(
+        weighted(arrived.toDF("doc_id", "source", "text")),
+        "source", "doc_id", "n_tokens", K))
+      assert(reServed == direct, "retried micro-batch must be idempotent")
+    } finally query.stop()
+  }
+}
