@@ -51,9 +51,8 @@ class PlanLintSpec extends AnyFunSuite {
     "curation_report" -> "aggregates corpus_curate (exact-tercile form)",
     "global_shuffle" -> ("reproducible global order is the OPERATOR " +
       "(seeded-hash sort); doc-grain rows, writer re-chunks downstream"),
-    "vocab_coverage" -> ("Zipf coverage rank is a VOCABULARY-grain global " +
-      "window (vocab << corpus, sublinear under Zipf — the heavy-hitters " +
-      "caveat vocab_build's top-N cut already carries)"),
+    // vocab_coverage left the allowlist in r12: its rank window now reads
+    // a top-16384 TakeOrderedAndProject pre-cut, which bounded() sees.
     // ---- grain-bounded single-partition windows surfaced when the lint
     // moved to the PREPARED plan (r11): each child is an aggregate whose
     // grain is fixed by the data contract, not corpus size ----
