@@ -74,9 +74,18 @@ object Pipeline {
     * the frozen-artifact form ([[CurationState]]): the per-source counts
     * may be loaded from parquet instead of recomputed. */
   def domainMixFromCounts(perDomain: DataFrame, docs: DataFrame): DataFrame = {
+    // sum_w is DECIMAL-SNAPPED (the epoch_plan convention): each sqrt
+    // weight lands on the decimal(18,6) grid before summing, so the sum
+    // is order/grouping-independent and bit-identical across engines.
+    // A raw double sum is partial-aggregation-grouping-dependent: at the
+    // r12 sf1 tier every replica source has EQUAL counts, keep_prob sits
+    // mathematically at exactly 0.5, and a 1-ulp sum_w difference flipped
+    // floor(keep_prob*65536) between 32767 and 32768 — one '07fff'-bucket
+    // document per ~65k flipped its mix verdict vs the oracle.
     val totals = perDomain.agg(
       sum(col("n_source")).as("n_total"),
-      sum(sqrt(col("n_source").cast("double"))).as("sum_w"))
+      sum(sqrt(col("n_source").cast("double")).cast("decimal(18,6)"))
+        .cast("double").as("sum_w"))
     val cutoffs = perDomain.crossJoin(broadcast(totals))
       .select(
         col("source"), col("n_source"),
