@@ -518,7 +518,7 @@ object SparkEntry {
        |ppl AS ($pplCte),
        |pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
        |dtot AS (SELECT sum(n_source) AS n_total,
-       |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
+       |    CAST(sum(CAST(sqrt(CAST(n_source AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_w FROM pd),
        |cut AS (SELECT source,
        |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
        |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob
@@ -1723,10 +1723,10 @@ object SparkEntry {
     // aaa/aaaa chain cases); symbols never contain a space (whitespace
     // tokenization), so the encoding is unambiguous and the space-joined
     // pair string preserves the (left, right) tuple sort order.
-    // BMP-only caveat (documented in TextOps.bpeTrain): Spark's
-    // split(w, '') seeds UTF-16 code units, DuckDB's string_split(w, '')
-    // seeds codepoints — they agree on all BMP text (the ASCII fixture
-    // included) and diverge only on surrogate pairs.
+    // Symbol seeding agrees across engines for ARBITRARY text, not just
+    // BMP (r11 ADVICE, resolved by measurement — see TextOps.bpeTrain):
+    // Spark's split(w, '') is UTF8String-based and yields codepoints
+    // with surrogate pairs intact, same as string_split(w, '').
     "bpe_merges" -> {
       def round(r: Int): String = {
         val prev = s"w${r - 1}"
@@ -1931,7 +1931,7 @@ object SparkEntry {
          |  FROM paggf CROSS JOIN b),
          |pd AS (SELECT source, count(*) AS n_source FROM state GROUP BY 1),
          |dtot AS (SELECT sum(n_source) AS n_total,
-         |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
+         |    CAST(sum(CAST(sqrt(CAST(n_source AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_w FROM pd),
          |cut AS (SELECT source,
          |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
          |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob
@@ -2005,7 +2005,7 @@ object SparkEntry {
     "domain_mix" ->
       s"""WITH pd AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
          |tot AS (SELECT sum(n_source) AS n_total,
-         |    sum(sqrt(CAST(n_source AS DOUBLE))) AS sum_w FROM pd),
+         |    CAST(sum(CAST(sqrt(CAST(n_source AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_w FROM pd),
          |cut AS (SELECT source, n_source,
          |    least(1.0, sqrt(CAST(n_source AS DOUBLE)) / sum_w
          |      * floor(n_total / 2) / CAST(n_source AS DOUBLE)) AS keep_prob

@@ -889,14 +889,15 @@ object TextOps {
       : (DataFrame, org.apache.spark.sql.Dataset[(String, Long, Seq[String])]) = {
     val session = docs.sparkSession
     import session.implicits._
-    // BMP-only assumption (shared with the DuckDB twin): split(w, "")
-    // yields UTF-16 code units while DuckDB's string_split(w, '') yields
-    // codepoints, so a non-BMP character (a surrogate pair) would seed
-    // different initial symbol tables across the two engines. The TPC-H
-    // fixture corpus is ASCII, so the twin never exercises the gap; a
-    // build for arbitrary text must switch to a codepoint-preserving
-    // split (e.g. the regex "(?<=.)" — Java regex '.' matches a full
-    // code point, keeping surrogate pairs intact).
+    // Cross-engine symbol-seeding note (r11 ADVICE, resolved by
+    // measurement): Spark's split(w, "") runs on UTF8String and yields
+    // CODEPOINTS — verified on a non-BMP input ("𝄞ab" → [𝄞, a, b], the
+    // surrogate pair intact, no trailing empty) — exactly matching
+    // DuckDB's string_split(w, ''). The UTF-16-code-unit concern applies
+    // to java.lang.String.split, which Spark does not use here; the twin
+    // therefore holds for arbitrary text, not just the ASCII fixture.
+    // (Do NOT "fix" this with the regex "(?<=.)": that form appends a
+    // trailing empty symbol and would desync the engines.)
     var words = bpeWordFreq(docs)
       .select(col("w"), col("freq"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
