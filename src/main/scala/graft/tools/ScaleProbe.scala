@@ -46,6 +46,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // generate-only mode (r12): materialize the K× replica as a standalone
+    // SF tier (e.g. target/testdata/sf1 = 10× sf0.1) for a full
+    // Verify/oracle/Bench pass, and exit without probing.
+    if (args.contains("--generate-only")) {
+      generate(spark, sfDir, workDir, k)
+      println(s"""{"metric":"scale_generate","k":$k,"base":"$sfDir","out":"$workDir"}""")
+      spark.stop()
+      return
+    }
+
     val kxDir = s"$workDir/sfx$k"
     generate(spark, sfDir, kxDir, k)
 

@@ -21,7 +21,10 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata tables are single files; Spark-written tiers (e.g.
+    # the r12 sf1 replica under target/testdata) are part-file directories
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 if only is not None:
