@@ -172,6 +172,8 @@ object SparkEntry {
     "pack_assemble"       -> (Curation.qPackAssemble _), // packed bins -> actual training examples
     "classifier_score"    -> (Curation.qClassifierScore _), // broadcast-model linear scoring
     "classifier_eval"     -> (Curation.qClassifierEval _), // threshold-sweep P/R/F1 vs the quality-gate label
+    "classifier_train"    -> (Curation.qClassifierTrain _), // NEW r12: distributed GD training of the hashed-feature quality model; bit-exact integer/decimal algebra, oracle re-runs all rounds as chained CTEs
+    "classifier_train_score" -> (Curation.qClassifierTrainScore _), // serve leg of the trained model: broadcast join + integer margins
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
     "media_features"      -> ((s: SparkSession, d: String) =>
@@ -550,6 +552,51 @@ object SparkEntry {
 
   private val CORPUS_CURATE_SQL = corpusCurateSql(PPL_EXACT_CTE)
   private val CORPUS_CURATE_SCALE_SQL = corpusCurateSql(PPL_FROZEN_CTE)
+
+  /** Chained-CTE gradient-descent twin for classifier_train (the
+    * bpe_merges pattern — DuckDB re-runs ALL training rounds, no frozen
+    * artifact): w0 = 0; each round recomputes the integer micro-unit
+    * margins, the rational-sigmoid residual (IEEE +,-,*,/,abs only — no
+    * libm transcendentals, so the doubles are bit-identical across
+    * engines), the decimal(20,12)-snapped gradient sum, and the floored
+    * micro-unit weight update. Bit-exactness argument in
+    * [[graft.operators.Curation.classifierTrain]]'s scaladoc. */
+  private lazy val CLASSIFIER_TRAIN_CTES: String = {
+    val rounds = (1 to Curation.TrainIters).map { k =>
+      val prev = s"w${k - 1}"
+      s"""m$k AS MATERIALIZED (SELECT e.doc_id, CAST(sum(e.x * w.w_micro) AS BIGINT) AS margin_micro,
+         |    max(e.n_feats) AS n_feats, max(e.y) AS y
+         |  FROM ex e JOIN $prev w USING (bucket) GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT doc_id,
+         |    (0.5 + z / (2.0 * (1.0 + abs(z)))) - CAST(y AS DOUBLE) AS r
+         |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE)
+         |      / (CAST(n_feats AS DOUBLE) * 1000000.0) AS z, y FROM m$k)),
+         |g$k AS MATERIALIZED (SELECT e.bucket,
+         |    sum(CAST(((CAST(e.x AS DOUBLE) / CAST(e.n_feats AS DOUBLE)) * r.r)
+         |      * (${Curation.TrainEta} / nn.n) AS DECIMAL(20,12))) AS g
+         |  FROM ex e JOIN r$k r USING (doc_id) CROSS JOIN nn GROUP BY 1),
+         |w$k AS MATERIALIZED (SELECT w.bucket,
+         |    w.w_micro - CAST(floor(coalesce(g.g, CAST(0 AS DECIMAL(20,12))) * 1000000) AS BIGINT) AS w_micro
+         |  FROM $prev w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $WORDS AS words FROM documents),
+       |tok AS (SELECT doc_id, unnest(words) AS w FROM t),
+       |f0 AS (SELECT doc_id,
+       |    CAST(${duckHex("md5('feat:' || w)", 8)} % 4096 AS BIGINT) AS bucket FROM tok),
+       |fx AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM f0 GROUP BY 1, 2),
+       |nf AS (SELECT doc_id, CAST(sum(x) AS BIGINT) AS n_feats FROM fx GROUP BY 1),
+       |lab AS (SELECT doc_id, CASE WHEN
+       |    round(least(len(words) / 100.0, 1.0) *
+       |      (1.0 - CAST(len([w FOR w IN words
+       |                       IF w IN ('the','a','of','and','to','in','is','it')]) AS DOUBLE)
+       |        / len(words)), 4) >= ${Curation.TrainLabelMin} THEN 1 ELSE 0 END AS y
+       |  FROM t),
+       |ex AS MATERIALIZED (SELECT fx.doc_id, fx.bucket, fx.x, nf.n_feats, lab.y
+       |  FROM fx JOIN nf USING (doc_id) JOIN lab USING (doc_id)),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |w0 AS MATERIALIZED (SELECT r AS bucket, CAST(0 AS BIGINT) AS w_micro FROM range(4096) rng(r)),
+       |$rounds""".stripMargin
+  }
 
   /** Full simhash-banded-pairs query — shared by simhash_pairs_md5 and
     * dedup_agreement. */
@@ -1317,6 +1364,20 @@ object SparkEntry {
          |            + CAST(tp AS DOUBLE) / greatest(tp + fn, 1))
          |    ELSE 0.0 END, 6) AS f1
          |FROM c""".stripMargin,
+
+    "classifier_train" ->
+      s"""$CLASSIFIER_TRAIN_CTES
+         |SELECT bucket, w_micro FROM w${Curation.TrainIters}""".stripMargin,
+
+    "classifier_train_score" ->
+      s"""$CLASSIFIER_TRAIN_CTES,
+         |sc AS (SELECT fx.doc_id, CAST(sum(fx.x) AS BIGINT) AS n_feats,
+         |    CAST(sum(fx.x * w.w_micro) AS BIGINT) AS margin_micro
+         |  FROM fx JOIN w${Curation.TrainIters} w USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_feats, margin_micro,
+         |  CAST(margin_micro AS DOUBLE) / (CAST(n_feats AS DOUBLE) * 1000000.0) AS score,
+         |  margin_micro > 0 AS keep
+         |FROM sc""".stripMargin,
 
     "hash_split" ->
       s"""WITH h AS (SELECT doc_id,

@@ -430,6 +430,145 @@ object Curation {
       round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6).as("f1"))
   }
 
+  // ---------------------------------------------------------------------
+  // Distributed classifier TRAINING (logistic-style gradient descent)
+  // ---------------------------------------------------------------------
+
+  /** Gradient-descent rounds for [[classifierTrain]] and the learning
+    * rate (a power of two, exactly representable in binary, so
+    * `lit(TrainEta)` and the SQL literal are the same double on both
+    * engines; 128 because the 1/n_feats-normalized features give per-doc
+    * gradients of ‖x‖₁ = 1, so the N-averaged full gradient needs an
+    * aggressive step to move margins into the sigmoid's active region —
+    * and because Σ(x/n) = 1 makes the all-ones weight direction play the
+    * intercept's role, which early rounds must inflate before the
+    * class-conditional token-mix signal starts separating; 12 rounds ×
+    * η=128 measurably separates the label classes on the fixture
+    * (mean-margin gap ≈ 0.08, accuracy above the majority-class
+    * baseline) while staying far from overshoot. */
+  val TrainIters = 12
+  val TrainEta = 128.0
+
+  /** Label cutoff for [[classifierTrain]]. NOT [[Pipeline.CurateQualityMin]]
+    * (0.05): that gate is an outlier FILTER and keeps essentially the whole
+    * corpus, which would make the training label degenerate (all-positive —
+    * GD then just inflates every weight toward σ̃→1 and learns nothing).
+    * A discriminative label needs a bar near the quality median; 0.35
+    * splits the fixture corpus ≈73/27 and is exactly representable in the
+    * round(·, 4) grid the quality score lives on. */
+  val TrainLabelMin = 0.35
+
+  /** Trains the hashed-feature quality classifier that
+    * [[classifierScore]] serves — the missing first leg of the
+    * train → eval → score lifecycle (reference analogue: the quality
+    * models CCNet/fastText-style curation pipelines fit on a labeled
+    * seed set before scoring the corpus). Labels are the heuristic
+    * quality score at the discriminative [[TrainLabelMin]] bar (see its
+    * scaladoc for why not the permissive curation gate), features the
+    * same md5-hashed token buckets as [[classifierScore]], so the
+    * trained (bucket, w_micro) table drops straight into its broadcast
+    * `model` slot.
+    *
+    * Exactness design (this entry is DRIVER-HASH-GREEN, no frozen
+    * artifact): every cross-engine float hazard is removed at the
+    * algebra level rather than frozen —
+    *  - weights are integer MICRO-units (BIGINT), margins integer sums;
+    *  - the activation is the rational "fast sigmoid"
+    *    0.5 + z / (2*(1+|z|)) — only IEEE +,-,*,/,abs, each of which is
+    *    correctly-rounded and therefore bit-identical in Spark and
+    *    DuckDB (no exp/tanh, whose libm implementations differ);
+    *  - the per-document gradient contribution
+    *    ((x/n_feats) * r) * (eta/N) is a fixed-shape double expression
+    *    (deterministic bits), SNAPPED to the decimal(20,12) grid before
+    *    the order-dependent cross-document sum — the [[Pipeline]] sum_w
+    *    convention — so partial-aggregation grouping cannot move it;
+    *  - the weight update floors the decimal gradient into micro-units
+    *    (floor, not cast: decimal→int rounding direction differs across
+    *    engines, floor does not).
+    * The DuckDB twin re-runs all [[TrainIters]] rounds as chained CTEs
+    * (the bpe_merges pattern) and must land on bit-identical BIGINT
+    * weights.
+    *
+    * Scale shape (100 TB): training runs on the LABELED subset (here the
+    * whole fixture corpus; in production a seed set, orders of magnitude
+    * smaller than the corpus it will score). One tokenize+hash pass
+    * collapses it to the (doc, bucket, x) feature grain; each round is
+    * two map-side-combined aggregations over that grain (doc-grain
+    * margins, bucket-grain gradients) with the weight table always
+    * broadcast — never a corpus-sized shuffle. The driver holds only the
+    * FeatureDim-row weight vector per round (bounded by design, the
+    * centroid-matrix precedent in [[Similarity]]); rounds are sequential
+    * like pagerank/bpe_merges. Scoring 100 TB with the result is
+    * [[classifierScore]]'s one broadcast join. */
+  def qClassifierTrain(s: SparkSession, d: String): DataFrame =
+    classifierTrain(documents(s, d))
+
+  def classifierTrain(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val lab = docs.select(col("doc_id"),
+      (TextOps.qualityExpr(col("text")) >= TrainLabelMin)
+        .cast("int").as("y"))
+    val fx = tokens(docs).select(col("doc_id"),
+        (conv(substring(md5(concat(lit("feat:"), col("w"))), 1, 8), 16, 10)
+          .cast("long") % FeatureDim).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+    val nf = fx.groupBy("doc_id").agg(sum(col("x")).as("n_feats"))
+    // labeled feature grain, reused by every round (2 scans per round)
+    val ex = fx.join(nf, "doc_id").join(lab, "doc_id").persist()
+    val nDocs = docs.count().toDouble // scalar on driver, like pagerank's N
+    // weight vector as a local broadcast relation each round: FeatureDim
+    // rows collected per round — bounded by design; keeps every join a
+    // broadcast and the per-round plan flat instead of a growing DAG
+    var weights: Map[Long, Long] =
+      (0L until FeatureDim.toLong).map(_ -> 0L).toMap
+    import s.implicits._
+    for (_ <- 1 to TrainIters) {
+      val w = weights.toSeq.sortBy(_._1).toDF("bucket", "w_micro")
+      val m = ex.join(broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(sum(col("x") * col("w_micro")).as("margin_micro"),
+          max(col("n_feats")).as("n_feats"), max(col("y")).as("y"))
+      val z = col("margin_micro").cast("double") /
+        (col("n_feats").cast("double") * lit(1000000.0))
+      val resid = m.select(col("doc_id"),
+        ((lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))))
+          - col("y").cast("double")).as("r"))
+      val grad = ex.join(resid, "doc_id")
+        .select(col("bucket"),
+          (((col("x").cast("double") / col("n_feats").cast("double")) * col("r"))
+            * lit(TrainEta / nDocs)).cast("decimal(20,12)").as("c"))
+        .groupBy("bucket").agg(sum(col("c")).as("g"))
+      val deltas = grad
+        .select(col("bucket"),
+          floor(col("g") * lit(1000000L)).cast("long").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      weights = weights.map { case (b, w0) => b -> (w0 - deltas.getOrElse(b, 0L)) }
+    }
+    ex.unpersist()
+    weights.toSeq.sortBy(_._1).toDF("bucket", "w_micro")
+      .select(col("bucket"), col("w_micro"))
+  }
+
+  /** Scores the corpus with the weights [[classifierTrain]] just fit —
+    * the serve leg of the lifecycle, structurally [[classifierScore]]
+    * with micro-unit weights: one broadcast join + one per-doc integer
+    * aggregation; score = margin/(n_feats*1e6) is a single int/int
+    * double division (exact bits), keep is an integer sign test. */
+  def qClassifierTrainScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = classifierTrain(docs)
+    val feats = tokens(docs).select(col("doc_id"),
+      (conv(substring(md5(concat(lit("feat:"), col("w"))), 1, 8), 16, 10)
+        .cast("long") % FeatureDim).as("bucket"))
+    feats.join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_micro")).as("margin_micro"))
+      .withColumn("score",
+        col("margin_micro").cast("double") /
+          (col("n_feats").cast("double") * lit(1000000.0)))
+      .withColumn("keep", col("margin_micro") > 0L)
+  }
+
   /** Per-document (doc_id, n_bigrams, avg_surprisal) under the
     * interpolated corpus bigram LM — the tercile-free core shared by the
     * exact and approximate bucket cuts. */

@@ -1582,6 +1582,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier_train: GD learns — label classes separate, loss drops, weight join broadcasts") {
+    val docs = graft.Tables.documents(spark, d)
+    val labeled = docs.select(col("doc_id"),
+      (TextOps.qualityExpr(col("text")) >= Curation.TrainLabelMin).as("label"))
+    // label must be non-degenerate at the TrainLabelMin bar (the whole
+    // reason it is NOT the permissive CurateQualityMin gate)
+    val byLabel = labeled.groupBy("label").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byLabel.getOrElse(true, 0L) > 0 && byLabel.getOrElse(false, 0L) > 0,
+      s"degenerate training label: $byLabel")
+    val scored = Curation.qClassifierTrainScore(spark, d)
+    val joined = scored.join(labeled, "doc_id")
+      .groupBy("label").agg(avg(col("score")).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // trained margins must separate the classes in the right direction
+    assert(joined(true) - joined(false) > 0.05,
+      s"no class separation after training: $joined")
+    // squared-error loss of the trained sigmoid must beat the w=0 model
+    // (whose prediction is exactly 0.5 for every doc)
+    val z = col("score")
+    val sig = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    val y = col("label").cast("double")
+    val mse = scored.join(labeled, "doc_id")
+      .agg(avg((sig - y) * (sig - y))).collect().head.getDouble(0)
+    val mse0 = labeled
+      .agg(avg((lit(0.5) - y) * (lit(0.5) - y))).collect().head.getDouble(0)
+    assert(mse < mse0 - 0.01, s"training did not reduce loss: $mse vs $mse0")
+    // serve-leg plan: the trained weight table broadcasts; the corpus-sized
+    // feature side must never shuffle for the model lookup
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n${plan.take(2000)}")
+    // weights stay in the bounded micro-unit envelope the scaladoc argues
+    // (|delta| <= eta per round => |w| <= iters * eta in float units)
+    val maxW = Curation.qClassifierTrain(spark, d)
+      .agg(max(abs(col("w_micro")))).collect().head.getLong(0)
+    assert(maxW <= (Curation.TrainIters * Curation.TrainEta * 1e6).toLong,
+      s"weight escaped the step-size envelope: $maxW micro")
+  }
+
   test("selectivity_estimate: actuals exact, estimates telescope to N and stay tight") {
     val li = graft.Tables.lineitem(spark, d)
     val n = li.count()
