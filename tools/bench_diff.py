@@ -43,7 +43,7 @@ def main():
     oldq, oldcal, olds = load(args.old)
     newq, newcal, news = load(args.new)
 
-    # Box-speed normalization: if both runs carry a calibration median,
+    # Box-speed normalization: if both runs carry a calibration value,
     # scale the new timings into the old run's box. A noisy window shows
     # up as a calibration ratio far from 1 and is reported, not hidden.
     ratio = (newcal / oldcal) if (oldcal and newcal) else 1.0
