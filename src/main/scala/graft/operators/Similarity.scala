@@ -717,6 +717,63 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
   }
 
+  /** The five ANN methods whose registered entries [[qAnnEval]] audits,
+    * in report order. */
+  val AnnEvalMethods: Seq[String] = Seq("lsh", "ivf", "pq", "ivfpq", "2level")
+
+  /** Registered recall@3 audit of every approximate ANN path against the
+    * exact brute-force top-3 — the eval harness that turns the test-only
+    * recall assertions (OperatorSpec's 0.8 floors) into a driver-oracled
+    * entry: one row per (method, query) with the top-3 hit count and
+    * recall. Runs the five registered pipelines themselves
+    * ([[qAnnLsh]]/[[qAnnIvf]]/[[qAnnPq]]/[[qAnnIvfPq]]/[[qAnnTwoLevel]] —
+    * each freezes its quantizer artifact exactly as when registered
+    * standalone; deterministic, so re-freezing is an idempotent
+    * overwrite), computes the exact reference top-3 with the same
+    * codegen'd cosine + (cos desc, nn_id) tiebreak every ANN entry uses,
+    * and counts set intersections — integer algebra end to end, so the
+    * DuckDB twin (which re-derives BOTH sides from the frozen artifacts /
+    * base parquet) hash-matches without any float hazard beyond the
+    * shared 4-dp cosine rounding.
+    *
+    * Scale shape: the eval query block is fixed (100 queries), so the
+    * exact side is ONE corpus scan against a broadcast query block
+    * (linear, the [[qNearestNeighbor]] shape) and the five ANN sides cost
+    * what the production probes cost; the hit join and the method×query
+    * universe are eval-sized (500 rows). This is the recurring
+    * recall-regression audit a production ANN deployment runs per index
+    * build — priced at five probes + one scan regardless of corpus size. */
+  def qAnnEval(s: SparkSession, d: String): DataFrame = {
+    val e = withVec(s, d)
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nn_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("nn_id"))
+    val ann = Seq(
+        "lsh" -> qAnnLsh(s, d), "ivf" -> qAnnIvf(s, d), "pq" -> qAnnPq(s, d),
+        "ivfpq" -> qAnnIvfPq(s, d), "2level" -> qAnnTwoLevel(s, d))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("nn_id")) }
+      .reduce(_ unionAll _)
+    val methods = s.createDataFrame(AnnEvalMethods.map(Tuple1(_))).toDF("method")
+    val univ = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(methods))
+    val hits = ann.join(exact, Seq("query_id", "nn_id"))
+      .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("h"))
+    univ.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("h"), lit(0L)).cast("int").as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / lit(3.0), 4).as("recall"))
+  }
+
   /** Per-label centroid vectors with EXACT distributed aggregation — the
     * class-prototype / IVF-seed computation. Naive float mean over a
     * shuffled dataset is partition-order-dependent; here each component
