@@ -244,10 +244,28 @@ object Bench {
             operators.CurationState.load(spark, csPath))
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
+      // Classifier lifecycle: the 12-round GD is billed ONCE (as
+      // classifier_train — the call is eager, its collects run the rounds);
+      // the serve leg scores from the SHARED trained weight table, so its
+      // billed cost is the true production serve shape — one broadcast
+      // join + one integer agg (VERDICT r12 task 2: the combined entry
+      // used to re-train and double-bill ~8 s; the standalone registration
+      // still trains inside the entry so the driver hash is unaffected).
+      val clsDocs = Tables.documents(spark, sfDir)
+      var clsModel: org.apache.spark.sql.DataFrame = null
+      val classifierPipeline = Seq(
+        "classifier_train" -> time {
+          clsModel = operators.Curation.classifierTrain(clsDocs)
+          clsModel.queryExecution.toRdd.count() },
+        "classifier_train_score" -> time {
+          operators.Curation.classifierTrainScoreFrom(clsDocs, clsModel)
+            .queryExecution.toRdd.count() })
+      spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
       val shared = Set("corpus_curate", "curation_funnel", "curation_report",
         "curation_state_build", "curate_incremental", "curation_state_report",
+        "classifier_train", "classifier_train_score",
         "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
@@ -264,7 +282,7 @@ object Bench {
           name -> sec
         }
       shinglePipeline ++ overlapPipeline ++ tokenPipeline ++ simhashPipeline ++
-        curationPipeline ++ rest
+        curationPipeline ++ classifierPipeline ++ rest
     }
 
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -286,25 +304,37 @@ object Bench {
     // the machine-read JSON ("0,512" → two array elements)
     def r3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
 
-    // sf1 addendum (r11 VERDICT task 6): one additional single pass over
-    // the whole catalogue at the 10x tier, auto-detected at
-    // target/testdata/sf1 (generated via `runMain graft.tools.ScaleProbe
-    // <sf0.1> target/testdata/sf1 10 --generate-only`; not in git — the
-    // pass is skipped cleanly when the tier is absent). Stdout stays
+    // sf1 addendum (r11 VERDICT task 6): additional passes over the whole
+    // catalogue at the 10x tier, auto-detected at target/testdata/sf1
+    // (generated via `runMain graft.tools.ScaleProbe <sf0.1>
+    // target/testdata/sf1 10 --generate-only`; not in git — the pass is
+    // skipped cleanly when the tier is absent). Stdout stays
     // line-budgeted: only a compact sub-object lands on the summary line;
     // the full per-query sf1 map goes into bench.json, which is the
-    // committed per-round artifact. Single-run by design — the sf0.1
-    // min-of-3 is the regression gate; the sf1 column measures SCALING
-    // (ratio vs sf0.1), where co-tenant noise divides out of every entry
-    // identically via calibration_s.
+    // committed per-round artifact. MIN-OF-2 since r13 (VERDICT r12 task
+    // 1: the r12 min-of-1 column carried 41x co-tenant artifacts the
+    // paired SCALEPROBE run never saw — one loaded tail could poison the
+    // whole committed column; with two passes and per-pass calibration a
+    // loaded window is both detectable and largely excluded). The sf0.1
+    // min-of-3 remains the regression gate; the sf1 column measures
+    // SCALING (ratio vs sf0.1). SPARK_GRAFT_SF1_RUNS overrides.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/testdata/sf1")
-    val sf1Pass: Option[(Seq[(String, Double)], Double)] =
+    val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "2").toInt
+    val sf1Pass: Option[(Seq[(String, Double)], Seq[Double])] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
           new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
-        System.err.println(s"[bench] sf1 addendum pass at $sf1Dir")
-        val c = calibrate()
-        System.err.println(f"[bench] sf1 calibration $c%.3f s")
-        Some((runPass(sf1Dir), c))
+        val sf1Passes = (1 to sf1Runs).map { i =>
+          System.err.println(s"[bench] sf1 addendum pass $i/$sf1Runs at $sf1Dir")
+          val c = calibrate()
+          System.err.println(f"[bench] sf1 calibration $c%.3f s")
+          (runPass(sf1Dir), c)
+        }
+        val ns = sf1Passes.head._1.map(_._1)
+        val mins = ns.map { n =>
+          val xs = sf1Passes.map(_._1.toMap.apply(n)).filter(_ >= 0)
+          n -> (if (xs.isEmpty) -1.0 else xs.min)
+        }
+        Some((mins, sf1Passes.map(_._2)))
       } else None
     // One short line per query, then the summary line LAST (VERDICT r8
     // task 3): the single all-queries line outgrew the driver's tail
@@ -317,11 +347,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val cal = calibrations.map(r3).mkString("[", ",", "]")
-    val sf1Summary = sf1Pass.map { case (rs, c) =>
+    val sf1Summary = sf1Pass.map { case (rs, cs) =>
       val sf1Failed = rs.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val sf1Total = rs.collect { case (_, v) if v >= 0 => v }.sum
-      s""""sf1":{"total":${r3(sf1Total)},"n_queries":${rs.size},"failed":$sf1Failed,"runs":1,"calibration_s":${r3(c)},"dir":"$sf1Dir"}"""
+      val sf1Cal = cs.map(r3).mkString("[", ",", "]")
+      s""""sf1":{"total":${r3(sf1Total)},"n_queries":${rs.size},"failed":$sf1Failed,"runs":${cs.size},"calibration_s":$sf1Cal,"dir":"$sf1Dir"}"""
     }
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
     println(summary)

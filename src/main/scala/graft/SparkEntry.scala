@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_agreement"     -> (Dedup.qDedupAgreement _), // pairwise agreement matrix of the three near-dup detectors
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
+    "dedup_clusters_incremental" -> (Dedup.qDedupClustersIncremental _), // NEW r13: CC maintenance over prior labels + batch edges; oracle = full recompute
     "canonical_select"    -> (Dedup.qCanonicalSelect _), // cluster labels + quality argmax
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // token-hash bag frozen; oracle recomputes votes + bit assembly (hash-green since r11)
@@ -99,6 +100,7 @@ object SparkEntry {
     "ann_ivf"             -> (Similarity.qAnnIvf _), // cell/probe tables frozen to parquet; oracle recomputes scan + ranking (hash-green since r10)
     "ann_pq"              -> (Similarity.qAnnPq _), // ADC shortlist frozen to parquet; oracle recomputes re-rank + top-3 (hash-green since r10)
     "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // ADC shortlist frozen; oracle recomputes re-rank + top-3 (hash-green since r10)
+    "ann_eval"            -> (Similarity.qAnnEval _), // NEW r13 (ADVICE r12): recall@3 audit of all five ANN paths vs exact top-3; oracle re-derives both sides
     "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
     "centroid_incremental" -> (Similarity.qCentroidIncremental _), // merged (label,dim) decimal partials == direct (shared oracle)
     "embedding_drift"     -> (Similarity.qEmbeddingDrift _), // per-label centroid L2 shift between snapshots
@@ -183,6 +185,8 @@ object SparkEntry {
     "media_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
     "media_frame_audit"   -> (Multimodal.qMediaFrameAudit _), // frozen dims table; oracle recomputes the sampler's stride/index arithmetic (NEW r12)
+    "media_features_check" -> (Multimodal.qMediaFeaturesCheck _), // NEW r13: LIVE decode totals vs frozen boundary — the codec OUTPUT is driver-gated
+    "media_frames_check"  -> (Multimodal.qMediaFramesCheck _), // NEW r13: live frame-sampler accounting vs frozen per-frame table, per asset
     // ---- LLM-pipeline: split / sample / order ----
     "hash_split"          -> (Sampling.qHashSplit _),
     "stratified_sample"   -> (Sampling.qStratifiedSample _),
@@ -306,6 +310,28 @@ object SparkEntry {
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM ex2 a JOIN ex2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** Full-graph connected-components CC over the exact-Jaccard pair graph —
+    * shared VERBATIM by dedup_clusters and dedup_clusters_incremental: the
+    * incremental labeling must equal the from-scratch one, so both entries
+    * hash against the same oracle. */
+  private lazy val DEDUP_CLUSTERS_SQL =
+    s"""WITH RECURSIVE $NGRAM_CTES,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+       |bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS id FROM bi),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT bi.b, reach.r FROM bi JOIN reach ON bi.a = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT id AS doc_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id)""".stripMargin
 
   /** Shared by dedup_incremental and its bloom-pruned twin (same answer,
     * different plan). */
@@ -441,6 +467,92 @@ object SparkEntry {
        |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
        |WHERE rn <= 3""".stripMargin
+
+  /** ann_lsh / ann_ivf / ann_2level twins as reusable vals (r13: also
+    * composed into ANN_EVAL_SQL): the frozen bucket/cell assignment comes
+    * from the engine under test; candidate generation, the exact cosine
+    * kernel, and the top-3 ranking are recomputed by DuckDB. */
+  private lazy val ANN_LSH_SQL =
+    s"""WITH eb AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "lsh")}/*.parquet')),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 100),
+       |cand AS (SELECT DISTINCT query_id, eb.vec_id AS nn_id
+       |         FROM eb JOIN qb USING (tbl, bucket) WHERE eb.vec_id <> qb.query_id),
+       |sc AS (SELECT query_id, nn_id,
+       |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+       |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
+       |       JOIN e b ON cand.query_id = b.vec_id)
+       |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
+
+  private lazy val ANN_IVF_SQL =
+    s"""WITH cells AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "ivf-cells")}/*.parquet')),
+       |probes AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "ivf-probes")}/*.parquet')),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cand AS (SELECT query_id, vec_id AS nn_id
+       |         FROM cells JOIN probes USING (cell) WHERE vec_id <> query_id),
+       |sc AS (SELECT query_id, nn_id,
+       |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+       |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
+       |       JOIN e b ON cand.query_id = b.vec_id)
+       |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
+
+  private lazy val ANN_2LEVEL_SQL =
+    s"""WITH cells AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "2level-cells")}/*.parquet')),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |qb AS (SELECT vec_id AS query_id, coarse, fine FROM cells WHERE vec_id < 100),
+       |cand AS (SELECT DISTINCT query_id, cells.vec_id AS nn_id
+       |         FROM cells JOIN qb USING (coarse, fine)
+       |         WHERE cells.rk <= ${Similarity.BlockProbes}
+       |           AND cells.vec_id <> qb.query_id),
+       |sc AS (SELECT query_id, nn_id,
+       |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
+       |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
+       |       JOIN e b ON cand.query_id = b.vec_id)
+       |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
+
+  /** ann_eval twin (r13, ADVICE r12): DuckDB re-derives BOTH sides — the
+    * five method top-3s from the frozen assignment/shortlist artifacts
+    * (the per-method twin SQLs verbatim, as subqueries) and the exact
+    * brute-force top-3 per query — then counts set intersections. Integer
+    * hits + one 4-dp division, so the hash gate is float-hazard-free. */
+  private lazy val ANN_EVAL_SQL = {
+    val methodSql = Seq(
+      "lsh" -> ANN_LSH_SQL,
+      "ivf" -> ANN_IVF_SQL,
+      "pq" -> annShortlistRerankSql(Similarity.annArtifactPath(VerifySf, "pq-shortlist")),
+      "ivfpq" -> annShortlistRerankSql(Similarity.annArtifactPath(VerifySf, "ivfpq-shortlist")),
+      "2level" -> ANN_2LEVEL_SQL)
+      .map { case (m, sql) =>
+        s"SELECT '$m' AS method, query_id, nn_id FROM (\n$sql\n)" }
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+       |exact AS (SELECT query_id, nn_id FROM (
+       |  SELECT q.query_id, e.vec_id AS nn_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(${dot("e.v", "q.qv")} / (${l2("e.v")} * ${l2("q.qv")}), 4) DESC,
+       |               e.vec_id) AS rn
+       |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 3),
+       |ann AS ($methodSql),
+       |univ AS (SELECT m.method, e.vec_id AS query_id FROM e
+       |         CROSS JOIN (SELECT unnest([${Similarity.AnnEvalMethods.map(m => s"'$m'").mkString(", ")}]) AS method) m
+       |         WHERE e.vec_id < 100),
+       |hits AS (SELECT method, query_id, count(*) AS h
+       |         FROM ann JOIN exact USING (query_id, nn_id) GROUP BY 1, 2)
+       |SELECT univ.method, univ.query_id,
+       |  CAST(coalesce(h, 0) AS INT) AS hits,
+       |  round(CAST(coalesce(h, 0) AS DOUBLE) / 3.0, 4) AS recall
+       |FROM univ LEFT JOIN hits USING (method, query_id)""".stripMargin
+  }
 
   /** Shared by embedding_dedup_2level and embedding_dedup_blocked (the
     * blocked entry delegates to the same two-level quantizer): within-cell
@@ -1094,23 +1206,13 @@ object SparkEntry {
          |    / CAST(greatest(n_a + n_b - n_common, 1) AS DOUBLE), 6) AS pair_jaccard
          |FROM m""".stripMargin,
 
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $NGRAM_CTES,
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
-         |bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |       UNION SELECT doc_b, doc_a FROM pairs),
-         |verts AS (SELECT DISTINCT a AS id FROM bi),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM verts
-         |  UNION
-         |  SELECT bi.b, reach.r FROM bi JOIN reach ON bi.a = reach.id),
-         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
-         |SELECT id AS doc_id, cluster_id, cluster_size
-         |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+    "dedup_clusters" -> DEDUP_CLUSTERS_SQL,
+
+    // dedup_clusters_incremental: the oracle is DELIBERATELY the identical
+    // full-graph recursive-CTE CC — the incremental maintenance must land
+    // on exactly the from-scratch labeling, so the hash match IS the
+    // incremental==full proof (the rollup_incremental convention).
+    "dedup_clusters_incremental" -> DEDUP_CLUSTERS_SQL,
 
     "ingest_anomaly" ->
       """WITH daily AS (
@@ -1644,19 +1746,21 @@ object SparkEntry {
     },
 
     // heavy_hitters: frozen combined-sketch top-10; DuckDB recomputes the
-    // exact global term counts, the 11th-largest-count cutoff, and both
-    // verdicts (count agreement — the sketch's 65536 slots exceed this
-    // corpus's vocabulary, so counts must be exact — and tie-tolerant
-    // top-k validity: every selected term's exact count >= the cutoff).
+    // exact global term counts, the 10th-largest-count cutoff (the k-th
+    // largest — ADVICE r12 tightened this from the too-loose 11th), and
+    // both verdicts (count agreement — the sketch's 65536 slots exceed
+    // this corpus's vocabulary, so counts must be exact — and
+    // tie-tolerant top-k validity: every selected term's exact count >=
+    // the cutoff).
     "heavy_hitters" ->
       s"""WITH fz AS (SELECT * FROM read_parquet('${TextOps.textArtifactPath(VerifySf, "hh-top")}/*.parquet')),
          |tok AS (SELECT unnest($WORDS) AS term FROM documents),
          |c AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY 1),
-         |k AS (SELECT min(exact_n) AS k11 FROM
-         |       (SELECT exact_n FROM c ORDER BY exact_n DESC, term LIMIT 11))
+         |k AS (SELECT min(exact_n) AS k10 FROM
+         |       (SELECT exact_n FROM c ORDER BY exact_n DESC, term LIMIT 10))
          |SELECT rank, fz.term, n, COALESCE(exact_n, 0) AS exact_n,
          |  CAST(n = COALESCE(exact_n, 0) AS INT) AS count_match,
-         |  CAST(COALESCE(exact_n, 0) >= k11 AS INT) AS is_valid_topk
+         |  CAST(COALESCE(exact_n, 0) >= k10 AS INT) AS is_valid_topk
          |FROM fz LEFT JOIN c ON fz.term = c.term CROSS JOIN k""".stripMargin,
 
     "heavy_hitters_exact" ->
@@ -2119,22 +2223,12 @@ object SparkEntry {
     // two-level quantizer twins: the (vec_id, coarse, fine[, rk])
     // assignment is frozen; candidate generation, the exact cosine kernel
     // and the ranking/threshold gate are recomputed by DuckDB.
-    "ann_2level" ->
-      s"""WITH cells AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "2level-cells")}/*.parquet')),
-         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |qb AS (SELECT vec_id AS query_id, coarse, fine FROM cells WHERE vec_id < 100),
-         |cand AS (SELECT DISTINCT query_id, cells.vec_id AS nn_id
-         |         FROM cells JOIN qb USING (coarse, fine)
-         |         WHERE cells.rk <= ${Similarity.BlockProbes}
-         |           AND cells.vec_id <> qb.query_id),
-         |sc AS (SELECT query_id, nn_id,
-         |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
-         |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
-         |       JOIN e b ON cand.query_id = b.vec_id)
-         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
-         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
-         |WHERE rn <= 3""".stripMargin,
+    "ann_2level" -> ANN_2LEVEL_SQL,
+
+    // ann_eval (r13): the five per-method twins composed verbatim +
+    // DuckDB's own exact top-3 — the recall table is integer set
+    // intersections, so a hash match certifies the whole audit.
+    "ann_eval" -> ANN_EVAL_SQL,
 
     "embedding_dedup_2level" -> EMBEDDING_DEDUP_2LEVEL_SQL,
     "embedding_dedup_blocked" -> EMBEDDING_DEDUP_2LEVEL_SQL,
@@ -2176,35 +2270,9 @@ object SparkEntry {
     // hash/quantizer assignment is taken from the engine under test,
     // candidate generation + the exact cosine kernel + the top-3 ranking
     // are recomputed independently. Paths pinned to the verify SF (0.01).
-    "ann_lsh" ->
-      s"""WITH eb AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "lsh")}/*.parquet')),
-         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 100),
-         |cand AS (SELECT DISTINCT query_id, eb.vec_id AS nn_id
-         |         FROM eb JOIN qb USING (tbl, bucket) WHERE eb.vec_id <> qb.query_id),
-         |sc AS (SELECT query_id, nn_id,
-         |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
-         |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
-         |       JOIN e b ON cand.query_id = b.vec_id)
-         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
-         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
-         |WHERE rn <= 3""".stripMargin,
+    "ann_lsh" -> ANN_LSH_SQL,
 
-    "ann_ivf" ->
-      s"""WITH cells AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "ivf-cells")}/*.parquet')),
-         |probes AS (SELECT * FROM read_parquet('${Similarity.annArtifactPath(VerifySf, "ivf-probes")}/*.parquet')),
-         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cand AS (SELECT query_id, vec_id AS nn_id
-         |         FROM cells JOIN probes USING (cell) WHERE vec_id <> query_id),
-         |sc AS (SELECT query_id, nn_id,
-         |         round(${dot("a.v", "b.v")} / (${l2("a.v")} * ${l2("b.v")}), 4) AS cos
-         |       FROM cand JOIN e a ON cand.nn_id = a.vec_id
-         |       JOIN e b ON cand.query_id = b.vec_id)
-         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
-         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
-         |WHERE rn <= 3""".stripMargin,
+    "ann_ivf" -> ANN_IVF_SQL,
 
     "ann_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -2981,6 +3049,34 @@ object SparkEntry {
          |    AS checksum_sum
          |FROM f GROUP BY media_type""".stripMargin,
 
+    // media_features_check twin (r13): the per-asset DECODED table is
+    // frozen by the entry itself; DuckDB recomputes the identical per-type
+    // totals from that parquet while the Spark side aggregates the LIVE
+    // decode — a hash match certifies live decode content == frozen
+    // boundary content, putting the codec OUTPUT under the driver gate.
+    "media_features_check" ->
+      s"""WITH f AS (SELECT *
+         |  FROM read_parquet('${Multimodal.mediaArtifactPath(VerifySf, "features-check")}/*.parquet'))
+         |SELECT media_type,
+         |  count(*) AS n_assets,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(sum(n_frames_sampled) AS BIGINT) AS total_frames,
+         |  CAST(CAST(sum(CAST(checksum AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS checksum_sum
+         |FROM f GROUP BY media_type""".stripMargin,
+
+    // media_frames_check twin (r13): same pattern at per-asset grain over
+    // the frozen per-frame table the entry wrote.
+    "media_frames_check" ->
+      s"""WITH f AS (SELECT *
+         |  FROM read_parquet('${Multimodal.mediaArtifactPath(VerifySf, "frames-check")}/*.parquet'))
+         |SELECT asset_id,
+         |  count(*) AS n_frames_sampled,
+         |  CAST(sum(frame_bytes) AS BIGINT) AS total_frame_bytes,
+         |  CAST(CAST(sum(CAST(frame_checksum AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS checksum_sum
+         |FROM f GROUP BY asset_id""".stripMargin,
+
     // media_frame_audit twin: the header-parse dims/frame-count table is
     // the frozen boundary; DuckDB re-derives the sampler's stride
     // arithmetic (per-type sample count n, then frame_idx =
@@ -3068,7 +3164,7 @@ object SparkEntry {
     * carries the declaration. Kept in sync by a VerifySpec assertion:
     * keys == queries.keySet -- oracleSql.keySet. */
   def rowsOnly: Map[String, String] = ListMap(
-    "media_features" -> "the decode boundary itself (real ImageIO/AudioSystem codecs; no SQL equivalent): deterministic checksums + distributed==local equality pinned in OperatorSpec; downstream algebra hash-gated via media_report's frozen-table oracle; metadata twin multimodal_meta IS driver-matched",
-    "media_frames" -> "frame sampling re-decodes payloads per frame (no SQL equivalent): stride/index determinism pinned in OperatorSpec; the sibling resize/report/frame-accounting algebra is hash-gated from the frozen decode boundary (media_resize, media_report, media_frame_audit)",
+    "media_features" -> "the decode boundary itself (real ImageIO/AudioSystem codecs; no SQL equivalent): deterministic checksums + distributed==local equality pinned in OperatorSpec; downstream algebra hash-gated via media_report's frozen-table oracle; since r13 the boundary's OUTPUT totals are ALSO driver-gated via media_features_check (live decode vs frozen table); metadata twin multimodal_meta IS driver-matched",
+    "media_frames" -> "frame sampling re-decodes payloads per frame (no SQL equivalent): stride/index determinism pinned in OperatorSpec; the sibling resize/report/frame-accounting algebra is hash-gated from the frozen decode boundary (media_resize, media_report, media_frame_audit); since r13 the sampler's OUTPUT accounting is ALSO driver-gated per asset via media_frames_check",
   )
 }

@@ -556,7 +556,17 @@ object Curation {
     * double division (exact bits), keep is an integer sign test. */
   def qClassifierTrainScore(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val model = classifierTrain(docs)
+    classifierTrainScoreFrom(docs, classifierTrain(docs))
+  }
+
+  /** See [[qClassifierTrainScore]]; takes an already-trained
+    * (bucket, w_micro) weight table so the bench bills the 12-round GD
+    * once (as classifier_train) and this serve leg at its true cost —
+    * one broadcast join + one integer aggregation (VERDICT r12 task 2:
+    * the combined entry was double-billing ~8 s of training; in
+    * production the trained table is materialized once and every scoring
+    * run reuses it, exactly this call shape). */
+  def classifierTrainScoreFrom(docs: DataFrame, model: DataFrame): DataFrame = {
     val feats = tokens(docs).select(col("doc_id"),
       (conv(substring(md5(concat(lit("feat:"), col("w"))), 1, 8), 16, 10)
         .cast("long") % FeatureDim).as("bucket"))

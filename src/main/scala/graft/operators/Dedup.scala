@@ -296,6 +296,85 @@ object Dedup {
         col("canonical_quality"), col("cluster_size"))
   }
 
+  /** Incremental connected-components maintenance
+    * (dedup_clusters_incremental) — the one incremental the dedup cascade
+    * lacked (VERDICT r12 task 5): a growing corpus doesn't re-cluster from
+    * scratch each ingest cycle, it adds the new batch's edges to an
+    * EXISTING labeling and re-solves only the components those edges
+    * touch. Batch split: doc_id % 5 == 2 is the new batch (~20%, a
+    * realistic ingest ratio) — chosen over the dedup_incremental parity
+    * convention because the fixture's dup pairs are even↔odd, so a parity
+    * split yields ZERO affected prior clusters and the merge path would
+    * never execute; mod-5 leaves the (45,413,267) triple split across
+    * prior/batch and the component-merge path runs for real (pinned in
+    * OperatorSpec).
+    *
+    * Algorithm (exact, == full recompute by construction):
+    *  1. AFFECTED prior clusters = those with any member in a delta edge.
+    *  2. Reduced graph = delta edges ∪ one (member → prior-representative)
+    *     edge per member of each affected cluster. The representative IS
+    *     the component's min doc_id, so each affected prior component
+    *     enters the reduced graph fully connected through it, and min-label
+    *     propagation over the reduced graph lands on the true min of every
+    *     merged component (all candidate minima are present as vertices).
+    *  3. Final labeling = untouched prior labels (their components gained
+    *     no edge, so their full-graph component is unchanged) ∪ the reduced
+    *     graph's labels; sizes recomputed over the union.
+    * The DuckDB oracle runs the full-graph recursive-CTE CC (identical SQL
+    * to dedup_clusters), so the driver hash IS the incremental==full proof.
+    *
+    * Scale shape (100 TB corpus, TB-sized ingest batch): the prior
+    * labeling is a frozen table read, not recomputed (here the entry
+    * rebuilds it from the even half so the oracle needs no artifact — same
+    * stance as minhash_incremental's state side); everything downstream is
+    * sized by the BATCH — delta edges, affected members (dup clusters are
+    * small and the batch touches few), and the propagation loop runs over
+    * the reduced graph only. Cost ∝ batch + affected-component mass, never
+    * corpus (SCALEPROBE r13 note pins the ratio). */
+  def qDedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    val pairs = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    dedupClustersIncrementalFrom(
+      pairs.filter(col("doc_a") % 5 =!= 2 && col("doc_b") % 5 =!= 2),
+      pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2))
+  }
+
+  /** See [[qDedupClustersIncremental]]; `priorPairs` is the corpus pair
+    * graph the frozen labeling was built from, `deltaPairs` the new
+    * batch's edges (both directions of the split are exact-Jaccard pairs —
+    * the generation stage is [[minHashIncrementalFrom]]'s probe shape). */
+  def dedupClustersIncrementalFrom(priorPairs: DataFrame,
+                                   deltaPairs: DataFrame): DataFrame = {
+    // Lineage truncation at the state boundary: in production the prior
+    // labeling is a FROZEN TABLE read from storage and the delta a fresh
+    // ingest batch — neither carries a recomputation lineage.
+    // localCheckpoint models exactly that, and is also load-bearing here:
+    // clusterPairs' per-round plan references its previous round twice, so
+    // nesting one CC loop's OUTPUT inside another CC loop's EDGES without
+    // truncation makes AQE's per-update explainString rendering exponential
+    // in total rounds (measured: OOM at sf0.01 — the string, not the data).
+    val prior = clusterPairs(priorPairs)
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val delta = deltaPairs.localCheckpoint()
+    val deltaV = delta.select(col("doc_a").as("doc_id"))
+      .union(delta.select(col("doc_b").as("doc_id"))).distinct()
+    val affected = prior.join(deltaV, "doc_id")
+      .select(col("cluster_id")).distinct()
+    val affMembers = prior.join(broadcast(affected), "cluster_id")
+    // member → representative edges re-connect each affected prior
+    // component inside the reduced graph (self-edge on the rep is a no-op
+    // under min propagation)
+    val reduced = delta
+      .union(affMembers.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("doc_b")))
+    val relabeled = clusterPairs(reduced).select(col("doc_id"), col("cluster_id"))
+    val untouched = prior.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val labels = untouched.union(relabeled)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Edit-distance verification (q38) over the near-dup CANDIDATE pairs —
     * the final fuzzy filter of a dedup cascade. Levenshtein is O(len²) per
     * pair, so at any scale it runs only on the pair list the cheap stages

@@ -510,6 +510,46 @@ object Multimodal {
         col("sample_i"), col("frame_idx"))
   }
 
+  /** media_features_check (r13, VERDICT r12 task 7) — puts the codec
+    * boundary's OUTPUT (not just its downstream algebra) under the driver
+    * hash gate: the LIVE distributed decode is aggregated per type while
+    * the SAME per-asset decoded table is frozen to its own artifact, and
+    * the DuckDB twin recomputes the identical totals from the frozen
+    * parquet. A hash match therefore certifies the live decode content ==
+    * the frozen boundary content (counts, byte mass, frame totals, and the
+    * order-free decimal checksum mass), per media type — if the
+    * distributed decode ever drifted from what was frozen (torn write,
+    * nondeterministic codec, partition-dependent content), the live side
+    * moves and the row goes red. media_features itself stays declared
+    * rows-only (its per-asset payload rows have no SQL equivalent); its
+    * OUTPUT accounting no longer is. */
+  def qMediaFeaturesCheck(s: SparkSession, d: String): DataFrame = {
+    val live = extractFeatures(mediaFromDocuments(s, d)).toDF()
+    freeze(live, mediaArtifactPath(d, "features-check"))
+    live.groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_assets"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("n_frames_sampled").cast("long")).as("total_frames"),
+      sum(col("checksum").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string").as("checksum_sum"))
+  }
+
+  /** media_frames_check — the [[qMediaFeaturesCheck]] pattern for the
+    * frame sampler: live per-asset frame accounting (sampled-frame count,
+    * decoded byte mass, order-free decimal checksum mass) vs the frozen
+    * per-frame table the same run wrote. Per-ASSET grain (≤ k rows fold
+    * into one), so a single asset whose sampled frames drift is
+    * pinpointed, not averaged away in a corpus total. */
+  def qMediaFramesCheck(s: SparkSession, d: String): DataFrame = {
+    val live = sampleFrames(mediaFromDocuments(s, d), 4).toDF()
+    freeze(live, mediaArtifactPath(d, "frames-check"))
+    live.groupBy(col("asset_id")).agg(
+      count(lit(1)).as("n_frames_sampled"),
+      sum(col("frame_bytes")).as("total_frame_bytes"),
+      sum(col("frame_checksum").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string").as("checksum_sum"))
+  }
+
   /** Oracle-checkable slice of the multimodal path: binary payload length,
     * content digest, and the batch shape a frame-sampler would use. */
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =

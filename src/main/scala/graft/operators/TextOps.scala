@@ -731,10 +731,12 @@ object TextOps {
     * sketch tracks 65536 slots > this corpus's vocabulary, so its counts
     * must be exact — the property OperatorSpec pinned since r3), and a
     * top-k-validity verdict: every selected term's exact count must be ≥
-    * the 11th-largest exact count (the tie-tolerant definition of a
-    * correct top-10 set). The oracle recomputes the exact counts, the
-    * 11th-count cutoff (an 11-row TakeOrderedAndProject — bounded), and
-    * both verdicts from the frozen file. */
+    * the 10th-largest exact count — the k-th largest is the tie-tolerant
+    * cutoff for a valid top-k SET (ADVICE r12: the 11th-largest was too
+    * loose — when k11 < k10 a wrongly selected 11th-ranked term still
+    * passed). The oracle recomputes the exact counts, the 10th-count
+    * cutoff (a 10-row TakeOrderedAndProject — bounded), and both
+    * verdicts from the frozen file. */
   def qHeavyHittersChecked(s: SparkSession, d: String): DataFrame =
     heavyHittersCheckedFrom(tokenTable(documents(s, d)), d)
 
@@ -743,14 +745,14 @@ object TextOps {
     val fz = freeze(heavyHittersFrom(tokens), textArtifactPath(d, "hh-top"))
     val counts = tokens.select(col("w").as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
-    val k11 = counts.orderBy(col("exact_n").desc, col("term")).limit(11)
-      .agg(min(col("exact_n")).as("k11"))
+    val k10 = counts.orderBy(col("exact_n").desc, col("term")).limit(10)
+      .agg(min(col("exact_n")).as("k10"))
     fz.join(counts, Seq("term"), "left")
-      .crossJoin(broadcast(k11))
+      .crossJoin(broadcast(k10))
       .select(col("rank"), col("term"), col("n"),
         coalesce(col("exact_n"), lit(0L)).as("exact_n"),
         (col("n") === coalesce(col("exact_n"), lit(0L))).cast("int").as("count_match"),
-        (coalesce(col("exact_n"), lit(0L)) >= col("k11")).cast("int").as("is_valid_topk"))
+        (coalesce(col("exact_n"), lit(0L)) >= col("k10")).cast("int").as("is_valid_topk"))
   }
 
   /** Exact per-source heavy hitters (heavy_hitters_exact): the oracle-

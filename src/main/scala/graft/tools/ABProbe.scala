@@ -6,16 +6,21 @@ import org.apache.spark.sql.SparkSession
   * the ScaleProbe replicas under target/scaleprobe/sfx{1,10} — run
   * ScaleProbe first to generate them). Usage:
   *
-  *   runMain graft.tools.ABProbe <dataDir> <queryName> [queryName...]
+  *   runMain graft.tools.ABProbe <dataDir>[,<dataDirB>] <queryName> [queryName...]
   *
   * Times each named SparkEntry query once on a warmed session (min-of-2),
   * caches cleared between queries. The bench box swings ±40% under
   * co-tenant load, so only same-JVM back-to-back comparisons are
-  * trustworthy — which is exactly what this produces.
+  * trustworthy — which is exactly what this produces. With TWO
+  * comma-separated dirs (r13, the sf1-adjudication form of VERDICT r12
+  * task 1) each query is timed on both dirs back-to-back in this one JVM
+  * and the B/A ratio printed — the co-tenant window cancels out of the
+  * ratio, which is what adjudicates a suspicious scaling reading.
   */
 object ABProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
+    val dirs = args(0).split(",").toSeq
+    val dir = dirs.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,13 +43,21 @@ object ABProbe {
     System.err.println(f"[ab] calibration$cal%29.2fs (fixed 20M-row groupBy kernel)")
     for (name <- args.drop(1)) {
       val fn = graft.SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      def probe(d: String): Double = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, dir).queryExecution.toRdd.count()
+        fn(spark, d).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
+      }.min
+      if (dirs.size == 1) {
+        val m = probe(dir)
+        System.err.println(f"[ab] $name%-28s min=$m%7.2fs")
+      } else {
+        val a = probe(dirs(0))
+        val b = probe(dirs(1))
+        System.err.println(
+          f"[ab] $name%-28s A=$a%7.2fs B=$b%7.2fs B/A=${b / a}%6.2fx")
       }
-      System.err.println(f"[ab] $name%-28s min=${times.min}%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{LocalTableScanExec, RangeExec, SparkPlan}
+import org.apache.spark.sql.execution.{LocalTableScanExec, QueryExecution, RangeExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamFixture.spark
@@ -21,24 +22,59 @@ import graft.streaming.StreamFixture.spark
   * fine — that is AQE *observing* the data is tiny; a SinglePartition
   * ShuffleExchange is the plan *requiring* one task at any size.)
   *
-  * The top-10 set is the bench.json ranking at r11 (sf0.1, min-of-3),
-  * restricted to registered entries — the entries where a bad final plan
-  * would cost real wall-clock at 100 TB. */
+  * r13 (VERDICT r12 task 3): the top-10 set is DERIVED from the committed
+  * bench.json ranking (restricted to registered entries) instead of a
+  * frozen literal, so newly-expensive entries — classifier_train's GD
+  * loop was the r12 #1 — enter the lint automatically; and the lint now
+  * captures EVERY QueryExecution the entry triggers while it runs (via a
+  * QueryExecutionListener), not just the returned frame's plan — an
+  * iterative operator (classifier_train, pagerank, dedup_clusters,
+  * bpe_merges) does its real work in per-round internal jobs whose final
+  * adaptive plans the returned LocalRelation never shows. */
 class AqeFinalPlanSpec extends AnyFunSuite {
 
   val d = "/root/testdata/sf0.01"
 
-  /** bench.json top-10 registered entries (r11 ranking, most expensive
-    * first). curation_state_build outranks some of these but is a bench
-    * pipeline stage, not a registered entry. */
-  val top10: Seq[String] = Seq(
-    "prefix_jaccard", "dedup_clusters", "corpus_curate_scale", "pagerank",
-    "bpe_tokenize", "triplet_mine_scale", "embedding_dedup_blocked",
-    "embedding_dedup", "embedding_dedup_2level", "corpus_curate")
+  /** bench.json top-10 fallback (r12 ranking) — used only when the
+    * committed artifact is absent or unparsable, so the suite still runs
+    * on a fresh checkout. */
+  val fallbackTop10: Seq[String] = Seq(
+    "classifier_train", "classifier_train_score", "prefix_jaccard",
+    "bpe_tokenize", "dedup_clusters", "embedding_dedup_blocked",
+    "corpus_curate_scale", "embedding_dedup_2level", "triplet_mine",
+    "triplet_mine_scale")
+
+  /** Top-10 registered entries by the committed bench.json's sf0.1
+    * min-of-N column. The parse matches Bench.scala's own fixed rendering
+    * (one `"name": secs` line per entry inside the `"queries"` object) —
+    * no JSON library needed, and sf1_queries is excluded by slicing the
+    * section. */
+  lazy val top10: Seq[String] = {
+    val f = new java.io.File("bench.json")
+    val parsed: Seq[String] =
+      if (!f.exists()) Seq.empty
+      else {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val start = txt.indexOf("\"queries\": {")
+        val end = if (start < 0) -1 else txt.indexOf("}", start)
+        if (start < 0 || end < 0) Seq.empty
+        else {
+          val re = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
+          re.findAllMatchIn(txt.substring(start + 12, end))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .toSeq
+            .filter { case (n, s) => s >= 0 && SparkEntry.queries.contains(n) }
+            .sortBy(-_._2)
+            .take(10)
+            .map(_._1)
+        }
+      }
+    if (parsed.size == 10) parsed else fallbackTop10
+  }
 
   /** Same declared exception as PlanLintSpec: corpus_curate composes the
-    * exact ntile tercile by design; its scale twin (corpus_curate_scale,
-    * also in the top-10) uses frozen sketch cuts and must stay clean. */
+    * exact ntile tercile by design; its scale twin (corpus_curate_scale)
+    * uses frozen sketch cuts and must stay clean. */
   val singlePartitionAllowlist: Set[String] = Set("corpus_curate")
 
   /** Full traversal of an executed adaptive tree: descends into
@@ -67,47 +103,66 @@ class AqeFinalPlanSpec extends AnyFunSuite {
     case _ => false
   }
 
-  test("top-10 entries' EXECUTED (isFinalPlan) trees: no Cartesian product, " +
-    "no structural single-partition exchange over unbounded input") {
+  /** Lint one executed tree; appends findings to `failures`. */
+  def lint(name: String, root: SparkPlan,
+           failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    root match {
+      case a: AdaptiveSparkPlanExec if !a.toString.contains("isFinalPlan=true") =>
+        failures += s"$name: adaptive plan not finalized after execution"
+      case _ => ()
+    }
+    walk(root).foreach {
+      case _: CartesianProductExec =>
+        failures += s"$name: CartesianProductExec in FINAL plan"
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        if (!bounded(e.child) && !singlePartitionAllowlist.contains(name))
+          failures += s"$name: SinglePartition exchange over unbounded child post-AQE"
+      case _ => ()
+    }
+  }
+
+  test("top-10 entries: EVERY executed (isFinalPlan) tree — incl. iterative " +
+    "internal jobs — has no Cartesian product and no structural " +
+    "single-partition exchange over unbounded input") {
     assume(spark.conf.get("spark.sql.adaptive.enabled") == "true",
       "AQE must be on for a final-plan lint")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     top10.foreach { name =>
+      // capture every query execution the entry triggers (iterative
+      // operators run their real work as internal collect/count jobs)
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = captured.add(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
       val df = SparkEntry.queries(name)(spark, d)
       df.queryExecution.toRdd.count() // actually run it → AQE final plan
-      val root = df.queryExecution.executedPlan
-      root match {
-        case a: AdaptiveSparkPlanExec =>
-          if (!a.toString.contains("isFinalPlan=true"))
-            failures += s"$name: adaptive plan not finalized after execution"
-          walk(a).foreach {
-            case _: CartesianProductExec =>
-              failures += s"$name: CartesianProductExec in FINAL plan"
-            case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-              if (!bounded(e.child) && !singlePartitionAllowlist.contains(name))
-                failures += s"$name: SinglePartition exchange over unbounded child post-AQE"
-            case _ => ()
-          }
-        case other =>
-          // iterative operators (pagerank, dedup_clusters) may return a
-          // plan whose root is a non-adaptive wrapper over cached stages —
-          // lint whatever tree executed
-          walk(other).foreach {
-            case _: CartesianProductExec =>
-              failures += s"$name: CartesianProductExec in executed plan"
-            case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-              if (!bounded(e.child) && !singlePartitionAllowlist.contains(name))
-                failures += s"$name: SinglePartition exchange over unbounded child"
-            case _ => ()
-          }
+      // the listener bus is async: poll until no new events arrive
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = captured.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
       }
+      spark.listenerManager.unregister(listener)
+      lint(name, df.queryExecution.executedPlan, failures)
+      captured.forEach(qe => lint(s"$name[internal]", qe.executedPlan, failures))
       spark.catalog.clearCache()
     }
     assert(failures.isEmpty, "AQE final-plan lint failures:\n" + failures.mkString("\n"))
   }
 
-  test("top-10 set stays registered") {
+  test("top-10 set stays registered and tracks the committed bench ranking") {
     val missing = top10.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"top-10 lint names unregistered entries: $missing")
+    // the r12 #1/#2 (the GD loop) must be in the linted set as long as
+    // they top the committed ranking
+    assert(top10.contains("classifier_train"),
+      s"classifier_train missing from derived top-10: $top10")
   }
 }

@@ -74,6 +74,9 @@ class PlanLintSpec extends AnyFunSuite {
   val nljAllowlist: Map[String, String] = Map(
     "ann_brute" -> "build = the ONE query vector (unique-key equality filter on vec_id)",
     "nearest_neighbor" -> "build = the one query vector (same pattern)",
+    "ann_eval" -> ("build = the fixed 100-row eval query block (vec_id < 100) " +
+      "feeding the exact-reference scan — the nearest_neighbor pattern; " +
+      "eval block size is a constant of the audit, not a data scale"),
     "hybrid_search" -> "build = the one query vector feeding the cosine leg",
     "curate_incremental" -> ("build = the CurationState stats/bounds artifacts " +
       "— 1-row parquet frames by construction (CurationStateSpec)"),

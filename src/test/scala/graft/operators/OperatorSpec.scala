@@ -356,6 +356,39 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("dedup_clusters_incremental: maintained labels == full recompute, and the merge path runs") {
+    import spark.implicits._
+    // Synthetic graph exercising all three maintenance paths at once:
+    //  - untouched prior component {1,2} (no delta edge touches it)
+    //  - prior components {10,11} and {20,21} MERGED through batch doc 30
+    //  - fresh batch-only component {40,41}
+    val prior = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val delta = Seq((10L, 30L), (30L, 21L), (40L, 41L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersIncrementalFrom(prior, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.clusterPairs(prior.union(delta)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == full, s"incremental != full recompute:\n got=$got\nfull=$full")
+    // the merged component must carry the global min label across BOTH
+    // prior components and the bridging batch doc
+    assert(got.contains((30L, 10L, 5L)) && got.contains((21L, 10L, 5L)))
+    assert(got.contains((1L, 1L, 2L))) // untouched survives verbatim
+
+    // Fixture pin: on the real corpus the mod-5 batch split must actually
+    // produce affected prior clusters — guards against fixture drift
+    // silently turning the registered entry into a no-merge path (the
+    // parity split had exactly that defect, measured affected == 0).
+    val pairs = Dedup.qNgramJaccard(spark, d).select(col("doc_a"), col("doc_b"))
+    val priorLab = Dedup.clusterPairs(
+      pairs.filter(col("doc_a") % 5 =!= 2 && col("doc_b") % 5 =!= 2))
+    val deltaP = pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2)
+    val deltaV = deltaP.select(col("doc_a").as("doc_id"))
+      .union(deltaP.select(col("doc_b").as("doc_id"))).distinct()
+    val nAffected = priorLab.join(deltaV, "doc_id")
+      .select(col("cluster_id")).distinct().count()
+    assert(nAffected > 0, "mod-5 split no longer touches any prior cluster — merge path dead")
+  }
+
   test("training_mix: sampling is content-keyed and the kept set is closed under the declared rules") {
     val mix = graft.operators.Pipeline.qTrainingMix(spark, d).collect()
     assert(mix.nonEmpty)

@@ -101,6 +101,58 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming TRAINED-classifier serving equals the batch score (train once, serve both modes)") {
+    // r13 (VERDICT r12 task 6): the GD-trained weight table — not the
+    // deterministic stand-in — served at ingest time. Training runs ONCE,
+    // batch-side (the production shape: the trained (bucket, w_micro)
+    // table is a frozen artifact); the stream then scores each epoch via
+    // foreachBatch with the SAME broadcast model, completing the
+    // train → eval → score lifecycle across both execution modes. Serving
+    // state is O(1): no streaming aggregation state at all — the only
+    // "state" is the broadcast 4096-row weight table.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docsDf = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = Curation.classifierTrain(docsDf) // eager 12-round GD, once
+      .localCheckpoint() // frozen-artifact stand-in: serve from data, not lineage
+    val docs = docsDf.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().toSeq
+    assert(docs.nonEmpty)
+
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .foreachBatch { (epoch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Curation.classifierTrainScoreFrom(epoch, model)
+            .collect().map(_.toSeq)
+        }; ()
+      }
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val expected = Curation
+        .classifierTrainScoreFrom(docsDf.select($"doc_id", $"text", $"source"), model)
+        .collect().map(_.toSeq).toSet
+      got.synchronized {
+        assert(got.toSet == expected,
+          s"stream-only: ${(got.toSet -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+        assert(got.size == docs.size)
+      }
+      // O(1) serving state: the foreachBatch scorer keeps NO streaming state
+      val stateRows = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      assert(stateRows == 0, s"trained-model serving must be stateless: $stateRows")
+    } finally query.stop()
+  }
+
   test("streaming sequence packing equals the batch packing on an ordered replay") {
     // the batch per-bucket cumulative sum becomes 256 longs of state; an
     // in-order replay must place every doc in exactly the batch's bin

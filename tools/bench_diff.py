@@ -28,7 +28,29 @@ def load(path):
     # co-tenant load and pass 1 additionally pays JIT warmup — a median over
     # 3 passes inherits both), so the comparable box-speed companion is the
     # fastest calibration the run observed.
-    return d.get("queries", {}), (min(cal) if cal else None), d.get("summary", {})
+    # sf1 addendum (r12 VERDICT task 4): the 10x-tier column, when present.
+    # Its calibration was a scalar in r12 (min-of-1) and a list from r13 on
+    # (min-of-2) — normalize to a min either way.
+    sf1cal = d.get("summary", {}).get("sf1", {}).get("calibration_s")
+    if isinstance(sf1cal, list):
+        sf1cal = min(sf1cal) if sf1cal else None
+    return (d.get("queries", {}), (min(cal) if cal else None),
+            d.get("summary", {}), d.get("sf1_queries", {}), sf1cal)
+
+
+def diff_rows(oldq, newq, oldcal, newcal, threshold):
+    """Calibration-normalized per-entry ratios, biggest movers first."""
+    ratio = (newcal / oldcal) if (oldcal and newcal) else 1.0
+    rows = []
+    for name in sorted(set(oldq) & set(newq)):
+        o, n = oldq[name], newq[name]
+        if o <= 0 or n <= 0:
+            continue  # failed entries carry sec = -1
+        norm = n / ratio
+        r = norm / o
+        rows.append((name, o, n, norm, r, r >= threshold or r <= 1 / threshold))
+    rows.sort(key=lambda t: -abs(__import__("math").log(t[4])))
+    return rows, ratio
 
 
 def main():
@@ -40,27 +62,23 @@ def main():
     ap.add_argument("--md", action="store_true", help="emit a markdown table")
     args = ap.parse_args()
 
-    oldq, oldcal, olds = load(args.old)
-    newq, newcal, news = load(args.new)
+    oldq, oldcal, olds, oldsf1, oldsf1cal = load(args.old)
+    newq, newcal, news, newsf1, newsf1cal = load(args.new)
 
     # Box-speed normalization: if both runs carry a calibration value,
     # scale the new timings into the old run's box. A noisy window shows
     # up as a calibration ratio far from 1 and is reported, not hidden.
-    ratio = (newcal / oldcal) if (oldcal and newcal) else 1.0
-
-    rows = []
-    for name in sorted(set(oldq) & set(newq)):
-        o, n = oldq[name], newq[name]
-        if o <= 0 or n <= 0:
-            continue  # failed entries carry sec = -1
-        norm = n / ratio
-        r = norm / o
-        rows.append((name, o, n, norm, r, r >= args.threshold or r <= 1 / args.threshold))
-    rows.sort(key=lambda t: -abs(__import__("math").log(t[4])))
+    rows, ratio = diff_rows(oldq, newq, oldcal, newcal, args.threshold)
 
     added = sorted(set(newq) - set(oldq))
     removed = sorted(set(oldq) - set(newq))
     flagged = [r for r in rows if r[5]]
+
+    # sf1-tier diff, only when BOTH artifacts carry the addendum column
+    sf1_rows, sf1_ratio = ((None, None) if not (oldsf1 and newsf1) else
+                           diff_rows(oldsf1, newsf1, oldsf1cal, newsf1cal,
+                                     args.threshold))
+    sf1_flagged = [r for r in (sf1_rows or []) if r[5]]
 
     hdr = {
         "old_total": olds.get("value"), "new_total": news.get("value"),
@@ -84,13 +102,34 @@ def main():
             if fl or abs(r - 1) >= 0.25:  # keep the table readable
                 print(f"| {name} | {o:.2f} | {n:.2f} | {norm:.2f} | {r:.2f}x | "
                       f"{'**FLAG**' if fl else ''} |")
+        if sf1_rows is not None:
+            print(f"\n## sf1 tier (10x)\n")
+            print(f"- calibration ratio {round(sf1_ratio, 3)} "
+                  f"(fastest sf1 calibration: old {oldsf1cal}, new {newsf1cal}); "
+                  f"{len(sf1_rows)} entries compared, {len(sf1_flagged)} flagged\n")
+            print("| query | old s | new s | new norm s | ratio | flag |")
+            print("|---|---|---|---|---|---|")
+            for name, o, n, norm, r, fl in sf1_rows:
+                if fl or abs(r - 1) >= 0.25:
+                    print(f"| {name} | {o:.2f} | {n:.2f} | {norm:.2f} | {r:.2f}x | "
+                          f"{'**FLAG**' if fl else ''} |")
+        elif oldsf1 or newsf1:
+            print(f"\n## sf1 tier (10x)\n")
+            print(f"- only {'new' if newsf1 else 'old'} artifact carries "
+                  f"sf1_queries — no sf1 diff this round")
     else:
-        print(json.dumps({"summary": hdr,
+        out = {"summary": hdr,
+               "flagged": [{"query": n, "old_s": o, "new_s": s,
+                            "norm_new_s": round(norm, 3), "ratio": round(r, 3)}
+                           for n, o, s, norm, r, _ in flagged]}
+        if sf1_rows is not None:
+            out["sf1"] = {"cal_ratio": round(sf1_ratio, 3),
+                          "n_compared": len(sf1_rows),
                           "flagged": [{"query": n, "old_s": o, "new_s": s,
                                        "norm_new_s": round(norm, 3),
                                        "ratio": round(r, 3)}
-                                      for n, o, s, norm, r, _ in flagged]},
-                         indent=2))
+                                      for n, o, s, norm, r, _ in sf1_flagged]}
+        print(json.dumps(out, indent=2))
     return 0
 
 
