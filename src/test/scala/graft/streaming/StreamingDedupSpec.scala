@@ -133,4 +133,57 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(stateRows == 0, s"TTL did not evict quiet buckets: $stateRows resident")
     } finally query.stop()
   }
+
+  test("streaming CC maintenance: served labeling == full recompute after every edge chunk") {
+    // r13: the foreachBatch ClusterMaintainer folds pair batches into a
+    // label state (maintainClusters — the dedup_clusters_incremental
+    // kernel); after each chunk the served labeling must equal
+    // clusterPairs over ALL edges seen so far, including chunks whose
+    // edges MERGE previously disjoint components. State is the label
+    // table only — edges are consumed and dropped.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val pairs = Dedup.qNgramJaccard(spark, d)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(pairs.size >= 3, s"fixture must have enough near-dup pairs: ${pairs.size}")
+    // 3 chunks; a synthetic bridge edge in the LAST chunk guarantees a
+    // cross-chunk component merge even if the fixture's pairs are disjoint
+    val (c1, rest) = pairs.splitAt(pairs.size / 3)
+    val (c2, c3raw) = rest.splitAt(rest.size / 2)
+    val bridge = (c1.head._1, c2.head._1) // joins a chunk-1 and a chunk-2 component
+    val c3 = c3raw :+ bridge
+
+    val maintainer = new Dedup.ClusterMaintainer(spark)
+    val input = MemoryStream[(Long, Long)]
+    val query = input.toDF().toDF("doc_a", "doc_b").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .foreachBatch { (epoch: org.apache.spark.sql.DataFrame, _: Long) =>
+        maintainer.fold(epoch); ()
+      }
+      .start()
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      for (chunk <- Seq(c1, c2, c3)) {
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+        seen = seen ++ chunk
+        val served = maintainer.serve().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val full = Dedup.clusterPairs(seen.toDF("doc_a", "doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(served == full,
+          s"after ${seen.size} edges: served != full recompute\n" +
+            s"served-only: ${(served -- full).take(3)}\nfull-only: ${(full -- served).take(3)}")
+      }
+      // the bridge edge must have actually merged two components: its two
+      // endpoints share a label in the final state
+      val lab = maintainer.serve().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab(bridge._1) == lab(bridge._2), "bridge endpoints not merged")
+    } finally query.stop()
+  }
 }
