@@ -22,12 +22,14 @@ import org.apache.spark.sql.SparkSession
   * entry, and both downstream queries read the cached table, so the
   * tokenize shuffle is paid (and counted) exactly once per pass.
   *
-  * sf1 addendum (r12): when target/testdata/sf1 exists (or
-  * SPARK_GRAFT_SF1_DIR points elsewhere; SPARK_GRAFT_SF1=0 disables),
-  * one extra single pass runs the whole catalogue at the 10x tier and
-  * lands as a compact "sf1" object on the summary line plus a full
-  * "sf1_queries" map in bench.json — the whole-catalogue scaling
-  * measurement VERDICT r11 task 6 asked for. */
+  * sf1 addendum (r12; min-of-2 since r13): when target/testdata/sf1
+  * exists (or SPARK_GRAFT_SF1_DIR points elsewhere; SPARK_GRAFT_SF1=0
+  * disables, SPARK_GRAFT_SF1_RUNS overrides the pass count), extra
+  * passes run the whole catalogue at the 10x tier and land as a compact
+  * "sf1" object on the summary line plus a full "sf1_queries" map in
+  * bench.json — the whole-catalogue scaling measurement VERDICT r11
+  * task 6 asked for, hardened per VERDICT r12 task 1 (the min-of-1
+  * column carried 41x co-tenant artifacts one loaded tail could cause). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -107,6 +107,7 @@ object SparkEntry {
     "embedding_quantize"  -> (Similarity.qEmbeddingQuantize _), // int8 symmetric quantization, integer-exact kernel
     // ---- LLM-pipeline: text analysis ----
     "lang_id"             -> (TextOps.qLangId _),
+    "temperature_mix"     -> (Pipeline.qTemperatureMix _), // NEW r13: alpha=0.25 language-temperature resampling; sqrt(sqrt(n)) keeps it IEEE-exact cross-engine
     "quality_score"       -> (TextOps.qQualityScore _),
     "token_count"         -> (TextOps.qTokenCount _),
     "corpus_stats"        -> (TextOps.qCorpusStats _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "scd2_snapshot"       -> (R.qScd2Snapshot _),
     "merge_apply"         -> (R.qMergeApply _), // CDC MERGE: changelog -> next snapshot, last writer wins
     "heavy_hitters"       -> (TextOps.qHeavyHittersChecked _), // hash-green since r12: frozen top-k + DuckDB-recomputed exact-agreement and top-k validity
+    "cms_counts"          -> (TextOps.qCmsCounts _), // NEW r13: mergeable count-min sketch; md5 rows are portable so DuckDB recomputes the WHOLE sketch + bounds — no frozen artifact
     "heavy_hitters_exact" -> (TextOps.qHeavyHittersExact _), // hash-green twin of the sketch entry
     "pmi_collocations"    -> (TextOps.qPmiCollocations _), // phrase mining: top bigrams by PMI with count floor
     "skipgram_cooc"       -> (TextOps.qSkipgramCooc _), // GloVe-style windowed co-occurrence matrix (1/dist weighted)
@@ -383,8 +385,8 @@ object SparkEntry {
        |sig AS (SELECT doc_id, $outDigits AS simhash FROM v)""".stripMargin
   }
 
-  /** Script-range language heuristic shared by lang_id and training_mix
-    * (must mirror TextOps.langIdExpr). */
+  /** Script-range language heuristic shared by lang_id, training_mix and
+    * temperature_mix (must mirror TextOps.langIdExpr). */
   private val LANG_CASE =
     raw"""CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
          |     WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
@@ -1763,6 +1765,45 @@ object SparkEntry {
          |  CAST(COALESCE(exact_n, 0) >= k10 AS INT) AS is_valid_topk
          |FROM fz LEFT JOIN c ON fz.term = c.term CROSS JOIN k""".stripMargin,
 
+    // cms_counts twin (r13): the md5 row hashes are engine-portable, so
+    // DuckDB rebuilds BOTH sketch paths (per-source accumulate + merge,
+    // and the direct global sketch), the per-term min-estimates, the
+    // exact counts, and all three integer verdicts from the base parquet
+    // — the only sketch entry needing no frozen artifact. The bound check
+    // is integer cross-multiplication, so no division enters the hash.
+    "cms_counts" -> {
+      val w = TextOps.CmsWidth
+      s"""WITH tok AS (SELECT source, unnest($WORDS) AS w FROM documents),
+         |tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |rows AS (SELECT unnest([${(0 until TextOps.CmsDepth).mkString(", ")}]) AS r),
+         |ps AS (SELECT source, r,
+         |         CAST(${duckHex("md5('cms:' || CAST(r AS VARCHAR) || ':' || w)", 8)} % $w AS BIGINT) AS b,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |       FROM tc CROSS JOIN rows GROUP BY 1, 2, 3),
+         |mg AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM ps GROUP BY 1, 2),
+         |g AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM tc GROUP BY 1),
+         |dr AS (SELECT r,
+         |         CAST(${duckHex("md5('cms:' || CAST(r AS VARCHAR) || ':' || w)", 8)} % $w AS BIGINT) AS b,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |       FROM g CROSS JOIN rows GROUP BY 1, 2),
+         |q AS (SELECT unnest([${TextOps.CmsQueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |qb AS (SELECT term, r,
+         |         CAST(${duckHex("md5('cms:' || CAST(r AS VARCHAR) || ':' || term)", 8)} % $w AS BIGINT) AS b
+         |       FROM q CROSS JOIN rows),
+         |em AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_merged
+         |       FROM qb LEFT JOIN mg USING (r, b) GROUP BY 1),
+         |ed AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_direct
+         |       FROM qb LEFT JOIN dr USING (r, b) GROUP BY 1),
+         |ex AS (SELECT w AS term, c AS exact_n FROM g),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+         |SELECT em.term, est_merged, est_direct,
+         |  CAST(coalesce(exact_n, 0) AS BIGINT) AS exact_n, n_tokens,
+         |  CAST(est_merged = est_direct AS INT) AS merge_match,
+         |  CAST(est_merged >= coalesce(exact_n, 0) AS INT) AS over_ok,
+         |  CAST((est_merged - coalesce(exact_n, 0)) * $w <= 2 * n_tokens AS INT) AS bound_ok
+         |FROM em JOIN ed USING (term) LEFT JOIN ex USING (term) CROSS JOIN nt""".stripMargin
+    },
+
     "heavy_hitters_exact" ->
       s"""WITH tok AS (SELECT source, unnest($WORDS) AS term FROM documents),
          |c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
@@ -2328,14 +2369,34 @@ object SparkEntry {
          |         JOIN e nv ON d2.neg_id = nv.vec_id""".stripMargin,
 
     "lang_id" ->
-      raw"""SELECT doc_id, lang AS labeled_lang,
-           |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-           |       WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
-           |       WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
-           |       WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
-           |       WHEN regexp_matches(text, '^[\x00-\x7f]*$$') THEN 'en'
-           |       ELSE 'other' END AS pred_lang
-           |FROM documents""".stripMargin,
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  $LANG_CASE AS pred_lang
+         |FROM documents""".stripMargin,
+
+    // temperature_mix twin (r13): the domain_mix recipe at (language ×
+    // source) cell grain over TOKEN mass, alpha = 0.25 — sqrt(sqrt(t)) is
+    // two correctly-rounded IEEE ops (pow(x, .25) would go through libm
+    // and is not), weights decimal-snap before the cross-cell sum, and
+    // the keep decision is the same 16-bit hex-bucket string compare.
+    "temperature_mix" ->
+      s"""WITH l AS (SELECT doc_id, text, source, $LANG_CASE AS lang,
+         |             CAST(len($WORDS) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |pc AS (SELECT lang, source, CAST(sum(n_tok) AS BIGINT) AS cell_tokens
+         |       FROM l GROUP BY 1, 2),
+         |tot AS (SELECT sum(cell_tokens) AS total_tokens,
+         |    CAST(sum(CAST(sqrt(sqrt(CAST(cell_tokens AS DOUBLE))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_w
+         |  FROM pc),
+         |cut AS (SELECT lang, source, cell_tokens,
+         |    least(1.0, sqrt(sqrt(CAST(cell_tokens AS DOUBLE))) / sum_w
+         |      * floor(total_tokens * 2 / 5) / CAST(cell_tokens AS DOUBLE)) AS keep_prob
+         |  FROM pc CROSS JOIN tot)
+         |SELECT l.doc_id, l.lang, l.source, c.cell_tokens,
+         |  round(c.keep_prob, 6) AS keep_prob,
+         |  '0' || substr(md5('tmix:' || l.text), 1, 4) AS bucket,
+         |  ('0' || substr(md5('tmix:' || l.text), 1, 4)) <
+         |    printf('%05x', CAST(floor(c.keep_prob * 65536) AS BIGINT)) AS kept
+         |FROM l JOIN cut c USING (lang, source)""".stripMargin,
 
     "quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $NORM AS norm, $WORDS AS words FROM documents),

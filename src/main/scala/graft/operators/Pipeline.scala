@@ -107,6 +107,63 @@ object Pipeline {
         (col("bucket") < coalesce(col("cut_hex"), lit("00000"))).as("kept"))
   }
 
+  /** Language×domain temperature mixture (temperature_mix, NEW r13) —
+    * the multilingual pretraining resampler (the mC4 / XLM-R / ROOTS
+    * recipe): corpus CELLS (language × source — the grain multilingual
+    * recipes actually balance; on this all-English fixture the cells
+    * reduce to sources) are resampled toward temperature-flattened
+    * shares of TOKEN MASS, weight ∝ tokens^α, so heavy cells are
+    * downsampled and light cells keep everything, with kept volume
+    * targeted at ⌊2T/5⌋ tokens. Token mass, not doc count, because
+    * that's what a training-mix budget is denominated in — and because
+    * it gives organically varying weights (doc counts in the fixture are
+    * uniform by construction, which is exactly the degenerate case the
+    * r12 domain_mix knife-edge lived on).
+    *
+    * Temperature: α = 0.25, implemented as sqrt(sqrt(tokens)) — libm
+    * `pow(x, 0.25)` is NOT correctly-rounded across implementations, but
+    * each chained `sqrt` is IEEE-exact in both the JVM and DuckDB, so
+    * the weights are bit-identical cross-engine (the reasoning that
+    * fixed α at 0.5 for domain_mix; 0.25 is the flattest IEEE-exact rung
+    * below it, and multilingual recipes flatten harder than domain
+    * recipes). Weights decimal-snap before the cross-cell sum
+    * (order-free); the per-doc keep decision is the content-keyed 16-bit
+    * hex-bucket compare — resumable at 100 TB. Scale: the cell table is
+    * languages×sources rows (broadcast); one corpus scan with per-row
+    * projections, zero data shuffle. */
+  def qTemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(documents(s, d))
+
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("text"), col("source"),
+      TextOps.langIdExpr(col("text")).as("lang"),
+      size(TextOps.normWords(col("text"))).cast("long").as("n_tok"))
+    val perCell = labeled.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("cell_tokens"))
+    val w = sqrt(sqrt(col("cell_tokens").cast("double")))
+    val totals = perCell.agg(
+      sum(col("cell_tokens")).as("total_tokens"),
+      sum(w.cast("decimal(18,6)")).cast("double").as("sum_w"))
+    val cutoffs = perCell.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("cell_tokens"),
+        least(
+          lit(1.0),
+          w / col("sum_w")
+            * floor(col("total_tokens") * 2 / 5).cast("double")
+            / col("cell_tokens").cast("double")).as("keep_prob"))
+      .withColumn("cut_hex",
+        lpad(lower(hex(floor(col("keep_prob") * 65536).cast("long"))), 5, "0"))
+    labeled.select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("0"),
+          substring(md5(concat(lit("tmix:"), col("text")).cast("binary")), 1, 4))
+          .as("bucket"))
+      .join(broadcast(cutoffs), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("cell_tokens"),
+        round(col("keep_prob"), 6).as("keep_prob"),
+        col("bucket"),
+        (col("bucket") < col("cut_hex")).as("kept"))
+  }
+
   /** Quality floor shared with [[qTrainingMix]]. */
   val CurateQualityMin = 0.05
 

@@ -784,6 +784,93 @@ object TextOps {
       .select(col("source"), col("rank"), col("term"), col("n"))
   }
 
+  /** Count-min sketch dimensions (cms_counts): depth 4 independent md5
+    * hash rows × width 1024 counters — 32 KB of BIGINTs per sketch, the
+    * classic mergeable frequency summary (Cormode–Muthukrishnan). Width
+    * 1024 gives ε = 2/1024 ≈ 0.2% of the token mass as the additive
+    * error bound checked below. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Terms the CMS entry queries: the BM25 query terms + "data" (all
+    * present in the synthetic corpus at head-ish counts) plus English
+    * stopwords ABSENT from the synthetic vocabulary — the absent terms
+    * exercise the unseen-term path (empty/colliding buckets, exact = 0,
+    * the coalesce legs of both engines). At this corpus's vocabulary
+    * (≲ width) the sketch happens to be exact, like heavy_hitters'
+    * 65536-slot regime; the bound verdicts are what carry to the
+    * colliding regime at scale. */
+  val CmsQueryTerms: Seq[String] =
+    (Bm25Query ++ Seq("the", "of", "and", "data")).distinct
+
+  /** Mergeable count-min frequency sketch (cms_counts) — the CMS
+    * companion of q43's HLL rollup and heavy_hitters' top-k sketch, and
+    * the one sketch family the engine lacked. Per-SOURCE sketches are
+    * accumulated at vocabulary grain (counter[r][b] = Σ counts of terms
+    * hashing to bucket b under row r — additive, so pre-aggregating the
+    * (source, term) counts first is exact and keeps the explode at vocab
+    * grain, never token grain), then MERGED by plain counter summation —
+    * the pre-agg/merge-later shape a 100 TB rollup needs; a DIRECT
+    * global sketch is built alongside and per-term estimates from both
+    * must agree exactly (merge_match — CMS merge is lossless by
+    * construction, and the flag proves the plumbing). For each query
+    * term the entry emits the merged/direct estimates, the exact count,
+    * and two audit verdicts: over_ok (CMS never underestimates) and
+    * bound_ok (est ≤ exact + ⌈εN⌉ with ε = 2/width — checked by integer
+    * CROSS-MULTIPLICATION, (est−exact)·width ≤ 2·N, so no division
+    * enters the hash).
+    *
+    * Fully HASH-GREEN WITH NO FROZEN ARTIFACT — unlike q09/q37/q43/
+    * heavy_hitters, whose engine-specific sketch binaries forced the
+    * frozen-estimate pattern: the md5 row hashes are engine-portable, so
+    * DuckDB recomputes the ENTIRE sketch (both accumulation paths), the
+    * estimates, and the verdicts from the base parquet. Scale shape: one
+    * map-side-combined (source, term) count, a depth-×-vocab-grain
+    * explode collapsed to depth×width counters per source (bounded
+    * state), broadcast query/row frames; nothing token-grain crosses a
+    * shuffle. */
+  def qCmsCounts(s: SparkSession, d: String): DataFrame =
+    cmsCountsFrom(tokenTable(documents(s, d)))
+
+  /** See [[qCmsCounts]]; takes a prebuilt [[tokenTable]]. */
+  def cmsCountsFrom(tokens: DataFrame): DataFrame = {
+    val s = tokens.sparkSession
+    val rows = s.range(CmsDepth).select(col("id").cast("int").as("r"))
+    def bucket(r: Column, term: Column): Column =
+      conv(substring(md5(concat(lit("cms:"), r.cast("string"), lit(":"), term)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    val tc = tokens.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    // accumulate: one depth×width counter table per source
+    val perSource = tc.crossJoin(broadcast(rows))
+      .select(col("source"), col("r"), bucket(col("r"), col("w")).as("b"), col("c"))
+      .groupBy(col("source"), col("r"), col("b")).agg(sum(col("c")).as("cnt"))
+    // merge: counter summation across sources (lossless for CMS)
+    val merged = perSource.groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    // direct: the same sketch built with no source split
+    val direct = tc.groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .crossJoin(broadcast(rows))
+      .select(col("r"), bucket(col("r"), col("w")).as("b"), col("c"))
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("cnt"))
+    val q = s.createDataFrame(CmsQueryTerms.map(Tuple1(_))).toDF("term")
+    val qb = q.crossJoin(broadcast(rows))
+      .select(col("term"), col("r"), bucket(col("r"), col("term")).as("b"))
+    def est(counters: DataFrame, as: String) =
+      qb.join(counters, Seq("r", "b"), "left")
+        .groupBy(col("term")).agg(min(coalesce(col("cnt"), lit(0L))).as(as))
+    val exact = tc.groupBy(col("w")).agg(sum(col("c")).as("exact_n"))
+      .withColumnRenamed("w", "term")
+    val n = tokens.agg(count(lit(1)).as("n_tokens"))
+    est(merged, "est_merged").join(est(direct, "est_direct"), "term")
+      .join(exact, Seq("term"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("est_merged"), col("est_direct"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("n_tokens"),
+        (col("est_merged") === col("est_direct")).cast("int").as("merge_match"),
+        (col("est_merged") >= coalesce(col("exact_n"), lit(0L))).cast("int").as("over_ok"),
+        ((col("est_merged") - coalesce(col("exact_n"), lit(0L))) * lit(CmsWidth.toLong)
+          <= lit(2L) * col("n_tokens")).cast("int").as("bound_ok"))
+  }
+
   /** Array set operations (q39): each document's distinct tokens
     * intersected/excepted/unioned against a fixed stopword vocabulary —
     * the set-algebra companions to q19/q20's positional array functions.

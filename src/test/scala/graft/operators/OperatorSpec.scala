@@ -356,6 +356,42 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("temperature_mix: alpha-flattening semantics — heavier cells downsampled harder, budget respected") {
+    val rows = graft.operators.Pipeline.qTemperatureMix(spark, d).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(r => (r.getAs[Long]("cell_tokens"), r.getAs[Double]("keep_prob")))
+      .distinct.sortBy(_._1)
+    assert(cells.size > 1, "fixture must have more than one (lang, source) cell")
+    cells.foreach { case (_, kp) => assert(kp > 0.0 && kp <= 1.0) }
+    // temperature flattening: keep_prob is non-increasing in cell token mass
+    cells.toSeq.sliding(2).foreach {
+      case Seq((t1, k1), (t2, k2)) =>
+        assert(t1 <= t2 && k1 >= k2 - 1e-9,
+          s"flattening violated: tokens $t1->$t2 but keep_prob $k1->$k2")
+      case _ => ()
+    }
+    // expected kept token mass ~= the 2T/5 budget (exact when no cell
+    // caps at 1; the cap only reduces, never exceeds)
+    val total = cells.map(_._1).sum.toDouble
+    val expectedKept = cells.map { case (t, k) => t * k }.sum
+    assert(expectedKept <= total * 0.4 + 1.0, s"budget exceeded: $expectedKept vs ${total * 0.4}")
+    assert(expectedKept >= total * 0.3, s"budget far undershot: $expectedKept vs ${total * 0.4}")
+  }
+
+  test("cms_counts: every verdict flag is 1 — a hash match must never mask a failed CMS property") {
+    val got = graft.operators.TextOps.qCmsCounts(spark, d).collect()
+    assert(got.length == graft.operators.TextOps.CmsQueryTerms.length)
+    got.foreach { r =>
+      assert(r.getAs[Int]("merge_match") == 1, s"CMS merge != direct: $r")
+      assert(r.getAs[Int]("over_ok") == 1, s"CMS underestimated: $r")
+      assert(r.getAs[Int]("bound_ok") == 1, s"CMS bound failed: $r")
+    }
+    // the unseen-term path is actually exercised: at least one query term
+    // is absent from the corpus vocabulary
+    assert(got.exists(_.getAs[Long]("exact_n") == 0L),
+      "no query term exercises the unseen-term path")
+  }
+
   test("dedup_clusters_incremental: maintained labels == full recompute, and the merge path runs") {
     import spark.implicits._
     // Synthetic graph exercising all three maintenance paths at once:
