@@ -114,6 +114,19 @@ object Bench {
         "dedup_clusters" -> time {
           labels = operators.Dedup.clusterPairs(pairs.select("doc_a", "doc_b")).persist()
           labels.queryExecution.toRdd.count() },
+        // the incremental maintainer consumes the SAME cached pair table
+        // (its standalone registration rebuilds its own, checkpointed
+        // once); its billed cost is prior-CC + the batch-sized
+        // maintenance fold, not a rebuilt pair cascade
+        "dedup_clusters_incremental" -> time {
+          operators.Dedup.dedupClustersIncrementalFrom(
+            pairs.select("doc_a", "doc_b")
+              .filter(org.apache.spark.sql.functions.col("doc_a") % 5 =!= 2 &&
+                org.apache.spark.sql.functions.col("doc_b") % 5 =!= 2),
+            pairs.select("doc_a", "doc_b")
+              .filter(org.apache.spark.sql.functions.col("doc_a") % 5 === 2 ||
+                org.apache.spark.sql.functions.col("doc_b") % 5 === 2))
+            .queryExecution.toRdd.count() },
         // the canonicalizer consumes the labels artifact the previous stage
         // materialized (a cascade computes labels once); its own cost is
         // the quality map + per-cluster argmax window
@@ -270,6 +283,7 @@ object Bench {
         "classifier_train", "classifier_train_score",
         "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
+        "dedup_clusters_incremental",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
         "simhash_md5",
         "simhash_pairs_md5", "winnow_md5", "dedup_agreement", "novelty_score",

@@ -332,7 +332,12 @@ object Dedup {
     * the reduced graph only. Cost ∝ batch + affected-component mass, never
     * corpus (SCALEPROBE r13 note pins the ratio). */
   def qDedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    // checkpoint the pair list ONCE — the two filter branches would
+    // otherwise each re-run the whole shingle self-join (measured ~2.5 s
+    // apiece at sf0.1; the bench additionally shares the cascade's cached
+    // pair table, the VERDICT r03 §wrong-2 convention)
     val pairs = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     dedupClustersIncrementalFrom(
       pairs.filter(col("doc_a") % 5 =!= 2 && col("doc_b") % 5 =!= 2),
       pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2))
