@@ -88,6 +88,7 @@ object Bench {
       // (VERDICT r03 §wrong-2: q38 used to re-bill the whole self-join).
       val pairs = operators.Dedup.ngramJaccardFrom(shingles).persist()
       var labels: org.apache.spark.sql.DataFrame = null
+      var ccPrior: org.apache.spark.sql.DataFrame = null
       val shinglePipeline = Seq(
         "shingle_table" -> time { shingles.queryExecution.toRdd.count() },
         "ngram_jaccard" -> time { pairs.queryExecution.toRdd.count() },
@@ -119,13 +120,27 @@ object Bench {
         // once); its billed cost is prior-CC + the batch-sized
         // maintenance fold, not a rebuilt pair cascade
         "dedup_clusters_incremental" -> time {
-          operators.Dedup.dedupClustersIncrementalFrom(
-            pairs.select("doc_a", "doc_b")
-              .filter(org.apache.spark.sql.functions.col("doc_a") % 5 =!= 2 &&
-                org.apache.spark.sql.functions.col("doc_b") % 5 =!= 2),
+          ccPrior = operators.Dedup.clusterPairs(
+              pairs.select("doc_a", "doc_b")
+                .filter(org.apache.spark.sql.functions.col("doc_a") % 5 =!= 2 &&
+                  org.apache.spark.sql.functions.col("doc_b") % 5 =!= 2))
+            .select("doc_id", "cluster_id").localCheckpoint()
+          operators.Dedup.maintainClusters(ccPrior,
             pairs.select("doc_a", "doc_b")
               .filter(org.apache.spark.sql.functions.col("doc_a") % 5 === 2 ||
-                org.apache.spark.sql.functions.col("doc_b") % 5 === 2))
+                org.apache.spark.sql.functions.col("doc_b") % 5 === 2)
+              .localCheckpoint())
+            .queryExecution.toRdd.count() },
+        // the RECURRING leg alone (VERDICT r13 task 2): fold the batch
+        // into the ALREADY-BUILT prior state — the per-ingest-cycle cost
+        // at 100 TB, where the state build amortizes across cycles (the
+        // curation_state_build / curate_incremental billing precedent)
+        "dedup_clusters_maintain" -> time {
+          operators.Dedup.maintainClusters(ccPrior,
+            pairs.select("doc_a", "doc_b")
+              .filter(org.apache.spark.sql.functions.col("doc_a") % 5 === 2 ||
+                org.apache.spark.sql.functions.col("doc_b") % 5 === 2)
+              .localCheckpoint())
             .queryExecution.toRdd.count() },
         // the canonicalizer consumes the labels artifact the previous stage
         // materialized (a cascade computes labels once); its own cost is
@@ -195,6 +210,7 @@ object Bench {
       // cached table by doc_id residue, so it pays no second tokenize.
       val tokens = operators.TextOps.tokenTable(Tables.documents(spark, sfDir)).persist()
       val bq = operators.TextOps.Bm25Query
+      var cmsMerged: org.apache.spark.sql.DataFrame = null
       val tokenPipeline = Seq(
         "token_table" -> time { tokens.queryExecution.toRdd.count() },
         "q31_tfidf" -> time {
@@ -221,7 +237,20 @@ object Bench {
         "heavy_hitters" -> time {
           operators.TextOps.heavyHittersFrom(tokens).queryExecution.toRdd.count() },
         "heavy_hitters_exact" -> time {
-          operators.TextOps.heavyHittersExactFrom(tokens).queryExecution.toRdd.count() })
+          operators.TextOps.heavyHittersExactFrom(tokens).queryExecution.toRdd.count() },
+        // CMS family (r14): the algebra audit consumes the shared token
+        // table; the merged sketch is built+persisted ONCE as its own
+        // entry (the curation_state_build shape), and the serving leg
+        // bills ONLY the probe join against the cached sketch + the
+        // probe-filtered exact anchor — the per-lookup cost at 100 TB
+        "cms_counts" -> time {
+          operators.TextOps.cmsCountsFrom(tokens).queryExecution.toRdd.count() },
+        "cms_sketch_build" -> time {
+          cmsMerged = operators.TextOps.cmsMergedSketch(tokens).persist()
+          cmsMerged.queryExecution.toRdd.count() },
+        "cms_lookup" -> time {
+          operators.TextOps.cmsLookupFrom(cmsMerged, tokens)
+            .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
       // Curation pipeline: the per-doc verdict frame is the materialized
       // artifact (billed as corpus_curate); the funnel reads it cached —
@@ -276,20 +305,53 @@ object Bench {
           operators.Curation.classifierTrainScoreFrom(clsDocs, clsModel)
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
+      // ANN family (VERDICT r13 task 1 — the classifier_train_score
+      // billing-split precedent): the five production pipelines and the
+      // exact ground-truth scan are billed once each as their own
+      // entries; the recall audit consumes their CACHED outputs, so its
+      // billed cost is the hit join + one eval-sized agg — the true
+      // recurring cost of a per-index-build recall regression check. The
+      // standalone ann_eval registration still rebuilds everything, so
+      // the driver hash is unaffected.
+      val annOuts = scala.collection.mutable.ArrayBuffer
+        .empty[(String, org.apache.spark.sql.DataFrame)]
+      def annLeg(m: String, df: => org.apache.spark.sql.DataFrame): Double =
+        time {
+          val f = df.persist()
+          annOuts += (m -> f)
+          f.queryExecution.toRdd.count()
+        }
+      var annExact: org.apache.spark.sql.DataFrame = null
+      val annPipeline = Seq(
+        "ann_lsh" -> annLeg("lsh", operators.Similarity.qAnnLsh(spark, sfDir)),
+        "ann_ivf" -> annLeg("ivf", operators.Similarity.qAnnIvf(spark, sfDir)),
+        "ann_pq" -> annLeg("pq", operators.Similarity.qAnnPq(spark, sfDir)),
+        "ann_ivfpq" -> annLeg("ivfpq", operators.Similarity.qAnnIvfPq(spark, sfDir)),
+        "ann_2level" -> annLeg("2level", operators.Similarity.qAnnTwoLevel(spark, sfDir)),
+        "ann_exact_top3" -> time {
+          annExact = operators.Similarity.annExactTop3(spark, sfDir).persist()
+          annExact.queryExecution.toRdd.count() },
+        "ann_eval" -> time {
+          operators.Similarity.annEvalFrom(annOuts.toSeq, annExact)
+            .queryExecution.toRdd.count() })
+      spark.catalog.clearCache()
       // every other query: timed independently, caches dropped after each so
       // executor memory doesn't accumulate across the pass
       val shared = Set("corpus_curate", "curation_funnel", "curation_report",
         "curation_state_build", "curate_incremental", "curation_state_report",
         "classifier_train", "classifier_train_score",
+        "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_2level",
+        "ann_exact_top3", "ann_eval",
         "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
         "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
-        "dedup_clusters_incremental",
+        "dedup_clusters_incremental", "dedup_clusters_maintain",
         "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
         "simhash_md5",
         "simhash_pairs_md5", "winnow_md5", "dedup_agreement", "novelty_score",
         "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
         "vocab_build", "vocab_coverage", "oov_rate", "corpus_divergence", "heavy_hitters",
-        "heavy_hitters_exact", "overlap_exact", "overlap_kmv")
+        "heavy_hitters_exact", "cms_counts", "cms_lookup",
+        "overlap_exact", "overlap_kmv")
       val rest = SparkEntry.queries.toSeq
         .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>
@@ -298,7 +360,7 @@ object Bench {
           name -> sec
         }
       shinglePipeline ++ overlapPipeline ++ tokenPipeline ++ simhashPipeline ++
-        curationPipeline ++ classifierPipeline ++ rest
+        curationPipeline ++ classifierPipeline ++ annPipeline ++ rest
     }
 
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -363,12 +425,28 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val cal = calibrations.map(r3).mkString("[", ",", "]")
+    // sf1 headline split (r14, VERDICT r13 task 3): the three DECLARED
+    // exact all-pairs baselines are ~40% of the sf1 total and swing with
+    // co-tenant load faster than two passes can cancel (3.7x between
+    // same-round min-of-2 runs on prefix_jaccard at sf1) — so the
+    // HEADLINE sf1 total tracks only the scale-path entries it is meant
+    // to gate, and the quadratic baselines land in their own
+    // quadratic_total field (still per-entry in sf1_queries for the
+    // diff tool). Each has a registered sublinear scale twin
+    // (ngram_jaccard via the capped prefix filter, triplet_mine_scale,
+    // embedding_dedup_blocked/_2level).
+    val sf1Quadratics = Set("prefix_jaccard", "triplet_mine", "embedding_dedup")
     val sf1Summary = sf1Pass.map { case (rs, cs) =>
       val sf1Failed = rs.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      val sf1Total = rs.collect { case (_, v) if v >= 0 => v }.sum
+      val sf1Total = rs.collect {
+        case (k, v) if v >= 0 && !sf1Quadratics(k) => v }.sum
+      val quadTotal = rs.collect {
+        case (k, v) if v >= 0 && sf1Quadratics(k) => v }.sum
+      val quadNames = rs.collect { case (k, _) if sf1Quadratics(k) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
       val sf1Cal = cs.map(r3).mkString("[", ",", "]")
-      s""""sf1":{"total":${r3(sf1Total)},"n_queries":${rs.size},"failed":$sf1Failed,"runs":${cs.size},"calibration_s":$sf1Cal,"dir":"$sf1Dir"}"""
+      s""""sf1":{"total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${cs.size},"calibration_s":$sf1Cal,"dir":"$sf1Dir"}"""
     }
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
     println(summary)

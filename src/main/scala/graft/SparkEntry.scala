@@ -83,6 +83,7 @@ object SparkEntry {
     "minhash_incremental" -> (Dedup.qMinHashIncremental _), // new-batch near-dups vs corpus signature table
     "dedup_clusters"      -> (Dedup.qDedupClusters _),
     "dedup_clusters_incremental" -> (Dedup.qDedupClustersIncremental _), // NEW r13: CC maintenance over prior labels + batch edges; oracle = full recompute
+    "dedup_clusters_maintain" -> (Dedup.qDedupClustersMaintain _), // NEW r14 (VERDICT r13 task 2): the recurring fold alone, prior state read from a frozen parquet table; same full-recompute oracle
     "canonical_select"    -> (Dedup.qCanonicalSelect _), // cluster labels + quality argmax
     "q38_edit_distance"   -> (Dedup.qEditDistance _),
     "simhash"             -> (Dedup.qSimHash _),      // token-hash bag frozen; oracle recomputes votes + bit assembly (hash-green since r11)
@@ -101,6 +102,7 @@ object SparkEntry {
     "ann_pq"              -> (Similarity.qAnnPq _), // ADC shortlist frozen to parquet; oracle recomputes re-rank + top-3 (hash-green since r10)
     "ann_ivfpq"           -> (Similarity.qAnnIvfPq _), // ADC shortlist frozen; oracle recomputes re-rank + top-3 (hash-green since r10)
     "ann_eval"            -> (Similarity.qAnnEval _), // NEW r13 (ADVICE r12): recall@3 audit of all five ANN paths vs exact top-3; oracle re-derives both sides
+    "ann_exact_top3"      -> (Similarity.annExactTop3 _), // NEW r14 (VERDICT r13 task 1): the audit's exact ground-truth table registered in its own right, so the bench bills the corpus scan once
     "embedding_centroids" -> (Similarity.qEmbeddingCentroids _), // decimal-exact per-label mean vectors
     "centroid_incremental" -> (Similarity.qCentroidIncremental _), // merged (label,dim) decimal partials == direct (shared oracle)
     "embedding_drift"     -> (Similarity.qEmbeddingDrift _), // per-label centroid L2 shift between snapshots
@@ -151,6 +153,7 @@ object SparkEntry {
     "merge_apply"         -> (R.qMergeApply _), // CDC MERGE: changelog -> next snapshot, last writer wins
     "heavy_hitters"       -> (TextOps.qHeavyHittersChecked _), // hash-green since r12: frozen top-k + DuckDB-recomputed exact-agreement and top-k validity
     "cms_counts"          -> (TextOps.qCmsCounts _), // NEW r13: mergeable count-min sketch; md5 rows are portable so DuckDB recomputes the WHOLE sketch + bounds — no frozen artifact
+    "cms_lookup"          -> (TextOps.qCmsLookup _), // NEW r14 (VERDICT r13 task 6): point-frequency serving from the FROZEN merged sketch; oracle recomputes the whole serving path
     "heavy_hitters_exact" -> (TextOps.qHeavyHittersExact _), // hash-green twin of the sketch entry
     "pmi_collocations"    -> (TextOps.qPmiCollocations _), // phrase mining: top bigrams by PMI with count floor
     "skipgram_cooc"       -> (TextOps.qSkipgramCooc _), // GloVe-style windowed co-occurrence matrix (1/dist weighted)
@@ -160,6 +163,7 @@ object SparkEntry {
     "pii_scrub"           -> (Curation.qPiiScrub _),
     "signal_projection"   -> (Curation.qSignalProjection _),
     "segment_dedup"       -> (Curation.qSegmentDedup _),
+    "substring_dedup"     -> (Dedup.qSubstringDedup _), // NEW r14 (VERDICT r13 task 5): Lee-et-al-class exact cross-doc substring excision at token granularity, keep-first; artifact-free md5 twin
     "boilerplate_strip"   -> (Curation.qBoilerplateStrip _), // corpus-frequency segment removal (CCNet-style)
     "robust_outliers"     -> (Curation.qRobustOutliers _), // median/MAD per-source length gate
     "quality_calibrate"   -> (Curation.qQualityCalibrate _), // per-source percentile-rank score calibration
@@ -1215,6 +1219,9 @@ object SparkEntry {
     // on exactly the from-scratch labeling, so the hash match IS the
     // incremental==full proof (the rollup_incremental convention).
     "dedup_clusters_incremental" -> DEDUP_CLUSTERS_SQL,
+    // dedup_clusters_maintain (r14): same full-recompute recursive-CTE —
+    // the hash match proves the frozen-state fold equals the full graph.
+    "dedup_clusters_maintain" -> DEDUP_CLUSTERS_SQL,
 
     "ingest_anomaly" ->
       """WITH daily AS (
@@ -1804,6 +1811,38 @@ object SparkEntry {
          |FROM em JOIN ed USING (term) LEFT JOIN ex USING (term) CROSS JOIN nt""".stripMargin
     },
 
+    // cms_lookup (r14): the SERVING path — DuckDB rebuilds the merged
+    // sketch from base parquet (so the hash also proves the frozen
+    // artifact == the recomputed sketch), answers the probe set with the
+    // same min-over-rows read, recomputes the probe-filtered exact counts
+    // and the integer over/bound verdicts.
+    "cms_lookup" -> {
+      val w = TextOps.CmsWidth
+      val probes = TextOps.CmsProbeTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT source, unnest($WORDS) AS w FROM documents),
+         |tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |rows AS (SELECT unnest([${(0 until TextOps.CmsDepth).mkString(", ")}]) AS r),
+         |ps AS (SELECT source, r,
+         |         CAST(${duckHex("md5('cms:' || CAST(r AS VARCHAR) || ':' || w)", 8)} % $w AS BIGINT) AS b,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |       FROM tc CROSS JOIN rows GROUP BY 1, 2, 3),
+         |mg AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM ps GROUP BY 1, 2),
+         |q AS (SELECT unnest([$probes]) AS term),
+         |qb AS (SELECT term, r,
+         |         CAST(${duckHex("md5('cms:' || CAST(r AS VARCHAR) || ':' || term)", 8)} % $w AS BIGINT) AS b
+         |       FROM q CROSS JOIN rows),
+         |est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+         |        FROM qb LEFT JOIN mg USING (r, b) GROUP BY 1),
+         |ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact_n
+         |       FROM tok WHERE w IN ($probes) GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+         |SELECT est.term, est,
+         |  CAST(coalesce(exact_n, 0) AS BIGINT) AS exact_n, n_tokens,
+         |  CAST(est >= coalesce(exact_n, 0) AS INT) AS over_ok,
+         |  CAST((est - coalesce(exact_n, 0)) * $w <= 2 * n_tokens AS INT) AS bound_ok
+         |FROM est LEFT JOIN ex USING (term) CROSS JOIN nt""".stripMargin
+    },
+
     "heavy_hitters_exact" ->
       s"""WITH tok AS (SELECT source, unnest($WORDS) AS term FROM documents),
          |c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
@@ -2271,6 +2310,20 @@ object SparkEntry {
     // intersections, so a hash match certifies the whole audit.
     "ann_eval" -> ANN_EVAL_SQL,
 
+    // ann_exact_top3 (r14): the audit's exact side as its own entry —
+    // same CTE as ANN_EVAL_SQL's `exact`, kept with cos + rn so the
+    // ground-truth table is fully pinned (not just the id pairs).
+    "ann_exact_top3" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+         |sc AS (SELECT q.query_id, e.vec_id AS nn_id,
+         |         round(${dot("e.v", "q.qv")} / (${l2("e.v")} * ${l2("q.qv")}), 4) AS cos
+         |       FROM e, q WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, nn_id, cos, CAST(rn AS INT) AS rn FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nn_id) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
+
     "embedding_dedup_2level" -> EMBEDDING_DEDUP_2LEVEL_SQL,
     "embedding_dedup_blocked" -> EMBEDDING_DEDUP_2LEVEL_SQL,
 
@@ -2623,6 +2676,41 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
          |  coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg), '') AS clean_text
          |FROM mark GROUP BY doc_id""".stripMargin,
+
+    // substring_dedup (r14): artifact-free — md5 window keys are
+    // engine-portable, so DuckDB recomputes the whole pipeline (planted
+    // passage injected identically, k-gram windows, first-doc table,
+    // covered-position expansion, anti-join, ordered reassembly) from
+    // base parquet. NOT EXISTS per the playbook (never NOT IN (SELECT)).
+    "substring_dedup" -> {
+      val k = Dedup.SubstringK
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3
+         |         THEN text || ' ${Dedup.SubstringPassage} tail' || CAST(doc_id AS VARCHAR)
+         |         ELSE text END AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, $WORDS AS l FROM base),
+         |kg AS (SELECT doc_id, i,
+         |         md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l) - $k + 2)) AS i
+         |             FROM w WHERE len(l) >= $k)),
+         |fd AS (SELECT g, min(doc_id) AS first_doc FROM kg GROUP BY 1),
+         |dw AS (SELECT kg.doc_id, kg.i FROM kg JOIN fd USING (g)
+         |       WHERE kg.doc_id > fd.first_doc),
+         |cov AS (SELECT DISTINCT doc_id, i + o AS pos
+         |        FROM dw CROSS JOIN (SELECT unnest(range(0, $k)) AS o) os),
+         |tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+         |        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM w)),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS
+         |         (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |       FROM kept GROUP BY 1)
+         |SELECT w.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(len(l) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM w LEFT JOIN cl USING (doc_id)""".stripMargin
+    },
 
     // boilerplate_strip shares segment_dedup's segment grid; the policy
     // differs (df >= BoilerplateDocFreq removes the segment EVERYWHERE,

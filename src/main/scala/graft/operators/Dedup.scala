@@ -363,6 +363,33 @@ object Dedup {
       deltaPairs.localCheckpoint())
   }
 
+  /** dedup_clusters_maintain (r14, VERDICT r13 task 2): the RECURRING leg
+    * of incremental CC, split from the once-per-ingest-cycle prior-state
+    * build that [[qDedupClustersIncremental]] bundles into one bill (the
+    * curation_state_build / curate_incremental precedent, r10). Here the
+    * prior labeling is WRITTEN to a frozen parquet state table and read
+    * back, so the registered entry's maintenance lineage genuinely starts
+    * at a frozen-table read — the production shape, where the label state
+    * lives in the artifact store and only the fold runs per batch; the
+    * bench additionally threads the cascade's cached prior labels straight
+    * into [[maintainClusters]] so the billed number is the fold alone.
+    * Oracle: the IDENTICAL full-recompute recursive-CTE as dedup_clusters
+    * / dedup_clusters_incremental — the driver hash match IS the
+    * fold == full-recompute proof. */
+  def qDedupClustersMaintain(s: SparkSession, d: String): DataFrame = {
+    val pairs = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val prior = clusterPairs(
+        pairs.filter(col("doc_a") % 5 =!= 2 && col("doc_b") % 5 =!= 2))
+      .select(col("doc_id"), col("cluster_id"))
+    val statePath = dedupArtifactPath(d, "ccstate")
+    prior.write.mode("overwrite").parquet(statePath)
+    maintainClusters(
+      s.read.parquet(statePath),
+      pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2)
+        .localCheckpoint())
+  }
+
   /** The maintenance kernel of [[dedupClustersIncrementalFrom]]: fold one
     * batch of new edges into an existing (doc_id, cluster_id) labeling.
     * Also the per-epoch body of [[clusterSink]] (streaming CC
@@ -380,9 +407,16 @@ object Dedup {
     // the truncation cost itself is batch-sized.
     val deltaV = delta.select(col("doc_a").as("doc_id"))
       .union(delta.select(col("doc_b").as("doc_id"))).distinct()
+    // `affected` is bounded only by ~2× the delta edge count, so it is
+    // NOT broadcast-hinted (ADVICE r13: a forced broadcast of a
+    // batch-proportional frame collects it to the driver regardless of
+    // autoBroadcastJoinThreshold — driver OOM exactly at the TB-batch
+    // scale this operator advertises). AQE demotes/promotes the join at
+    // runtime: a typical small batch still gets a broadcast join from the
+    // materialized size, a huge one falls back to a shuffled join.
     val affected = prior.join(deltaV, "doc_id")
       .select(col("cluster_id")).distinct().localCheckpoint()
-    val affMembers = prior.join(broadcast(affected), "cluster_id")
+    val affMembers = prior.join(affected, "cluster_id")
     // member → representative edges re-connect each affected prior
     // component inside the reduced graph (self-edge on the rep is a no-op
     // under min propagation)
@@ -392,7 +426,7 @@ object Dedup {
       .localCheckpoint()
     val relabeled = clusterPairs(reduced).select(col("doc_id"), col("cluster_id"))
       .localCheckpoint()
-    val untouched = prior.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+    val untouched = prior.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     val labels = untouched.union(relabeled)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
@@ -429,6 +463,67 @@ object Dedup {
     }
   }
 
+  /** Crash-safe PERSISTED form of [[ClusterMaintainer]] (r14, VERDICT r13
+    * task 4): the label state lives under `stateDir/epoch=<id>/` and each
+    * fold follows the TxOutputSink marker-in-transaction discipline —
+    * compute the new labeling from the LAST COMMITTED state + the epoch's
+    * edges, write it to a temp dir, COMMIT by atomic rename to the
+    * epoch-deterministic name. The two crash windows are both safe:
+    *  - crash BEFORE the rename → no `epoch=<id>` dir exists, so the
+    *    restarted maintainer recomputes the SAME fold from the same
+    *    committed prior when foreachBatch re-delivers the epoch (a stale
+    *    temp dir from the dead attempt is overwritten);
+    *  - crash AFTER the rename → the re-delivered epoch is detected as
+    *    committed and skipped (retry-idempotent, the batch=id overwrite
+    *    convention of sketchSink / bm25IndexSink / reservoirSink).
+    * Either way the final labeling equals the full recompute —
+    * DedupChaosSpec pins every boundary. Epoch dirs older than the
+    * latest exist only to make the commit atomic; a production deployment
+    * prunes them (retention is policy, not correctness — serve reads only
+    * the latest). */
+  final class PersistedClusterMaintainer(s: SparkSession, stateDir: String) {
+    private val root = new java.io.File(stateDir)
+    root.mkdirs()
+    /** Test-only failure injection between fold and commit. */
+    @volatile var crashBeforeCommit: () => Unit = () => ()
+    private def epochDir(id: Long) = new java.io.File(root, s"epoch=$id")
+    private def committedEpochs: Seq[Long] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .map(_.getName.stripPrefix("epoch=").toLong).sorted
+    def lastCommitted: Option[Long] = committedEpochs.lastOption
+    private def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    private def loadState(): DataFrame = lastCommitted match {
+      case Some(id) => s.read.parquet(epochDir(id).toString)
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    }
+    /** foreachBatch body: `(epoch, id) => pm.fold(id, epoch)`. */
+    def fold(epochId: Long, edges: DataFrame): Unit = synchronized {
+      if (epochDir(epochId).exists()) return // re-delivered epoch: committed
+      val next = maintainClusters(loadState(), edges.localCheckpoint())
+        .select(col("doc_id"), col("cluster_id"))
+      val tmp = new java.io.File(root, s".tmp-epoch-$epochId")
+      if (tmp.exists()) deleteRec(tmp) // stale temp from a dead attempt
+      next.write.mode("overwrite").parquet(tmp.toString)
+      crashBeforeCommit()
+      if (!tmp.renameTo(epochDir(epochId)))
+        throw new java.io.IOException(
+          s"commit rename failed for epoch $epochId under $stateDir")
+    }
+    /** Current labeling with sizes, read from the committed state. */
+    def serve(): DataFrame = {
+      val state = loadState()
+      val sizes = state.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      state.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }
+  }
+
   /** Edit-distance verification (q38) over the near-dup CANDIDATE pairs —
     * the final fuzzy filter of a dedup cascade. Levenshtein is O(len²) per
     * pair, so at any scale it runs only on the pair list the cheap stages
@@ -451,6 +546,106 @@ object Dedup {
         levenshtein(col("na"), col("nb")).as("edit_dist"),
         round(lit(1.0) - levenshtein(col("na"), col("nb")).cast("double") /
           greatest(length(col("na")), length(col("nb"))).cast("double"), 4).as("edit_sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact cross-document substring dedup (token granularity)
+  // ---------------------------------------------------------------------
+
+  /** Minimum duplicated-run length (tokens) for [[substringDedup]] — the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") exact-substring threshold, scaled to this corpus's short
+    * synthetic documents (the paper uses 50 BPE tokens on ~kB documents).
+    */
+  val SubstringK = 15
+
+  /** Deterministic 60-token passage [[qSubstringDedup]] plants into every
+    * doc_id % 7 == 3 document (the pii_scrub injected-fixture pattern:
+    * the synthetic corpus carries near-dup PAIRS but no guaranteed long
+    * verbatim run shared across MANY docs, so the entry injects one —
+    * built identically in the oracle SQL — and the planted run sits
+    * MID-TEXT, before a doc-unique tail, so excision is interior, not a
+    * suffix chop). */
+  val SubstringPassage: String = (0 until 60).map(i => "dup" + i).mkString(" ")
+
+  /** Exact cross-document substring dedup (substring_dedup, r14 — VERDICT
+    * r13 task 5): remove every maximal token run of length ≥
+    * [[SubstringK]] that already occurred in an EARLIER document (keep-
+    * first at token granularity) — the standard LLM-pipeline dedup mode
+    * the catalogue lacked: segment_dedup is separator-segment-granularity
+    * and boilerplate_strip is document-frequency-based; neither catches a
+    * 60-token verbatim run embedded mid-paragraph across two docs.
+    *
+    * Algorithm (exact, set-algebraic — no extension scan needed): token
+    * position p of doc d is covered by a duplicated run iff SOME k-window
+    * containing p matches a window of an earlier doc; every position of a
+    * shared run of length L ≥ k is covered by one of its L−k+1 windows,
+    * and no position of a shorter shared run can be (its windows don't
+    * fit inside the run). So: all k-grams → first_doc = min(doc_id) per
+    * gram → duplicated windows (doc_id > first_doc) → covered positions
+    * (window start + 0..k−1, distinct) → anti-join tokens → ordered
+    * reassembly per doc.
+    *
+    * Scale shape (100 TB): k-gram generation is per-row array algebra
+    * (explode + codegen'd slice/concat/md5 — no window sort, no HOF
+    * lambda); grams shuffle by a 128-bit md5 key (fixed width, never the
+    * text); first-doc is a map-side-combined min; boilerplate-hot grams
+    * skew the probe join like every Zipf-keyed join here — AQE skew-join
+    * splits them (the saltedCountJoin alternative if a corpus is
+    * pathological). Reassembly shuffles kept tokens once by doc_id — the
+    * same tokenize-shuffle class as [[shingleTable]]. md5 keys make the
+    * twin artifact-free: DuckDB recomputes the ENTIRE pipeline from base
+    * parquet. */
+  def qSubstringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedup(
+      documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" " + SubstringPassage + " tail"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text")))
+
+  /** See [[qSubstringDedup]]; runs on any (doc_id, text) frame. */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val k = SubstringK
+    val base = docs
+      .select(col("doc_id"), normWords(col("text")).as("l"))
+      .withColumn("n", size(col("l")))
+    // every k-token window, keyed by md5 of its text (engine-portable,
+    // fixed-width shuffle key)
+    val kg = base.filter(col("n") >= k)
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("l"), col("i"), lit(k))).cast("binary")).as("g"))
+    val first = kg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val dupWin = kg.join(first, "g")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("i"))
+    val covered = dupWin
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    // ordered reassembly: doc-partitioned window (doc-sized frames), no
+    // interpreted HOF — collect_list over an ORDERED full frame is
+    // deterministic in pos order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val full = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val clean = kept
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_kept", count(lit(1)).over(full))
+      .withColumn("clean_text", concat_ws(" ", collect_list(col("tok")).over(full)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_kept"), col("clean_text"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   val MinHashPerms = 64

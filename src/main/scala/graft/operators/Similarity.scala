@@ -743,28 +743,66 @@ object Similarity {
     * universe are eval-sized (500 rows). This is the recurring
     * recall-regression audit a production ANN deployment runs per index
     * build — priced at five probes + one scan regardless of corpus size. */
-  def qAnnEval(s: SparkSession, d: String): DataFrame = {
+  def qAnnEval(s: SparkSession, d: String): DataFrame =
+    annEvalFrom(
+      AnnEvalMethods.map {
+        case m @ "lsh"    => m -> qAnnLsh(s, d)
+        case m @ "ivf"    => m -> qAnnIvf(s, d)
+        case m @ "pq"     => m -> qAnnPq(s, d)
+        case m @ "ivfpq"  => m -> qAnnIvfPq(s, d)
+        case m @ "2level" => m -> qAnnTwoLevel(s, d)
+      },
+      annExactTop3(s, d))
+
+  /** The exact brute-force ground-truth table the recall audit compares
+    * against — registered in its own right (ann_exact_top3, r14): top-3
+    * by (cos desc, nn_id) for each of the eval's 100 queries, the batched
+    * [[qAnnBrute]] shape with the identical cosine kernel and tiebreak
+    * every ANN entry uses. In production the ground truth is computed
+    * once per index build and persisted; registering it separately lets
+    * the bench bill the corpus scan ONCE instead of re-paying it inside
+    * the audit (VERDICT r13 task 1).
+    *
+    * Scale shape: ONE corpus scan against a broadcast 100-row query
+    * block, per-query top-3 via a query-partitioned window over the
+    * 100×corpus score stream — linear in corpus, no self-join. */
+  def annExactTop3(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
     val q = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
-    val exact = e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nn_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("query_id"), col("nn_id"))
-    val ann = Seq(
-        "lsh" -> qAnnLsh(s, d), "ivf" -> qAnnIvf(s, d), "pq" -> qAnnPq(s, d),
-        "ivfpq" -> qAnnIvfPq(s, d), "2level" -> qAnnTwoLevel(s, d))
+      .select(col("query_id"), col("nn_id"), col("cos"), col("rn"))
+  }
+
+  /** The audit kernel over ALREADY-MATERIALIZED per-method top-3 outputs
+    * and the exact ground-truth table (r14, VERDICT r13 task 1 — the
+    * classifierTrainScoreFrom billing-split precedent): union the five
+    * method results, join against exact on (query_id, nn_id), count hits
+    * per (method, query) over the dense method×query universe. Every
+    * frame here is eval-sized (≤ 5×3×100 rows), so the billed cost of the
+    * recurring recall-regression audit is the hit join + one bounded agg
+    * — the five ANN pipelines and the exact scan are billed once each in
+    * their own entries, exactly as a production deployment prices a
+    * per-index-build audit. The registered [[qAnnEval]] composes this
+    * same kernel over freshly-built inputs, so the driver hash is
+    * unchanged. */
+  def annEvalFrom(methodTop3: Seq[(String, DataFrame)],
+                  exactTop3: DataFrame): DataFrame = {
+    val s = exactTop3.sparkSession
+    val ann = methodTop3
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("nn_id")) }
       .reduce(_ unionAll _)
-    val methods = s.createDataFrame(AnnEvalMethods.map(Tuple1(_))).toDF("method")
-    val univ = e.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("query_id"))
+    val exact = exactTop3.select(col("query_id"), col("nn_id"))
+    val methods = s.createDataFrame(methodTop3.map(t => Tuple1(t._1))).toDF("method")
+    val univ = exact.select(col("query_id")).distinct()
       .crossJoin(broadcast(methods))
     val hits = ann.join(exact, Seq("query_id", "nn_id"))
       .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("h"))

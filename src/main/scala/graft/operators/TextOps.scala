@@ -832,20 +832,37 @@ object TextOps {
   def qCmsCounts(s: SparkSession, d: String): DataFrame =
     cmsCountsFrom(tokenTable(documents(s, d)))
 
+  /** The CMS row-hash bucket — md5-derived, so both engines compute the
+    * identical sketch from the identical inputs (shared by cms_counts and
+    * the cms_lookup serving path). */
+  private def cmsBucket(r: Column, term: Column): Column =
+    conv(substring(md5(concat(lit("cms:"), r.cast("string"), lit(":"), term)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** The MERGED depth×width counter table (r, b, cnt) — per-source
+    * accumulate at vocabulary grain, then lossless counter summation
+    * across sources. This is the artifact a 100 TB rollup persists once
+    * per ingest cycle and every point-frequency lookup serves from
+    * ([[qCmsLookup]]); bounded state: ≤ depth×width rows regardless of
+    * corpus size. */
+  def cmsMergedSketch(tokens: DataFrame): DataFrame = {
+    val s = tokens.sparkSession
+    val rows = s.range(CmsDepth).select(col("id").cast("int").as("r"))
+    tokens.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(rows))
+      .select(col("source"), col("r"), cmsBucket(col("r"), col("w")).as("b"), col("c"))
+      .groupBy(col("source"), col("r"), col("b")).agg(sum(col("c")).as("cnt"))
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** See [[qCmsCounts]]; takes a prebuilt [[tokenTable]]. */
   def cmsCountsFrom(tokens: DataFrame): DataFrame = {
     val s = tokens.sparkSession
     val rows = s.range(CmsDepth).select(col("id").cast("int").as("r"))
-    def bucket(r: Column, term: Column): Column =
-      conv(substring(md5(concat(lit("cms:"), r.cast("string"), lit(":"), term)), 1, 8), 16, 10)
-        .cast("long") % CmsWidth
+    def bucket(r: Column, term: Column): Column = cmsBucket(r, term)
     val tc = tokens.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-    // accumulate: one depth×width counter table per source
-    val perSource = tc.crossJoin(broadcast(rows))
-      .select(col("source"), col("r"), bucket(col("r"), col("w")).as("b"), col("c"))
-      .groupBy(col("source"), col("r"), col("b")).agg(sum(col("c")).as("cnt"))
-    // merge: counter summation across sources (lossless for CMS)
-    val merged = perSource.groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    // accumulate + merge: the shared serving-artifact kernel
+    val merged = cmsMergedSketch(tokens)
     // direct: the same sketch built with no source split
     val direct = tc.groupBy(col("w")).agg(sum(col("c")).as("c"))
       .crossJoin(broadcast(rows))
@@ -868,6 +885,64 @@ object TextOps {
         (col("est_merged") === col("est_direct")).cast("int").as("merge_match"),
         (col("est_merged") >= coalesce(col("exact_n"), lit(0L))).cast("int").as("over_ok"),
         ((col("est_merged") - coalesce(col("exact_n"), lit(0L))) * lit(CmsWidth.toLong)
+          <= lit(2L) * col("n_tokens")).cast("int").as("bound_ok"))
+  }
+
+  /** Probe terms for the CMS serving path (cms_lookup) — deliberately a
+    * DIFFERENT set from [[CmsQueryTerms]] (the accumulate-side audit):
+    * the retrieval terms, common function words, and two strings absent
+    * from any plausible vocabulary (the unseen-term path: empty or
+    * colliding buckets, exact = 0). */
+  val CmsProbeTerms: Seq[String] =
+    Seq("spark", "stream", "data", "model", "with", "from",
+        "is", "in", "qzxv_unseen", "zz_absent_probe")
+
+  /** CMS point-frequency SERVING path (cms_lookup, r14 — VERDICT r13
+    * task 6): completes accumulate→merge→serve for the CMS family the way
+    * bm25 and overlap already do. [[qCmsCounts]] proves the sketch
+    * algebra; this entry QUERIES it: the merged depth×width counter table
+    * is frozen to parquet (the once-per-ingest-cycle artifact) and every
+    * probe term is answered FROM THE FROZEN TABLE ALONE — est = min over
+    * the depth rows' counters, the classic CMS read. The exact counts are
+    * recomputed as the audit anchor (probe-filtered, so the exact leg is
+    * a pushed-down 10-term scan, not a vocabulary build), plus the same
+    * over/bound integer verdicts as cms_counts.
+    *
+    * Oracle: DuckDB recomputes the WHOLE serving path from base parquet —
+    * sketch, estimates, exact, verdicts (md5 row hashes are portable) —
+    * so the driver hash additionally proves the frozen artifact equals
+    * the recomputed sketch. Scale shape: the serve leg is a 40-row probe
+    * join against a ≤ depth×width counter table — independent of corpus
+    * size; the bench bills it from the cached merged sketch
+    * ([[cmsLookupFrom]]) so the committed number IS the serving cost. */
+  def qCmsLookup(s: SparkSession, d: String): DataFrame = {
+    val tokens = tokenTable(documents(s, d))
+    val path = Relational.sketchArtifactPath(d, "cms-merged")
+    cmsMergedSketch(tokens).write.mode("overwrite").parquet(path)
+    cmsLookupFrom(s.read.parquet(path), tokens)
+  }
+
+  /** See [[qCmsLookup]]; serves from an already-materialized merged
+    * sketch (frozen table or cached frame) + a prebuilt [[tokenTable]]
+    * for the exact-count audit anchor. */
+  def cmsLookupFrom(merged: DataFrame, tokens: DataFrame): DataFrame = {
+    val s = merged.sparkSession
+    val rows = s.range(CmsDepth).select(col("id").cast("int").as("r"))
+    val q = s.createDataFrame(CmsProbeTerms.map(Tuple1(_))).toDF("term")
+    val qb = q.crossJoin(broadcast(rows))
+      .select(col("term"), col("r"), cmsBucket(col("r"), col("term")).as("b"))
+    val est = qb.join(merged, Seq("r", "b"), "left")
+      .groupBy(col("term")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = tokens.filter(col("w").isin(CmsProbeTerms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      .withColumnRenamed("w", "term")
+    val n = tokens.agg(count(lit(1)).as("n_tokens"))
+    est.join(exact, Seq("term"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("est"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("n_tokens"),
+        (col("est") >= coalesce(col("exact_n"), lit(0L))).cast("int").as("over_ok"),
+        ((col("est") - coalesce(col("exact_n"), lit(0L))) * lit(CmsWidth.toLong)
           <= lit(2L) * col("n_tokens")).cast("int").as("bound_ok"))
   }
 

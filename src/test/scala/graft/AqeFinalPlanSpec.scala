@@ -49,26 +49,28 @@ class AqeFinalPlanSpec extends AnyFunSuite {
     * (one `"name": secs` line per entry inside the `"queries"` object) —
     * no JSON library needed, and sf1_queries is excluded by slicing the
     * section. */
-  lazy val top10: Seq[String] = {
+  lazy val parsedRanking: Seq[String] = {
     val f = new java.io.File("bench.json")
-    val parsed: Seq[String] =
-      if (!f.exists()) Seq.empty
+    if (!f.exists()) Seq.empty
+    else {
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val start = txt.indexOf("\"queries\": {")
+      val end = if (start < 0) -1 else txt.indexOf("}", start)
+      if (start < 0 || end < 0) Seq.empty
       else {
-        val txt = java.nio.file.Files.readString(f.toPath)
-        val start = txt.indexOf("\"queries\": {")
-        val end = if (start < 0) -1 else txt.indexOf("}", start)
-        if (start < 0 || end < 0) Seq.empty
-        else {
-          val re = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
-          re.findAllMatchIn(txt.substring(start + 12, end))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .toSeq
-            .filter { case (n, s) => s >= 0 && SparkEntry.queries.contains(n) }
-            .sortBy(-_._2)
-            .take(10)
-            .map(_._1)
-        }
+        val re = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
+        re.findAllMatchIn(txt.substring(start + 12, end))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toSeq
+          .filter { case (n, s) => s >= 0 && SparkEntry.queries.contains(n) }
+          .sortBy(-_._2)
+          .map(_._1)
       }
+    }
+  }
+
+  lazy val top10: Seq[String] = {
+    val parsed = parsedRanking.take(10)
     if (parsed.size == 10) parsed else fallbackTop10
   }
 
@@ -140,15 +142,15 @@ class AqeFinalPlanSpec extends AnyFunSuite {
       spark.listenerManager.register(listener)
       val df = SparkEntry.queries(name)(spark, d)
       df.queryExecution.toRdd.count() // actually run it → AQE final plan
-      // the listener bus is async: poll until no new events arrive
-      var last = -1
-      var stable = 0
-      val deadline = System.nanoTime() + 10L * 1000000000L
-      while (stable < 3 && System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        val n = captured.size()
-        if (n == last) stable += 1 else { stable = 0; last = n }
-      }
+      // The listener bus is async; SQLExecutionEnd events are POSTED
+      // before the action returns but delivered on the bus thread.
+      // waitUntilEmpty is the deterministic flush (ADVICE r13: the old
+      // fixed-interval poll could declare "stable" while events were
+      // still queued on a loaded box, silently dropping internal plans
+      // from the lint) — and it THROWS on deadline instead of passing
+      // incompletely.
+      org.apache.spark.GraftListenerBusShim.waitUntilEmpty(
+        spark.sparkContext, 30000L)
       spark.listenerManager.unregister(listener)
       lint(name, df.queryExecution.executedPlan, failures)
       captured.forEach(qe => lint(s"$name[internal]", qe.executedPlan, failures))
@@ -160,9 +162,16 @@ class AqeFinalPlanSpec extends AnyFunSuite {
   test("top-10 set stays registered and tracks the committed bench ranking") {
     val missing = top10.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"top-10 lint names unregistered entries: $missing")
-    // the r12 #1/#2 (the GD loop) must be in the linted set as long as
-    // they top the committed ranking
-    assert(top10.contains("classifier_train"),
-      s"classifier_train missing from derived top-10: $top10")
+    // The GD loop must be in the linted set as long as the COMMITTED
+    // ranking actually places it there (ADVICE r13: an unconditional pin
+    // fails spuriously if a future round legitimately reranks it below
+    // 10th even though the derivation worked). The fallback list always
+    // carries it, so the pin also holds when no bench.json is parsable.
+    val rank = parsedRanking.indexOf("classifier_train")
+    if (parsedRanking.size < 10 || (rank >= 0 && rank < 10))
+      assert(top10.contains("classifier_train"),
+        s"classifier_train missing from derived top-10: $top10")
+    else
+      info(s"classifier_train ranked ${rank + 1} in committed bench — pin skipped")
   }
 }

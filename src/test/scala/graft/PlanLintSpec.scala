@@ -77,6 +77,8 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_eval" -> ("build = the fixed 100-row eval query block (vec_id < 100) " +
       "feeding the exact-reference scan — the nearest_neighbor pattern; " +
       "eval block size is a constant of the audit, not a data scale"),
+    "ann_exact_top3" -> ("build = the same fixed 100-row eval query block " +
+      "(the audit's exact side split into its own entry, r14)"),
     "hybrid_search" -> "build = the one query vector feeding the cosine leg",
     "curate_incremental" -> ("build = the CurationState stats/bounds artifacts " +
       "— 1-row parquet frames by construction (CurationStateSpec)"),

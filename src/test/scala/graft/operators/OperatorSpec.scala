@@ -392,6 +392,54 @@ class OperatorSpec extends AnyFunSuite {
       "no query term exercises the unseen-term path")
   }
 
+  test("cms_lookup: serving path flags are 1, unseen probes hit, and " +
+    "frozen-sketch estimates == accumulate-side estimates where probes overlap") {
+    val got = graft.operators.TextOps.qCmsLookup(spark, d).collect()
+    assert(got.length == graft.operators.TextOps.CmsProbeTerms.length)
+    got.foreach { r =>
+      assert(r.getAs[Int]("over_ok") == 1, s"CMS serve underestimated: $r")
+      assert(r.getAs[Int]("bound_ok") == 1, s"CMS serve bound failed: $r")
+    }
+    assert(got.exists(_.getAs[Long]("exact_n") == 0L),
+      "no probe term exercises the unseen-term path")
+    // cross-entry agreement: terms probed by BOTH cms_counts and
+    // cms_lookup must get the same merged estimate (the frozen serving
+    // table is the same sketch the algebra audit accumulates)
+    val acc = graft.operators.TextOps.qCmsCounts(spark, d).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("est_merged")).toMap
+    val shared = got.filter(r => acc.contains(r.getAs[String]("term")))
+    assert(shared.nonEmpty, "probe sets should overlap on at least one term")
+    shared.foreach { r =>
+      assert(r.getAs[Long]("est") == acc(r.getAs[String]("term")),
+        s"serve estimate != accumulate estimate for ${r.getAs[String]("term")}")
+    }
+  }
+
+  test("substring_dedup: a mid-paragraph 60-token verbatim run is excised " +
+    "from the LATER doc only; runs shorter than k survive") {
+    import spark.implicits._
+    val k = graft.operators.Dedup.SubstringK
+    val run60 = (0 until 60).map(i => s"copy$i").mkString(" ") // ≥ k tokens
+    val short = (0 until (k - 1)).map(i => s"tiny$i").mkString(" ") // k−1: under threshold
+    val docs = Seq(
+      (1L, s"alpha opening words $run60 alpha closing words $short"),
+      (2L, s"beta unrelated prologue here $run60 beta epilogue text $short"),
+      (3L, "gamma totally distinct content with no shared runs at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 (first occurrence) keeps everything
+    assert(got(1L).getAs[Long]("n_removed") == 0L, s"keep-first violated: ${got(1L)}")
+    // doc 2 loses EXACTLY the 60-token run — interior excision, the
+    // doc-specific prefix/epilogue and the sub-threshold short run survive
+    assert(got(2L).getAs[Long]("n_removed") == 60L, s"wrong excision: ${got(2L)}")
+    val clean2 = got(2L).getAs[String]("clean_text")
+    assert(clean2 == s"beta unrelated prologue here beta epilogue text $short",
+      s"reassembly mismatch: $clean2")
+    // doc 3 untouched
+    assert(got(3L).getAs[Long]("n_removed") == 0L)
+  }
+
   test("dedup_clusters_incremental: maintained labels == full recompute, and the merge path runs") {
     import spark.implicits._
     // Synthetic graph exercising all three maintenance paths at once:
