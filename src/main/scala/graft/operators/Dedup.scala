@@ -612,11 +612,7 @@ object Dedup {
       .withColumn("n", size(col("l")))
     // every k-token window, keyed by md5 of its text (engine-portable,
     // fixed-width shuffle key)
-    val kg = base.filter(col("n") >= k)
-      .select(col("doc_id"), col("l"),
-        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        md5(concat_ws(" ", slice(col("l"), col("i"), lit(k))).cast("binary")).as("g"))
+    val kg = substringGrams(docs)
     val first = kg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     val dupWin = kg.join(first, "g")
       .filter(col("doc_id") > col("first_doc"))
@@ -631,6 +627,85 @@ object Dedup {
     // ordered reassembly: doc-partitioned window (doc-sized frames), no
     // interpreted HOF — collect_list over an ORDERED full frame is
     // deterministic in pos order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val full = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val clean = kept
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_kept", count(lit(1)).over(full))
+      .withColumn("clean_text", concat_ws(" ", collect_list(col("tok")).over(full)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_kept"), col("clean_text"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Incremental cross-document substring dedup
+    * (substring_dedup_incremental, r14): dedup an INCOMING batch against
+    * the already-published corpus plus itself — the per-ingest-cycle form
+    * of [[substringDedup]], completing the operator's
+    * build→maintain→serve family the way dedup/bm25/CC incrementals do.
+    * Published documents are immutable, so the rule changes from global
+    * keep-first to: a batch window is duplicated iff its gram exists in
+    * the PRIOR corpus (prior always wins) or in an EARLIER batch document
+    * (keep-first within the batch). Only batch documents are emitted.
+    *
+    * Scale shape (100 TB corpus, TB batch): the prior side enters only as
+    * the distinct-gram PRESENCE SET — in production a persisted index
+    * maintained ADDITIVELY (set union per cycle; no rescan — here the
+    * entry rebuilds it from the prior half so the oracle needs no
+    * artifact, the minhash_incremental stance). Batch grams probe it with
+    * one semi join; everything downstream (batch-internal keep-first,
+    * covered-position expansion, reassembly) is batch-sized. */
+  def qSubstringDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val injected = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" " + SubstringPassage + " tail"),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+    substringDedupIncremental(
+      injected.filter(col("doc_id") % 5 =!= 2),
+      injected.filter(col("doc_id") % 5 === 2))
+  }
+
+  /** (doc_id, i, g) k-gram window keys — shared by [[substringDedup]] and
+    * the incremental/batch probe side. */
+  private def substringGrams(docs: DataFrame): DataFrame = {
+    val k = SubstringK
+    docs.select(col("doc_id"), normWords(col("text")).as("l"))
+      .withColumn("n", size(col("l")))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("l"), col("i"), lit(k))).cast("binary")).as("g"))
+  }
+
+  /** See [[qSubstringDedupIncremental]]. */
+  def substringDedupIncremental(prior: DataFrame, batch: DataFrame): DataFrame = {
+    val k = SubstringK
+    // the persisted-index shape: distinct grams only, no positions
+    val priorIdx = substringGrams(prior).select(col("g")).distinct()
+    val bg = substringGrams(batch)
+    val dupVsPrior = bg.join(priorIdx, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("i"))
+    val firstInBatch = bg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val dupInBatch = bg.join(firstInBatch, "g")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("i"))
+    val covered = dupVsPrior.union(dupInBatch)
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val base = batch.select(col("doc_id"), normWords(col("text")).as("l"))
+      .withColumn("n", size(col("l")))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val full = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -440,6 +440,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("n_removed") == 0L)
   }
 
+  test("substring_dedup_incremental: prior corpus always wins, keep-first " +
+    "within the batch, prior docs never emitted") {
+    import spark.implicits._
+    val run60 = (0 until 60).map(i => s"copy$i").mkString(" ")
+    val batchRun = (0 until 30).map(i => s"brun$i").mkString(" ") // batch-only dup
+    val prior = Seq(
+      (100L, s"published corpus text containing $run60 and more prose")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // doc 5 < prior's 100, but PRIOR STILL WINS (published is immutable)
+      (5L, s"fresh ingest alpha $run60 fresh ingest omega $batchRun"),
+      (9L, s"another new doc beta $batchRun gamma ending here with words")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDedupIncremental(prior, batch)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(5L, 9L), "only batch docs are emitted")
+    // doc 5: the 60-token run is excised even though 5 < 100 (prior wins);
+    // its batch-only run survives (doc 5 is the FIRST batch holder)
+    assert(got(5L).getAs[Long]("n_removed") == 60L, s"prior-wins violated: ${got(5L)}")
+    assert(got(5L).getAs[String]("clean_text")
+      == s"fresh ingest alpha fresh ingest omega $batchRun")
+    // doc 9: loses the batch-only 30-token run to doc 5 (keep-first in batch)
+    assert(got(9L).getAs[Long]("n_removed") == 30L, s"batch keep-first violated: ${got(9L)}")
+    assert(got(9L).getAs[String]("clean_text")
+      == "another new doc beta gamma ending here with words")
+  }
+
+  test("substring_dedup_incremental == substring_dedup restricted to the " +
+    "batch when every prior doc_id is smaller (the two rules coincide)") {
+    import spark.implicits._
+    val run = (0 until 20).map(i => s"xr$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one had $run inside the early text body here"),
+      (2L, "two distinct body with nothing shared at all"),
+      (10L, s"ten carries $run later so it must lose that run"),
+      (11L, "eleven unique content stays whole entirely")
+    ).toDF("doc_id", "text")
+    val full = graft.operators.Dedup.substringDedup(docs)
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val incr = graft.operators.Dedup.substringDedupIncremental(
+      docs.filter(col("doc_id") < 10L), docs.filter(col("doc_id") >= 10L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(incr == full, s"incremental != full-restricted\nincr: $incr\nfull: $full")
+  }
+
   test("dedup_clusters_incremental: maintained labels == full recompute, and the merge path runs") {
     import spark.implicits._
     // Synthetic graph exercising all three maintenance paths at once:
