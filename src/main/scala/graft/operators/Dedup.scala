@@ -672,6 +672,24 @@ object Dedup {
       injected.filter(col("doc_id") % 5 === 2))
   }
 
+  /** Streaming gram-index maintenance — the foreachBatch sink that keeps
+    * the published-corpus substring index current as document batches are
+    * published (the sketchSink / bm25IndexSink pattern): each epoch
+    * writes ITS OWN distinct-gram set under `batch=<id>` (overwrite →
+    * retry-idempotent; a replayed epoch rewrites the identical grams),
+    * and the served index is the merge-on-read distinct union — gram
+    * presence is additive, so served == the index built directly from
+    * all published docs, exactly (SubstringStreamSpec pins it per chunk).
+    * State is gram-grain (32-char md5 keys), never text. */
+  def gramIndexSink(statePath: String)(batch: DataFrame, id: Long): Unit =
+    substringGrams(batch).select(col("g")).distinct()
+      .write.mode("overwrite").parquet(s"$statePath/grams/batch=$id")
+
+  /** Serve the substring-dedup gram index from a [[gramIndexSink]] state
+    * directory: distinct union across batch partials. */
+  def gramIndexFromState(s: SparkSession, statePath: String): DataFrame =
+    s.read.parquet(s"$statePath/grams").select(col("g")).distinct()
+
   /** (doc_id, i, g) k-gram window keys — shared by [[substringDedup]] and
     * the incremental/batch probe side. */
   private def substringGrams(docs: DataFrame): DataFrame = {
@@ -686,10 +704,16 @@ object Dedup {
   }
 
   /** See [[qSubstringDedupIncremental]]. */
-  def substringDedupIncremental(prior: DataFrame, batch: DataFrame): DataFrame = {
+  def substringDedupIncremental(prior: DataFrame, batch: DataFrame): DataFrame =
+    substringDedupFromIndex(
+      substringGrams(prior).select(col("g")).distinct(), batch)
+
+  /** The serving form over an ALREADY-MATERIALIZED gram presence index —
+    * what a production cycle actually runs (the index is persisted and
+    * maintained additively; see [[gramIndexSink]] for the streaming
+    * maintenance). */
+  def substringDedupFromIndex(priorIdx: DataFrame, batch: DataFrame): DataFrame = {
     val k = SubstringK
-    // the persisted-index shape: distinct grams only, no positions
-    val priorIdx = substringGrams(prior).select(col("g")).distinct()
     val bg = substringGrams(batch)
     val dupVsPrior = bg.join(priorIdx, Seq("g"), "left_semi")
       .select(col("doc_id"), col("i"))
