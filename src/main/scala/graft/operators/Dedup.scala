@@ -392,7 +392,7 @@ object Dedup {
 
   /** The maintenance kernel of [[dedupClustersIncrementalFrom]]: fold one
     * batch of new edges into an existing (doc_id, cluster_id) labeling.
-    * Also the per-epoch body of [[clusterSink]] (streaming CC
+    * Also the per-epoch body of [[ClusterMaintainer]] (streaming CC
     * maintenance). Both inputs must already be lineage-truncated
     * (frozen-table read / localCheckpoint — see the caller's scaladoc). */
   def maintainClusters(prior: DataFrame, delta: DataFrame): DataFrame = {
