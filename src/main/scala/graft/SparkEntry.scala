@@ -165,6 +165,7 @@ object SparkEntry {
     "segment_dedup"       -> (Curation.qSegmentDedup _),
     "substring_dedup"     -> (Dedup.qSubstringDedup _), // NEW r14 (VERDICT r13 task 5): Lee-et-al-class exact cross-doc substring excision at token granularity, keep-first; artifact-free md5 twin
     "substring_dedup_incremental" -> (Dedup.qSubstringDedupIncremental _), // NEW r14: batch-vs-published-corpus form; prior side = distinct-gram presence index (additively maintainable)
+    "decontaminate_substring" -> (Dedup.qDecontaminateSubstring _), // NEW r14: excise verbatim >=15-token benchmark passages from the training split (index rule only; contamination SCORES, this REMOVES)
     "boilerplate_strip"   -> (Curation.qBoilerplateStrip _), // corpus-frequency segment removal (CCNet-style)
     "robust_outliers"     -> (Curation.qRobustOutliers _), // median/MAD per-source length gate
     "quality_calibrate"   -> (Curation.qQualityCalibrate _), // per-source percentile-rank score calibration
@@ -2752,6 +2753,45 @@ object SparkEntry {
          |  CAST(len(l) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
          |  coalesce(clean_text, '') AS clean_text
          |FROM wb LEFT JOIN cl USING (doc_id)""".stripMargin
+    },
+
+    // decontaminate_substring (r14): training docs lose every window
+    // whose gram exists in the benchmark's distinct-gram set — NO
+    // intra-batch rule; both planted passages replicated verbatim.
+    "decontaminate_substring" -> {
+      val k = Dedup.SubstringK
+      s"""WITH bw AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text || ' ${Dedup.DecontamPassage}', '\\s+', ' ', 'g'))), ' ') AS l
+         |  FROM documents WHERE source = '${Curation.BenchmarkSource}'),
+         |tw AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(
+         |      CASE WHEN doc_id % 9 = 4
+         |           THEN text || ' ${Dedup.DecontamPassage} trail' || CAST(doc_id AS VARCHAR)
+         |           ELSE text END, '\\s+', ' ', 'g'))), ' ') AS l
+         |  FROM documents WHERE source <> '${Curation.BenchmarkSource}'),
+         |pidx AS (SELECT DISTINCT
+         |           md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
+         |         FROM (SELECT l, unnest(range(1, len(l) - $k + 2)) AS i
+         |               FROM bw WHERE len(l) >= $k)),
+         |bg AS (SELECT doc_id, i,
+         |         md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l) - $k + 2)) AS i
+         |             FROM tw WHERE len(l) >= $k)),
+         |dw AS (SELECT bg.doc_id, bg.i FROM bg
+         |       WHERE EXISTS (SELECT 1 FROM pidx WHERE pidx.g = bg.g)),
+         |cov AS (SELECT DISTINCT doc_id, i + o AS pos
+         |        FROM dw CROSS JOIN (SELECT unnest(range(0, $k)) AS o) os),
+         |tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+         |        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM tw)),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS
+         |         (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |       FROM kept GROUP BY 1)
+         |SELECT tw.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(len(l) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM tw LEFT JOIN cl USING (doc_id)""".stripMargin
     },
 
     // boilerplate_strip shares segment_dedup's segment grid; the policy

@@ -568,6 +568,12 @@ object Dedup {
     * suffix chop). */
   val SubstringPassage: String = (0 until 60).map(i => "dup" + i).mkString(" ")
 
+  /** Deterministic 40-token benchmark passage for
+    * [[qDecontaminateSubstring]]'s planted fixtures (distinct vocabulary
+    * from [[SubstringPassage]] so the two entries' fixtures can't
+    * interact). */
+  val DecontamPassage: String = (0 until 40).map(i => "bench" + i).mkString(" ")
+
   /** Exact cross-document substring dedup (substring_dedup, r14 — VERDICT
     * r13 task 5): remove every maximal token run of length ≥
     * [[SubstringK]] that already occurred in an EARLIER document (keep-
@@ -606,10 +612,6 @@ object Dedup {
 
   /** See [[qSubstringDedup]]; runs on any (doc_id, text) frame. */
   def substringDedup(docs: DataFrame): DataFrame = {
-    val k = SubstringK
-    val base = docs
-      .select(col("doc_id"), normWords(col("text")).as("l"))
-      .withColumn("n", size(col("l")))
     // every k-token window, keyed by md5 of its text (engine-portable,
     // fixed-width shuffle key)
     val kg = substringGrams(docs)
@@ -617,31 +619,7 @@ object Dedup {
     val dupWin = kg.join(first, "g")
       .filter(col("doc_id") > col("first_doc"))
       .select(col("doc_id"), col("i"))
-    val covered = dupWin
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
-      .distinct()
-    val toks = base
-      .select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-    // ordered reassembly: doc-partitioned window (doc-sized frames), no
-    // interpreted HOF — collect_list over an ORDERED full frame is
-    // deterministic in pos order
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val full = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val clean = kept
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_kept", count(lit(1)).over(full))
-      .withColumn("clean_text", concat_ws(" ", collect_list(col("tok")).over(full)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("n_kept"), col("clean_text"))
-    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
-      .join(clean, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    substringReassemble(docs, dupWin)
   }
 
   /** Incremental cross-document substring dedup
@@ -690,9 +668,12 @@ object Dedup {
   def gramIndexFromState(s: SparkSession, statePath: String): DataFrame =
     s.read.parquet(s"$statePath/grams").select(col("g")).distinct()
 
-  /** (doc_id, i, g) k-gram window keys — shared by [[substringDedup]] and
-    * the incremental/batch probe side. */
-  private def substringGrams(docs: DataFrame): DataFrame = {
+  /** (doc_id, i, g) k-gram window keys — shared by [[substringDedup]],
+    * the incremental/batch probe side, and external index builds (a
+    * benchmark suite's decontamination index is
+    * `substringGrams(bench).select("g").distinct()`, persistable exactly
+    * like the [[gramIndexSink]] state). */
+  def substringGrams(docs: DataFrame): DataFrame = {
     val k = SubstringK
     docs.select(col("doc_id"), normWords(col("text")).as("l"))
       .withColumn("n", size(col("l")))
@@ -713,7 +694,6 @@ object Dedup {
     * maintained additively; see [[gramIndexSink]] for the streaming
     * maintenance). */
   def substringDedupFromIndex(priorIdx: DataFrame, batch: DataFrame): DataFrame = {
-    val k = SubstringK
     val bg = substringGrams(batch)
     val dupVsPrior = bg.join(priorIdx, Seq("g"), "left_semi")
       .select(col("doc_id"), col("i"))
@@ -721,10 +701,66 @@ object Dedup {
     val dupInBatch = bg.join(firstInBatch, "g")
       .filter(col("doc_id") > col("first_doc"))
       .select(col("doc_id"), col("i"))
-    val covered = dupVsPrior.union(dupInBatch)
+    substringReassemble(batch, dupVsPrior.union(dupInBatch))
+  }
+
+  /** Substring-granularity benchmark DECONTAMINATION
+    * (decontaminate_substring, r14): excise every ≥ [[SubstringK]]-token
+    * verbatim benchmark passage from the training split — the
+    * GPT-3/Lee-et-al decontamination mode at substring grain, where
+    * [[graft.operators.Curation.qContamination]] only SCORES documents by
+    * 5-gram overlap. ONLY the benchmark rule applies (no intra-batch
+    * keep-first — removing training↔training dups is substring_dedup's
+    * job): covered = windows whose gram exists in the benchmark's
+    * distinct-gram index; benchmark docs themselves are not emitted.
+    *
+    * Fixture (the pii_scrub injection stance): the synthetic corpus has
+    * only 2 natural ≥15-token cross-source overlaps at sf0.01, so the
+    * entry plants [[DecontamPassage]] at the END of every benchmark
+    * (source = src0) document and MID-TEXT in every doc_id % 9 == 4
+    * training document, both replicated verbatim in the oracle SQL — the
+    * oracle genuinely checks that each planted (and natural) passage is
+    * excised and the remainder reassembles in order.
+    *
+    * Scale shape: the benchmark index is eval-suite-sized (MBs — it
+    * BROADCASTS, the contamination precedent), so the excision pass is
+    * one semi join over training grams + the batch-sized reassembly:
+    * linear in the training corpus, zero data-sized shuffle beyond the
+    * doc_id reassembly. */
+  def qDecontaminateSubstring(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bench = docs.filter(col("source") === Curation.BenchmarkSource)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" " + DecontamPassage)).as("text"))
+    val train = docs.filter(col("source") =!= Curation.BenchmarkSource)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 4,
+          concat(col("text"), lit(" " + DecontamPassage + " trail"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+    substringExciseAgainstIndex(
+      substringGrams(bench).select(col("g")).distinct(), train)
+  }
+
+  /** The decontamination kernel: excise every window matching `idx` from
+    * `docs` — index rule only, no intra-corpus comparison. `idx` is the
+    * benchmark's distinct-gram presence set (persistable exactly like the
+    * [[gramIndexSink]] state). */
+  def substringExciseAgainstIndex(idx: DataFrame, docs: DataFrame): DataFrame =
+    substringReassemble(docs,
+      substringGrams(docs).join(idx, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("i")))
+
+  /** Shared excision tail: expand duplicated windows `dupWin`
+    * (doc_id, i) to covered positions, anti-join the token table, and
+    * reassemble each doc's surviving tokens in order (doc-partitioned
+    * window — doc-sized frames, no interpreted HOF). */
+  private def substringReassemble(batchDocs: DataFrame, dupWin: DataFrame): DataFrame = {
+    val k = SubstringK
+    val covered = dupWin
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
-    val base = batch.select(col("doc_id"), normWords(col("text")).as("l"))
+    val base = batchDocs.select(col("doc_id"), normWords(col("text")).as("l"))
       .withColumn("n", size(col("l")))
     val toks = base
       .select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "tok")))

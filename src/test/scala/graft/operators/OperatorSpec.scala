@@ -487,6 +487,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(incr == full, s"incremental != full-restricted\nincr: $incr\nfull: $full")
   }
 
+  test("decontaminate_substring: benchmark passages excised regardless of " +
+    "id order, training-internal dups untouched, planted fixtures fire") {
+    import spark.implicits._
+    val benchRun = (0 until 20).map(i => s"bq$i").mkString(" ")
+    val trainRun = (0 until 20).map(i => s"tr$i").mkString(" ")
+    val bench = Seq((500L, s"benchmark question text $benchRun end of item"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // id SMALLER than the benchmark's — must still be excised
+      (1L, s"train alpha $benchRun train omega $trainRun"),
+      // shares a run only with ANOTHER TRAINING doc — decontamination
+      // must NOT touch it (that's substring_dedup's job)
+      (2L, s"train beta $trainRun train gamma closing words here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringExciseAgainstIndex(
+      graft.operators.Dedup
+        .substringGrams(bench).select(col("g")).distinct(),
+      train).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "only training docs emitted")
+    assert(got(1L).getAs[Long]("n_removed") == 20L, s"benchmark run kept: ${got(1L)}")
+    assert(got(1L).getAs[String]("clean_text") == s"train alpha train omega $trainRun")
+    assert(got(2L).getAs[Long]("n_removed") == 0L,
+      s"training-internal dup wrongly excised: ${got(2L)}")
+    // the registered entry's planted fixtures actually fire on real data
+    val entry = graft.operators.Dedup.qDecontaminateSubstring(spark, d)
+      .filter(col("doc_id") % 9 === 4).select("n_removed").collect()
+    assert(entry.nonEmpty && entry.forall(_.getLong(0) >= 40L),
+      "planted benchmark passage not excised from every doc_id % 9 == 4 training doc")
+  }
+
   test("dedup_clusters_incremental: maintained labels == full recompute, and the merge path runs") {
     import spark.implicits._
     // Synthetic graph exercising all three maintenance paths at once:
