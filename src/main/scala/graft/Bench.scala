@@ -60,6 +60,15 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
+    // Dependent entries consume vars assigned inside EARLIER timed blocks
+    // (the pipeline-sharing design); if the upstream entry failed its var
+    // stays null and the dependent would die with an NPE whose message
+    // points at the WRONG entry (ADVICE r14). Fail fast with the true
+    // culprit named instead.
+    def upstream(v: AnyRef, name: String): Unit =
+      if (v == null) throw new IllegalStateException(
+        s"upstream entry '$name' failed — dependent entry skipped")
+
     // Fixed-work calibration probe, timed at the head of every pass: a
     // constant CPU+shuffle kernel (20M-row modular groupBy, no data
     // dependence on sfDir) whose runtime moves only with box load. The
@@ -136,6 +145,7 @@ object Bench {
         // at 100 TB, where the state build amortizes across cycles (the
         // curation_state_build / curate_incremental billing precedent)
         "dedup_clusters_maintain" -> time {
+          upstream(ccPrior, "dedup_clusters_incremental")
           operators.Dedup.maintainClusters(ccPrior,
             pairs.select("doc_a", "doc_b")
               .filter(org.apache.spark.sql.functions.col("doc_a") % 5 === 2 ||
@@ -146,6 +156,7 @@ object Bench {
         // materialized (a cascade computes labels once); its own cost is
         // the quality map + per-cluster argmax window
         "canonical_select" -> time {
+          upstream(labels, "dedup_clusters")
           operators.Dedup.canonicalSelect(Tables.documents(spark, sfDir), labels)
             .queryExecution.toRdd.count() },
         "q38_edit_distance" -> time {
@@ -160,6 +171,7 @@ object Bench {
                 org.apache.spark.sql.functions.col("split")))
             .queryExecution.toRdd.count() },
         "cluster_split" -> time {
+          upstream(labels, "dedup_clusters")
           operators.Sampling.clusterSplitFrom(Tables.documents(spark, sfDir),
             labels.select("doc_id", "cluster_id"))
             .queryExecution.toRdd.count() },
@@ -198,6 +210,7 @@ object Bench {
           winnowFps = operators.TextOps.qWinnowFingerprintMd5(spark, sfDir).persist()
           winnowFps.queryExecution.toRdd.count() },
         "dedup_agreement" -> time {
+          upstream(simPairs, "simhash_pairs_md5"); upstream(winnowFps, "winnow_md5")
           operators.Dedup.dedupAgreementFrom(
             pairs.select("doc_a", "doc_b"),
             simPairs.select("doc_a", "doc_b"),
@@ -249,6 +262,7 @@ object Bench {
           cmsMerged = operators.TextOps.cmsMergedSketch(tokens).persist()
           cmsMerged.queryExecution.toRdd.count() },
         "cms_lookup" -> time {
+          upstream(cmsMerged, "cms_sketch_build")
           operators.TextOps.cmsLookupFrom(cmsMerged, tokens)
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
@@ -332,6 +346,7 @@ object Bench {
           annExact = operators.Similarity.annExactTop3(spark, sfDir).persist()
           annExact.queryExecution.toRdd.count() },
         "ann_eval" -> time {
+          upstream(annExact, "ann_exact_top3")
           operators.Similarity.annEvalFrom(annOuts.toSeq, annExact)
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
@@ -446,7 +461,11 @@ object Bench {
       val quadNames = rs.collect { case (k, _) if sf1Quadratics(k) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val sf1Cal = cs.map(r3).mkString("[", ",", "]")
-      s""""sf1":{"total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${cs.size},"calibration_s":$sf1Cal,"dir":"$sf1Dir"}"""
+      // "total" keeps its PRE-r14 all-inclusive semantics (ADVICE r14:
+      // redefining a field in place makes cross-round tooling compare
+      // incomparables); the r14 scale-path headline lives under its own
+      // name, scale_path_total = total - quadratic_total.
+      s""""sf1":{"total":${r3(sf1Total + quadTotal)},"scale_path_total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${cs.size},"calibration_s":$sf1Cal,"dir":"$sf1Dir"}"""
     }
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
     println(summary)

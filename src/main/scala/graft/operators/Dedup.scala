@@ -490,7 +490,10 @@ object Dedup {
     private def committedEpochs: Seq[Long] =
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
         .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-        .map(_.getName.stripPrefix("epoch=").toLong).sorted
+        // a foreign directory in stateDir must be ignored, not fatal
+        .flatMap(f =>
+          scala.util.Try(f.getName.stripPrefix("epoch=").toLong).toOption)
+        .sorted
     def lastCommitted: Option[Long] = committedEpochs.lastOption
     private def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
@@ -511,9 +514,14 @@ object Dedup {
       if (tmp.exists()) deleteRec(tmp) // stale temp from a dead attempt
       next.write.mode("overwrite").parquet(tmp.toString)
       crashBeforeCommit()
-      if (!tmp.renameTo(epochDir(epochId)))
-        throw new java.io.IOException(
-          s"commit rename failed for epoch $epochId under $stateDir")
+      // Files.move(ATOMIC_MOVE) rather than File.renameTo: renameTo
+      // returns a bare false on failure and is only atomic on a POSIX
+      // same-filesystem rename; this throws a DESCRIPTIVE exception
+      // (AtomicMoveNotSupportedException) where atomicity is unavailable
+      // instead of silently degrading the commit guarantee.
+      java.nio.file.Files.move(tmp.toPath, epochDir(epochId).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
     }
     /** Current labeling with sizes, read from the committed state. */
     def serve(): DataFrame = {

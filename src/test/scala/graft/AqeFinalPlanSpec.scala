@@ -168,7 +168,15 @@ class AqeFinalPlanSpec extends AnyFunSuite {
     // 10th even though the derivation worked). The fallback list always
     // carries it, so the pin also holds when no bench.json is parsable.
     val rank = parsedRanking.indexOf("classifier_train")
-    if (parsedRanking.size < 10 || (rank >= 0 && rank < 10))
+    // A parsed ranking of catalogue size that LACKS classifier_train is
+    // itself an anomaly (renamed entry, or it failed with negative
+    // seconds and was filtered) — flag it rather than silently skipping
+    // the pin and printing a misleading "ranked 0" (ADVICE r14).
+    if (parsedRanking.size >= 10)
+      assert(rank >= 0, "classifier_train absent from the parsed committed " +
+        s"bench ranking (${parsedRanking.size} entries) — renamed, or " +
+        "recorded as failed (-1 s) and filtered by the s >= 0 guard")
+    if (parsedRanking.size < 10 || rank < 10)
       assert(top10.contains("classifier_train"),
         s"classifier_train missing from derived top-10: $top10")
     else
