@@ -611,12 +611,18 @@ object Dedup {
     * twin artifact-free: DuckDB recomputes the ENTIRE pipeline from base
     * parquet. */
   def qSubstringDedup(s: SparkSession, d: String): DataFrame =
-    substringDedup(
-      documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 7 === 3,
-          concat(col("text"), lit(" " + SubstringPassage + " tail"),
-            col("doc_id").cast("string")))
-          .otherwise(col("text")).as("text")))
+    substringDedup(substringInjectedDocs(s, d))
+
+  /** The shared planted-passage fixture frame for the substring-dedup
+    * entry family (see [[qSubstringDedup]] for why the passage is
+    * injected): every doc_id % 7 == 3 document gets [[SubstringPassage]]
+    * mid-text, replicated verbatim in each entry's oracle SQL. */
+  def substringInjectedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 3,
+        concat(col("text"), lit(" " + SubstringPassage + " tail"),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
 
   /** See [[qSubstringDedup]]; runs on any (doc_id, text) frame. */
   def substringDedup(docs: DataFrame): DataFrame = {
@@ -648,11 +654,7 @@ object Dedup {
     * one semi join; everything downstream (batch-internal keep-first,
     * covered-position expansion, reassembly) is batch-sized. */
   def qSubstringDedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val injected = documents(s, d).select(col("doc_id"),
-      when(col("doc_id") % 7 === 3,
-        concat(col("text"), lit(" " + SubstringPassage + " tail"),
-          col("doc_id").cast("string")))
-        .otherwise(col("text")).as("text"))
+    val injected = substringInjectedDocs(s, d)
     substringDedupIncremental(
       injected.filter(col("doc_id") % 5 =!= 2),
       injected.filter(col("doc_id") % 5 === 2))
@@ -672,9 +674,129 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$statePath/grams/batch=$id")
 
   /** Serve the substring-dedup gram index from a [[gramIndexSink]] state
-    * directory: distinct union across batch partials. */
+    * directory: merge-on-read union across batch partials. NO distinct —
+    * the only consumer is a left-semi presence probe, which tolerates the
+    * (rare) cross-batch duplicate gram, and a serve-path distinct was an
+    * index-wide shuffle per ingest cycle at the 100 TB design point
+    * (VERDICT r14 task 1; the per-epoch partials are already internally
+    * distinct, so duplication is bounded by the epoch count). */
   def gramIndexFromState(s: SparkSession, statePath: String): DataFrame =
-    s.read.parquet(s"$statePath/grams").select(col("g")).distinct()
+    s.read.parquet(s"$statePath/grams").select(col("g"))
+
+  /** Bucket count for the compacted gram index. On a real cluster this is
+    * the corpus-wide layout knob (thousands of buckets so each holds a
+    * few hundred MB of 16-byte keys at 100 TB); 32 here matches the
+    * local[32] shuffle width. */
+  val GramIndexBuckets = 32
+
+  /** Compact distinct grams into a g-bucketed, g-sorted table (r15,
+    * VERDICT r14 task 1). The compacted index is the corpus-sized side of
+    * every subsequent serve probe; bucketing it by the join key means the
+    * probe join reads it IN PLACE — zero index-side Exchange, verified by
+    * GramIndexBucketSpec — so each ingest cycle shuffles only the
+    * batch-sized gram set instead of re-exchanging a corpus-sized index.
+    * Data lands at `path` (an external table, so the artifact location is
+    * explicit); the catalog entry carries the bucket spec. */
+  def compactGramsToTable(grams: DataFrame, table: String, path: String,
+      buckets: Int = GramIndexBuckets): Unit = {
+    val s = grams.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    grams.select(col("g")).distinct()
+      .write.bucketBy(buckets, "g").sortBy("g")
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
+
+  /** Compact a [[gramIndexSink]] state directory into the bucketed serve
+    * table: fold every published per-epoch partial (distinct union) into
+    * `table`, data under `statePath/compact`. Run once per compaction
+    * cycle; partials written AFTER the compaction watermark stay served
+    * via the merge-on-read fresh leg of [[substringDedupFromBucketed]]
+    * until the next compaction folds them in. */
+  def compactGramIndex(s: SparkSession, statePath: String, table: String,
+      buckets: Int = GramIndexBuckets): Unit =
+    compactGramsToTable(s.read.parquet(s"$statePath/grams"), table,
+      s"$statePath/compact", buckets)
+
+  /** The compacted-index leg of the serve probe, exposed for the plan
+    * lint: a left-semi sort-merge join (merge hint — at 100 TB neither
+    * side broadcasts) whose index side is the bucketed table scanned in
+    * place. Duplicate grams on the index side are tolerated by the semi
+    * join, so no serve-path distinct. */
+  def bucketedGramProbe(s: SparkSession, table: String, batchGrams: DataFrame): DataFrame =
+    batchGrams.hint("merge").join(s.table(table), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("i"))
+
+  /** The production serve path over a COMPACTED bucketed index plus the
+    * fresh (since-compaction) partials: batch grams probe the bucketed
+    * table with zero index-side shuffle, fresh partials — batch-sized by
+    * construction — probe via broadcast, and the in-batch keep-first rule
+    * plus reassembly are batch-sized. Semantically identical to
+    * [[substringDedupFromIndex]] over the union index (presence is
+    * additive), which is what the driver oracle checks. */
+  def substringDedupFromBucketed(s: SparkSession, table: String,
+      fresh: DataFrame, batch: DataFrame): DataFrame = {
+    val bg = substringGrams(batch)
+    val dupVsCompacted = bucketedGramProbe(s, table, bg)
+    val dupVsFresh = bg.join(broadcast(fresh.select(col("g"))), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("i"))
+    val firstInBatch = bg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val dupInBatch = bg.join(firstInBatch, "g")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("i"))
+    substringReassemble(batch, dupVsCompacted.union(dupVsFresh).union(dupInBatch))
+  }
+
+  /** Catalog name for the per-dataset compacted gram index (table names
+    * cannot carry dots, so the sf-dir basename is sanitized). */
+  def gramIndexTableName(d: String): String =
+    "graft_gramidx_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Build the bucketed serve state for [[qSubstringDedupServe]]: three
+    * ingest epochs of the prior corpus drain through [[gramIndexSink]],
+    * epochs 0–1 (doc_id % 5 in {0,1,3}) are folded into the bucketed
+    * table by [[compactGramIndex]], and epoch 2 (doc_id % 5 == 4) lands
+    * AFTER the compaction watermark so it exercises the merge-on-read
+    * fresh leg. Returns (table, freshPartialPath). The state dir is wiped
+    * first so re-runs compact exactly the pre-watermark epochs. */
+  def buildGramServeState(s: SparkSession, d: String): (String, String) = {
+    val prior = substringInjectedDocs(s, d).filter(col("doc_id") % 5 =!= 2)
+    val statePath = dedupArtifactPath(d, "gramidx")
+    deleteRecursively(new java.io.File(statePath))
+    gramIndexSink(statePath)(prior.filter(col("doc_id") % 5 <= 1), 0L)
+    gramIndexSink(statePath)(prior.filter(col("doc_id") % 5 === 3), 1L)
+    val table = gramIndexTableName(d)
+    compactGramIndex(s, statePath, table)
+    gramIndexSink(statePath)(prior.filter(col("doc_id") % 5 === 4), 2L)
+    (table, s"$statePath/grams/batch=2")
+  }
+
+  /** gram_index_compact (r15): the compacted bucketed index CONTENT —
+    * the once-per-cycle state-build half of the serve split, here the
+    * distinct grams of the pre-watermark epochs (doc_id % 5 in {0,1,3}).
+    * The DuckDB twin rebuilds the same distinct-gram set from base
+    * parquet, so the hash check covers sink partials + compaction. */
+  def qGramIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val (table, _) = buildGramServeState(s, d)
+    s.table(table)
+  }
+
+  /** substring_dedup_serve (r15, VERDICT r14 task 1): the incremental
+    * substring dedup SERVE path as a production ingest cycle actually
+    * lays it out — streamed per-epoch gram partials, a bucketed compacted
+    * index probed with zero index-side Exchange, fresh partials merged on
+    * read via broadcast. Result is identical to
+    * [[qSubstringDedupIncremental]] (presence union is associative), so
+    * the oracle recomputes the whole pipeline from base parquet. */
+  def qSubstringDedupServe(s: SparkSession, d: String): DataFrame = {
+    val (table, freshPath) = buildGramServeState(s, d)
+    substringDedupFromBucketed(s, table, s.read.parquet(freshPath),
+      substringInjectedDocs(s, d).filter(col("doc_id") % 5 === 2))
+  }
 
   /** (doc_id, i, g) k-gram window keys — shared by [[substringDedup]],
     * the incremental/batch probe side, and external index builds (a
