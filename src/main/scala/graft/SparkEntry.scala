@@ -166,6 +166,8 @@ object SparkEntry {
     "substring_dedup"     -> (Dedup.qSubstringDedup _), // NEW r14 (VERDICT r13 task 5): Lee-et-al-class exact cross-doc substring excision at token granularity, keep-first; artifact-free md5 twin
     "substring_dedup_incremental" -> (Dedup.qSubstringDedupIncremental _), // NEW r14: batch-vs-published-corpus form; prior side = distinct-gram presence index (additively maintainable)
     "gram_index_compact"  -> (Dedup.qGramIndexCompact _), // NEW r15 (VERDICT r14 task 1): g-bucketed compaction of the streamed gram partials — the once-per-cycle state build of the serve split
+    "gram_index_purge"    -> (Dedup.qGramIndexPurge _), // NEW r15 (VERDICT r14 task 2): refcounted gram index after a purge epoch — (g, cnt>0) == index rebuilt from the purged corpus
+    "substring_dedup_purged" -> (Dedup.qSubstringDedupPurged _), // NEW r15: serve leg over the purged refcount index — purged docs' grams stop excising (RTBF propagates, no state rebuild)
     "substring_dedup_serve" -> (Dedup.qSubstringDedupServe _), // NEW r15: serve path over the bucketed index (zero index-side Exchange) + broadcast fresh partials; result == substring_dedup_incremental
     "decontaminate_substring" -> (Dedup.qDecontaminateSubstring _), // NEW r14: excise verbatim >=15-token benchmark passages from the training split (index rule only; contamination SCORES, this REMOVES)
     "boilerplate_strip"   -> (Curation.qBoilerplateStrip _), // corpus-frequency segment removal (CCNet-style)
@@ -2772,6 +2774,65 @@ object SparkEntry {
          |SELECT DISTINCT md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
          |FROM (SELECT l, unnest(range(1, len(l) - $k + 2)) AS i
          |      FROM wp WHERE len(l) >= $k)""".stripMargin
+    },
+
+    // gram_index_purge (r15): the refcounted index after publish(+1)/
+    // purge(-1) epochs must equal the index REBUILT from the live corpus
+    // alone. Purged docs (prior passage carriers, doc_id % 7 = 3) are
+    // excluded on the twin side; the remaining live prior docs carry no
+    // injected text, so the twin reads base parquet directly.
+    "gram_index_purge" -> {
+      val k = Dedup.SubstringK
+      s"""WITH w AS (SELECT doc_id, $WORDS AS l FROM documents
+         |           WHERE doc_id % 5 <> 2 AND doc_id % 7 <> 3),
+         |kg AS (SELECT DISTINCT doc_id,
+         |         md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l) - $k + 2)) AS i
+         |             FROM w WHERE len(l) >= $k))
+         |SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM kg GROUP BY 1""".stripMargin
+    },
+
+    // substring_dedup_purged (r15): incremental serve against the PURGED
+    // index — prior side excludes the purged passage carriers, so the
+    // batch's first carrier keeps its planted passage (in-batch
+    // keep-first only). Full recompute from base parquet.
+    "substring_dedup_purged" -> {
+      val k = Dedup.SubstringK
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3
+         |         THEN text || ' ${Dedup.SubstringPassage} tail' || CAST(doc_id AS VARCHAR)
+         |         ELSE text END AS text
+         |  FROM documents),
+         |wp AS (SELECT doc_id, $WORDS AS l FROM base
+         |       WHERE doc_id % 5 <> 2 AND doc_id % 7 <> 3),
+         |wb AS (SELECT doc_id, $WORDS AS l FROM base WHERE doc_id % 5 = 2),
+         |pidx AS (SELECT DISTINCT
+         |           md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
+         |         FROM (SELECT l, unnest(range(1, len(l) - $k + 2)) AS i
+         |               FROM wp WHERE len(l) >= $k)),
+         |bg AS (SELECT doc_id, i,
+         |         md5(array_to_string(list_slice(l, i, i + ${k - 1}), ' ')) AS g
+         |       FROM (SELECT doc_id, l, unnest(range(1, len(l) - $k + 2)) AS i
+         |             FROM wb WHERE len(l) >= $k)),
+         |fd AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY 1),
+         |dw AS (SELECT bg.doc_id, bg.i FROM bg
+         |         WHERE EXISTS (SELECT 1 FROM pidx WHERE pidx.g = bg.g)
+         |       UNION
+         |       SELECT bg.doc_id, bg.i FROM bg JOIN fd USING (g)
+         |         WHERE bg.doc_id > fd.first_doc),
+         |cov AS (SELECT DISTINCT doc_id, i + o AS pos
+         |        FROM dw CROSS JOIN (SELECT unnest(range(0, $k)) AS o) os),
+         |tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+         |        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM wb)),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS
+         |         (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |       FROM kept GROUP BY 1)
+         |SELECT wb.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(len(l) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM wb LEFT JOIN cl USING (doc_id)""".stripMargin
     },
 
     // substring_dedup_serve (r15): the bucketed-index serve path is

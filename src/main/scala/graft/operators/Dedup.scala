@@ -785,6 +785,125 @@ object Dedup {
     s.table(table)
   }
 
+  // ---------------------------------------------------------------------
+  // Refcounted (purge-aware) gram index — RTBF deletion propagation
+  // ---------------------------------------------------------------------
+
+  /** Per-batch signed refcount deltas for the purge-aware gram index
+    * (r15, VERDICT r14 task 2). Input batch rows are (doc_id, text, op)
+    * with op in {publish, purge}: a publish contributes +1 per DISTINCT
+    * gram of the document, a purge contributes −1 for the same set (the
+    * purge request carries the payload being removed — rtbf_purge filters
+    * the corpus which still holds the text at purge time). Aggregated to
+    * (g, delta) per batch so the stored partial is gram-grain, never
+    * text. */
+  def refGramDeltas(batch: DataFrame): DataFrame =
+    substringGrams(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("g")).distinct()
+      .join(batch.select(col("doc_id"),
+        when(col("op") === "purge", lit(-1L)).otherwise(lit(1L)).as("delta")),
+        Seq("doc_id"))
+      .groupBy(col("g")).agg(sum(col("delta")).as("delta"))
+
+  /** Streaming maintenance sink for the REFCOUNTED gram index — the
+    * purge-aware successor of [[gramIndexSink]], which is additive-only
+    * (the r14 audit's RTBF gap: an opt-out there forces a full state
+    * rebuild and a purged document's grams keep excising future text).
+    * Each epoch writes its (g, delta) partial under `batch=<id>`
+    * (overwrite → retry-idempotent: deltas are recomputed from the same
+    * epoch payload, so a replay rewrites the identical rows, not a second
+    * decrement). Purges are just another epoch — deletion propagates
+    * through the same additive merge the publishes use. */
+  def refGramIndexSink(statePath: String)(batch: DataFrame, id: Long): Unit =
+    refGramDeltas(batch).write.mode("overwrite")
+      .parquet(s"$statePath/grams/batch=$id")
+
+  /** Serve the refcounted gram index: merge-on-read sum of the signed
+    * partials, presence = cnt > 0. cnt equals the number of LIVE
+    * (published minus purged) documents containing the gram, so the
+    * served set is exactly the index rebuilt from the purged corpus —
+    * the driver's gram_index_purge twin recomputes that from base
+    * parquet. This full-index materialization is the once-per-compaction
+    * shape; the per-probe path is [[refGramProbe]]. */
+  def refGramIndexFromState(s: SparkSession, statePath: String): DataFrame =
+    s.read.parquet(s"$statePath/grams")
+      .groupBy(col("g")).agg(sum(col("delta")).as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** Compact the refcounted state into a g-bucketed (g, cnt) table — the
+    * [[compactGramIndex]] layout with counts. cnt == 0 rows are dropped
+    * (absent means zero); the rare negative residue (a duplicate purge)
+    * is kept so a later re-publish sums back to the true count instead of
+    * resurrecting early. */
+  def compactRefGramIndex(s: SparkSession, statePath: String, table: String,
+      buckets: Int = GramIndexBuckets): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.read.parquet(s"$statePath/grams")
+      .groupBy(col("g")).agg(sum(col("delta")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .write.bucketBy(buckets, "g").sortBy("g")
+      .option("path", s"$statePath/compact").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Purge-aware presence probe: duplicated windows of `batchGrams`
+    * against compacted refcounts PLUS fresh (since-compaction) signed
+    * deltas — presence is (compacted cnt + fresh delta) > 0, computed PER
+    * PROBE GRAM so the served index is never materialized. The compacted
+    * side is the bucketed table read in place (zero index-side Exchange,
+    * like [[bucketedGramProbe]]); fresh deltas are batch-sized and
+    * broadcast. A gram whose carriers were all purged since compaction
+    * nets to <= 0 and stops excising — deletion propagates without any
+    * state rebuild. */
+  def refGramProbe(s: SparkSession, table: String, freshDeltas: DataFrame,
+      batchGrams: DataFrame): DataFrame = {
+    val f = freshDeltas.groupBy(col("g")).agg(sum(col("delta")).as("fd"))
+    batchGrams.hint("merge")
+      .join(s.table(table).select(col("g"), col("cnt")), Seq("g"), "left_outer")
+      .join(broadcast(f), Seq("g"), "left_outer")
+      .filter(coalesce(col("cnt"), lit(0L)) + coalesce(col("fd"), lit(0L)) > 0)
+      .select(col("doc_id"), col("i"))
+  }
+
+  /** Build the refcounted state for the purge entries: the prior corpus
+    * (doc_id % 5 != 2) publishes in two epochs, then epoch 2 PURGES every
+    * planted-passage carrier among them (doc_id % 7 == 3 — so the purge
+    * genuinely changes serve results: the batch's passage carriers stop
+    * matching the prior index and fall back to in-batch keep-first).
+    * Returns the state path. */
+  def buildRefGramState(s: SparkSession, d: String): String = {
+    val prior = substringInjectedDocs(s, d).filter(col("doc_id") % 5 =!= 2)
+    val statePath = dedupArtifactPath(d, "refgramidx")
+    deleteRecursively(new java.io.File(statePath))
+    val pub = lit("publish")
+    refGramIndexSink(statePath)(
+      prior.filter(col("doc_id") % 2 === 0).withColumn("op", pub), 0L)
+    refGramIndexSink(statePath)(
+      prior.filter(col("doc_id") % 2 === 1).withColumn("op", pub), 1L)
+    refGramIndexSink(statePath)(
+      prior.filter(col("doc_id") % 7 === 3).withColumn("op", lit("purge")), 2L)
+    statePath
+  }
+
+  /** gram_index_purge (r15, VERDICT r14 task 2): the refcounted gram
+    * index AFTER a purge epoch — (g, cnt) with cnt > 0. The DuckDB twin
+    * rebuilds the index from the purged corpus (live prior documents
+    * only), so the hash proves publish(+1)/purge(−1) delta folding equals
+    * a full rebuild: the RTBF opt-out no longer requires one. */
+  def qGramIndexPurge(s: SparkSession, d: String): DataFrame =
+    refGramIndexFromState(s, buildRefGramState(s, d))
+
+  /** substring_dedup_purged (r15): the incremental substring dedup SERVE
+    * leg against the PURGED refcount index — a purged document's grams no
+    * longer excise future text (the r14 audit's exact failure mode). The
+    * batch's planted-passage carriers survive the prior-index rule here
+    * (every prior carrier was purged) and only in-batch keep-first
+    * applies to them; the twin recomputes the whole pipeline from base
+    * parquet with the purged docs filtered out of the prior side. */
+  def qSubstringDedupPurged(s: SparkSession, d: String): DataFrame =
+    substringDedupFromIndex(
+      refGramIndexFromState(s, buildRefGramState(s, d)).select(col("g")),
+      substringInjectedDocs(s, d).filter(col("doc_id") % 5 === 2))
+
   /** substring_dedup_serve (r15, VERDICT r14 task 1): the incremental
     * substring dedup SERVE path as a production ingest cycle actually
     * lays it out — streamed per-epoch gram partials, a bucketed compacted

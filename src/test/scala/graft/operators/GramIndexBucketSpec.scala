@@ -62,4 +62,66 @@ class GramIndexBucketSpec extends AnyFunSuite {
     // teeth: the planted passage means the serve actually excises something
     assert(bucketed.exists(_._3 > 0L), "no window was excised — fixture broken")
   }
+
+  test("purge-aware refcount probe over the bucketed (g,cnt) table: zero " +
+    "index-side exchange; probe == full-serve presence; fresh purge flips") {
+    val spark = graft.streaming.StreamFixture.spark
+    import spark.implicits._
+    val sharedText = (0 until 20).map(i => "shared" + i).mkString(" ")
+    val prior = Dedup.substringInjectedDocs(spark, d)
+      .filter(col("doc_id") % 5 =!= 2)
+      .union(Seq((800001L, sharedText)).toDF("doc_id", "text"))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-refgram-bkt").toString + "/idx"
+    val pub = lit("publish")
+    Dedup.refGramIndexSink(statePath)(
+      prior.filter(col("doc_id") % 2 === 0).withColumn("op", pub), 0L)
+    Dedup.refGramIndexSink(statePath)(
+      prior.filter(col("doc_id") % 2 === 1).withColumn("op", pub), 1L)
+    val table = "graft_refgramidx_spec"
+    Dedup.compactRefGramIndex(spark, statePath, table)
+    // fresh (post-compaction) epoch purges the shared-text doc
+    Dedup.refGramIndexSink(statePath)(
+      Seq((800001L, sharedText, "purge")).toDF("doc_id", "text", "op"), 2L)
+    val fresh = spark.read.parquet(s"$statePath/grams/batch=2")
+    val batch = Seq(
+      (900001L, "probe preamble words " + sharedText + " probe epilogue words"),
+      (900002L, "entirely unique probe content sharing nothing with anyone"))
+      .toDF("doc_id", "text")
+    val bg = Dedup.substringGrams(batch)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Dedup.refGramProbe(spark, table, fresh, bg)
+      val plan = probe.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"refcount probe must plan a sort-merge join:\n$plan")
+      val idxSide = smj.head.right
+      assert(idxSide.collect { case e: Exchange => e }.isEmpty,
+        s"index side of the refcount probe must not shuffle:\n$idxSide")
+      assert(idxSide.collect {
+        case sc: FileSourceScanExec if sc.bucketedScan => sc }.nonEmpty,
+        s"index side must scan the bucketed (g,cnt) table in place:\n$idxSide")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def wins(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val probed = wins(Dedup.refGramProbe(spark, table, fresh, bg))
+    val presence = Dedup.refGramIndexFromState(spark, statePath).select(col("g"))
+    val expected = wins(bg.join(presence, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("i")))
+    assert(probed == expected,
+      "bucketed refcount probe diverged from full-serve presence\n" +
+        s"probe-only: ${(probed -- expected).take(3)}\n" +
+        s"presence-only: ${(expected -- probed).take(3)}")
+    // teeth: without the fresh purge leg the shared run WOULD be marked;
+    // with it, the purge nets the compacted cnt to zero
+    val emptyFresh = Seq.empty[(String, Long)].toDF("g", "delta")
+    val noFresh = wins(Dedup.refGramProbe(spark, table, emptyFresh, bg))
+    assert(noFresh.exists(_._1 == 900001L),
+      "shared run not marked from the compacted table — fixture broken")
+    assert(!probed.exists(_._1 == 900001L),
+      "fresh purge delta did not cancel the compacted refcount")
+  }
 }
