@@ -508,8 +508,46 @@ object Dedup {
     /** foreachBatch body: `(epoch, id) => pm.fold(id, epoch)`. */
     def fold(epochId: Long, edges: DataFrame): Unit = synchronized {
       if (epochDir(epochId).exists()) return // re-delivered epoch: committed
-      val next = maintainClusters(loadState(), edges.localCheckpoint())
+      commitEpoch(epochId,
+        maintainClusters(loadState(), edges.localCheckpoint())
+          .select(col("doc_id"), col("cluster_id")))
+    }
+
+    /** RTBF purge epoch (r15): drop the purged documents from the label
+      * state — they disappear from the served membership AND the size
+      * counts (serve derives sizes from the state). Conservative-
+      * membership semantics for the survivors: remaining members KEEP
+      * their cluster even when the purged doc was the bridge that merged
+      * it — the near-dup relations were observed at publish time, and a
+      * purge removes the DOCUMENT, not the historical observation (a
+      * split would require storing edges, which the bounded-state design
+      * deliberately does not; for dedup, staying merged is the safe
+      * direction). Clusters whose LABEL was the purged doc are re-pointed
+      * to their minimum live member — labels must stay member ids or the
+      * next fold's member→representative reconnection would resurrect the
+      * purged id as a vertex (CcPurgeSpec caught exactly that). The
+      * relabel is purge-proportional: only clusters that contained a
+      * purged doc are touched. Crash-safe through the same epoch-dir
+      * atomic commit as [[fold]]; a re-delivered purge epoch is skipped
+      * as committed. */
+    def purge(epochId: Long, docIds: DataFrame): Unit = synchronized {
+      if (epochDir(epochId).exists()) return
+      val purged = docIds.select(col("doc_id")).localCheckpoint()
+      val state = loadState()
+      val live = state.join(purged, Seq("doc_id"), "left_anti")
+      val affected = state.join(purged, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct().localCheckpoint()
+      val untouched = live.join(affected, Seq("cluster_id"), "left_anti")
         .select(col("doc_id"), col("cluster_id"))
+      val fixed = live.join(affected, Seq("cluster_id"), "left_semi")
+      val relabeled = fixed
+        .join(fixed.groupBy(col("cluster_id"))
+          .agg(min(col("doc_id")).as("new_label")), Seq("cluster_id"))
+        .select(col("doc_id"), col("new_label").as("cluster_id"))
+      commitEpoch(epochId, untouched.union(relabeled))
+    }
+
+    private def commitEpoch(epochId: Long, next: DataFrame): Unit = {
       val tmp = new java.io.File(root, s".tmp-epoch-$epochId")
       if (tmp.exists()) deleteRec(tmp) // stale temp from a dead attempt
       next.write.mode("overwrite").parquet(tmp.toString)

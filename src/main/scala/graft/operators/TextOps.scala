@@ -612,18 +612,69 @@ object TextOps {
   }
 
   /** Serve a BM25 top-k query from a [[bm25IndexSink]] state directory:
-    * tf/dl partials are doc-keyed and disjoint across batches (plain
-    * union-on-read); df and the corpus stats are summed — vocabulary- and
-    * 1-row-grain merges. The search itself is [[bm25SearchFrom]], so a
-    * served result equals the direct whole-corpus recompute exactly
-    * (Bm25StreamSpec pins it after every ingested chunk). */
+    * tf/dl partials are doc-keyed and disjoint across batches; df and the
+    * corpus stats are summed — vocabulary- and 1-row-grain merges. If the
+    * state carries purge tombstones ([[bm25PurgeSink]]), tf/dl rows of
+    * purged documents are dropped via a BROADCAST epoch-aware tombstone
+    * join (a row survives iff its publish epoch is newer than the doc's
+    * latest purge epoch — so a re-published document serves again) and
+    * the signed df/st partials absorb the vocabulary/corpus-stat
+    * decrements in the same sums. The search itself is [[bm25SearchFrom]],
+    * so a served result equals the direct recompute over the LIVE corpus
+    * exactly (Bm25StreamSpec pins the happy path per chunk;
+    * Bm25PurgeSpec the purge/re-publish/replay cases). */
   def bm25ServeFromIndex(s: SparkSession, statePath: String,
                          query: Seq[String], k: Int): DataFrame = {
-    def part(name: String) = s.read.parquet(s"$statePath/$name").drop("batch")
-    val dfreq = part("df").groupBy(col("w")).agg(sum(col("df")).as("df"))
-    val stats = part("st")
+    def part(name: String) = s.read.parquet(s"$statePath/$name")
+    val (tf, dl) =
+      if (!new java.io.File(s"$statePath/ts").exists())
+        (part("tf").drop("batch"), part("dl").drop("batch"))
+      else {
+        val tomb = broadcast(part("ts")
+          .groupBy(col("doc_id")).agg(max(col("batch")).as("purge_epoch")))
+        def live(f: DataFrame) = f.join(tomb, Seq("doc_id"), "left_outer")
+          .filter(col("purge_epoch").isNull || col("batch") > col("purge_epoch"))
+          .drop("purge_epoch", "batch")
+        (live(part("tf")), live(part("dl")))
+      }
+    val dfreq = part("df").drop("batch")
+      .groupBy(col("w")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    val stats = part("st").drop("batch")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tokens")).as("tot_tokens"))
-    bm25SearchFrom(part("tf"), part("dl"), dfreq, stats, query, k)
+    bm25SearchFrom(tf, dl, dfreq, stats, query, k)
+  }
+
+  /** RTBF purge for the streamed BM25 index (r15, the refGramIndexSink
+    * deletion-propagation pattern applied to the second additive-only
+    * serving artifact): a purge epoch writes (a) a `ts/batch=<id>`
+    * TOMBSTONE partial — the purged doc ids, epoch-stamped by the
+    * partition dir so later re-publishes outrank it — and (b) NEGATED
+    * df/st partials that subtract the purged docs' vocabulary and
+    * corpus-stat contributions from the merge-on-read sums. tf/dl
+    * partials are immutable history; the serve-side broadcast tombstone
+    * join excludes them, so a purge never rewrites state (same
+    * batch=<id> overwrite idempotence — a replayed purge epoch rewrites
+    * identical tombstones/deltas, it cannot double-decrement). Contract
+    * (shared with [[graft.operators.Dedup.refGramIndexSink]]): each doc
+    * appears in at most one purge epoch per publish — purge requests are
+    * deduplicated upstream, the rtbf_purge posture. [[Layout.compact]]
+    * applies to tombstone-free state; compacting a tombstoned state must
+    * first FOLD the tombstones (drop dead tf/dl rows, then discard the
+    * tombstones) because compaction erases the epoch column the serve
+    * join orders by. */
+  def bm25PurgeSink(statePath: String)(batch: DataFrame, id: Long): Unit = {
+    val toks = tokenTable(batch).persist()
+    try {
+      val (_, _, dfreq, stats) = bm25StatsFromTokens(toks)
+      batch.select(col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$statePath/ts/batch=$id")
+      dfreq.select(col("w"), (-col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$statePath/df/batch=$id")
+      stats.select((-col("n_docs")).as("n_docs"),
+          (-col("tot_tokens")).as("tot_tokens"))
+        .write.mode("overwrite").parquet(s"$statePath/st/batch=$id")
+    } finally toks.unpersist()
   }
 
   /** Overlapping-window document chunking (doc_chunk): each document
