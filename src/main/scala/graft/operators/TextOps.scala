@@ -625,6 +625,16 @@ object TextOps {
     * Bm25PurgeSpec the purge/re-publish/replay cases). */
   def bm25ServeFromIndex(s: SparkSession, statePath: String,
                          query: Seq[String], k: Int): DataFrame = {
+    val (tf, dl, dfreq, stats) = bm25LiveParts(s, statePath)
+    bm25SearchFrom(tf, dl, dfreq, stats, query, k)
+  }
+
+  /** The merged LIVE view of a [[bm25IndexSink]] state dir — tombstones
+    * applied, df/st summed (and df > 0 filtered: a term whose carriers
+    * were all purged leaves the vocabulary). Shared by the serve path and
+    * the tombstone-fold compaction. */
+  private def bm25LiveParts(s: SparkSession, statePath: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def part(name: String) = s.read.parquet(s"$statePath/$name")
     val (tf, dl) =
       if (!new java.io.File(s"$statePath/ts").exists())
@@ -642,7 +652,25 @@ object TextOps {
       .filter(col("df") > 0)
     val stats = part("st").drop("batch")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tokens")).as("tot_tokens"))
-    bm25SearchFrom(tf, dl, dfreq, stats, query, k)
+    (tf, dl, dfreq, stats)
+  }
+
+  /** Tombstone-fold compaction for a purged BM25 state (r15): write the
+    * LIVE view of `statePath` as a fresh tombstone-free state under
+    * `outPath` — dead tf/dl rows dropped, df/st collapsed to one summed
+    * partial each, tombstones discarded (everything lands under
+    * `batch=0`, so the new dir is a valid [[bm25IndexSink]] state that
+    * [[Layout.compact]] can then pack and later sink epochs extend).
+    * This is the maintenance job the [[bm25PurgeSink]] scaladoc requires
+    * before small-file compaction of a tombstoned state: it makes purged
+    * payload rows PHYSICALLY gone (the RTBF end state) instead of merely
+    * serve-invisible. */
+  def bm25FoldTombstones(s: SparkSession, statePath: String, outPath: String): Unit = {
+    val (tf, dl, dfreq, stats) = bm25LiveParts(s, statePath)
+    Seq("tf" -> tf, "dl" -> dl, "df" -> dfreq, "st" -> stats).foreach {
+      case (name, frame) =>
+        frame.write.mode("overwrite").parquet(s"$outPath/$name/batch=0")
+    }
   }
 
   /** RTBF purge for the streamed BM25 index (r15, the refGramIndexSink

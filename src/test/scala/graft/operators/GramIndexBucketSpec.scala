@@ -63,6 +63,40 @@ class GramIndexBucketSpec extends AnyFunSuite {
     assert(bucketed.exists(_._3 > 0L), "no window was excised — fixture broken")
   }
 
+  test("AQE-EXECUTED probe (isFinalPlan): the merge hint holds at runtime " +
+    "and the index side still carries zero exchange") {
+    val spark = graft.streaming.StreamFixture.spark
+    assume(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE must be on for a final-plan check")
+    val (table, _) = Dedup.buildGramServeState(spark, d)
+    val probe = Dedup.bucketedGramProbe(spark, table,
+      Dedup.substringGrams(Dedup.substringInjectedDocs(spark, d)
+        .filter(col("doc_id") % 5 === 2)))
+    probe.queryExecution.toRdd.count() // execute → adaptive final plan
+    // descend the wrappers collect() won't cross (the AqeFinalPlanSpec walk)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        p +: walk(r.child)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val root = probe.queryExecution.executedPlan
+    val smj = walk(root).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.nonEmpty,
+      s"AQE demoted the hinted merge join at runtime:\n$root")
+    val idxExchanges = walk(smj.head.right).collect { case e: Exchange => e }
+    assert(idxExchanges.isEmpty,
+      s"index side shuffles in the EXECUTED final plan:\n${smj.head.right}")
+    assert(walk(smj.head.right).exists {
+      case sc: FileSourceScanExec => sc.bucketedScan; case _ => false },
+      s"executed index side is not the bucketed scan:\n${smj.head.right}")
+  }
+
   test("purge-aware refcount probe over the bucketed (g,cnt) table: zero " +
     "index-side exchange; probe == full-serve presence; fresh purge flips") {
     val spark = graft.streaming.StreamFixture.spark

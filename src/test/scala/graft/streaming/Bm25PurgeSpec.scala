@@ -57,6 +57,20 @@ class Bm25PurgeSpec extends AnyFunSuite {
       victimRows.toDF("doc_id", "source", "text"), 2L)
     assert(served(statePath) == direct(live), "purge replay changed the serve")
 
+    // tombstone-fold compaction (before the re-publish): the folded state
+    // serves identically, is tombstone-free, and the purged doc's payload
+    // rows are PHYSICALLY gone — the RTBF end state
+    val foldedPath = Files.createTempDirectory("graft-bm25fold").toString + "/idx"
+    TextOps.bm25FoldTombstones(spark, statePath, foldedPath)
+    assert(!new java.io.File(s"$foldedPath/ts").exists(),
+      "folded state must carry no tombstones")
+    assert(served(foldedPath) == direct(live),
+      "folded state serves differently from the tombstoned state")
+    val foldedTfDocs = spark.read.parquet(s"$foldedPath/tf")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!foldedTfDocs.contains(topDoc),
+      "purged doc's tf rows survived the tombstone fold")
+
     // re-publish in a LATER epoch: the newer publish outranks the tombstone
     TextOps.bm25IndexSink(statePath)(
       victimRows.toDF("doc_id", "source", "text"), 3L)
