@@ -934,6 +934,26 @@ object TextOps {
       .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** RTBF purge for the CMS serving sketch (r15, completing deletion
+    * propagation across the serving artifacts: gram index → refcounts,
+    * BM25 → tombstones + signed deltas, CC labels → purge epoch, CMS →
+    * this). CMS is a LINEAR sketch — every cell is a sum of per-token
+    * contributions — so deletion is EXACT: build the purged documents'
+    * own sketch and subtract it cell-wise. The result is bit-identical to
+    * the sketch rebuilt from the live corpus (CmsPurgeSpec pins frame
+    * equality), and the point-estimate upper-bound guarantee survives:
+    * cells remain true count + non-negative collision noise because
+    * per-term live counts stay non-negative. KMV/HLL-class sketches are
+    * NOT linear — their purge path is a rebuild from the live corpus,
+    * which remains the documented posture for overlap_kmv/q09. Zero-count
+    * cells are dropped (absent means zero, the refcount convention). */
+  def cmsPurgeSketch(merged: DataFrame, purgedTokens: DataFrame): DataFrame =
+    merged.select(col("r"), col("b"), col("cnt"))
+      .unionByName(cmsMergedSketch(purgedTokens)
+        .select(col("r"), col("b"), (-col("cnt")).as("cnt")))
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
   /** See [[qCmsCounts]]; takes a prebuilt [[tokenTable]]. */
   def cmsCountsFrom(tokens: DataFrame): DataFrame = {
     val s = tokens.sparkSession
