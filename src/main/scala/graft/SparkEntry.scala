@@ -160,6 +160,7 @@ object SparkEntry {
     // ---- LLM-pipeline: corpus curation ----
     "repetition_signals"  -> (Curation.qRepetitionSignals _),
     "contamination"       -> (Curation.qContamination _),
+    "contamination_semantic" -> (Similarity.qContaminationSemantic _), // per-eval-item closest training doc by cosine (NEW r15)
     "pii_scrub"           -> (Curation.qPiiScrub _),
     "signal_projection"   -> (Curation.qSignalProjection _),
     "segment_dedup"       -> (Curation.qSegmentDedup _),
@@ -209,6 +210,9 @@ object SparkEntry {
     "domain_cap"          -> (Sampling.qDomainCap _),
     "weighted_sample"     -> (Sampling.qWeightedSample _), // integer systematic token-weighted sampling
     "reservoir_sample"    -> (Sampling.qReservoirSample _), // Efraimidis–Spirakis weighted reservoir per source (without replacement, NEW r11)
+    "dsir_weights"        -> (Sampling.qDsirWeights _), // DSIR hashed-ngram importance model (1024-bucket log-ratio table, NEW r15)
+    "dsir_select"         -> (Sampling.qDsirSelect _), // DSIR hard selection: top-k docs by importance score
+    "dsir_resample"       -> (Sampling.qDsirResample _), // DSIR sampled selection: Gumbel-top-k ∝ exp(score), content-keyed
     // ---- data layout (multi-dimensional clustering) ----
     "zorder_key"          -> (Layout.qZorderKey _), // Morton key over integer min-max buckets
     // ---- LLM-pipeline: end-to-end curation composition ----
@@ -238,6 +242,34 @@ object SparkEntry {
   // TextOps.normText / normWords exactly).
   private val NORM  = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val WORDS = s"string_split($NORM, ' ')"
+
+  /** DSIR model CTEs shared by the three dsir_* twins: gram stream
+    * (unigrams + bigrams of the shared tokenization), 32-bit md5 bucket
+    * mod [[Sampling.DsirBuckets]], per-bucket target/raw counts and the
+    * add-1-smoothed log ratio snapped at 6 decimals as DECIMAL(18,6). */
+  private lazy val DSIR_CTES =
+    s"""w AS (SELECT doc_id, lang, $WORDS AS l FROM documents),
+       |gr AS (SELECT doc_id, lang,
+       |         unnest(l || list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+       |       FROM w),
+       |hb AS (SELECT doc_id, lang, md5('dsir:' || g) AS h FROM gr),
+       |bk AS (SELECT doc_id, lang,
+       |         CAST(${duckHex("h", 8)} % ${Sampling.DsirBuckets} AS BIGINT) AS bucket FROM hb),
+       |bc AS (SELECT bucket,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_target,
+       |         count(*) AS n_raw
+       |       FROM bk GROUP BY 1),
+       |tot AS (SELECT sum(n_target) AS t, sum(n_raw) AS r FROM bc),
+       |wt AS (SELECT bucket, n_target, n_raw,
+       |         CAST(round(ln(CAST(n_target + 1 AS DOUBLE) / CAST(t + ${Sampling.DsirBuckets} AS DOUBLE))
+       |                  - ln(CAST(n_raw + 1 AS DOUBLE) / CAST(r + ${Sampling.DsirBuckets} AS DOUBLE)), 6)
+       |              AS DECIMAL(18,6)) AS log_ratio
+       |       FROM bc, tot)""".stripMargin
+
+  /** Per-doc DSIR score CTE (exact decimal sum over the gram stream). */
+  private lazy val DSIR_SCORE_CTE =
+    """sc AS (SELECT bk.doc_id, CAST(sum(wt.log_ratio) AS DECIMAL(18,6)) AS score
+      |       FROM bk JOIN wt USING (bucket) GROUP BY 1)""".stripMargin
 
   /** The driver's verify data directory — frozen-artifact oracle paths are
     * pinned to it and ALWAYS built via the same Scala path helper the
@@ -1614,6 +1646,41 @@ object SparkEntry {
          |  FROM k)
          |WHERE rn <= ${Sampling.ReservoirK}""".stripMargin,
 
+    // DSIR twins: the whole pipeline recomputed from base parquet —
+    // unigram+bigram gram stream (the repetition_signals bigram spelling),
+    // 32-bit md5 bucket hash mod 1024, add-1-smoothed log ratio snapped
+    // at 6 decimals (absorbs last-ulp ln differences), exact decimal
+    // per-doc sums, and the (key desc, doc_id) top-k. The Gumbel key in
+    // dsir_resample mirrors the reservoir_sample h15 convention with
+    // +0.5 so u stays strictly inside (0,1).
+    "dsir_weights" ->
+      s"""WITH $DSIR_CTES
+         |SELECT bucket, CAST(n_target AS BIGINT) AS n_target, n_raw,
+         |  CAST(log_ratio AS DOUBLE) AS log_ratio FROM wt""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH $DSIR_CTES,
+         |$DSIR_SCORE_CTE
+         |SELECT doc_id, CAST(score AS DOUBLE) AS score,
+         |  CAST(rn AS BIGINT) AS sel_rank FROM (
+         |  SELECT sc.*, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+         |WHERE rn <= ${Sampling.DsirK}""".stripMargin,
+
+    "dsir_resample" ->
+      s"""WITH $DSIR_CTES,
+         |$DSIR_SCORE_CTE,
+         |gk AS (SELECT doc_id, score,
+         |         CAST(round(-ln(-ln(
+         |             (CAST(${duckHex("md5('dsirg:' || CAST(doc_id AS VARCHAR))", 15)} AS DOUBLE) + 0.5)
+         |               / 1.152921504606846976e18)), 6) AS DECIMAL(18,6)) AS gkey
+         |       FROM sc),
+         |gs AS (SELECT doc_id, score, gkey,
+         |         CAST(score + gkey AS DECIMAL(18,6)) AS g_score FROM gk)
+         |SELECT doc_id, CAST(score AS DOUBLE) AS score, CAST(gkey AS DOUBLE) AS gkey,
+         |  CAST(g_score AS DOUBLE) AS g_score, CAST(rn AS BIGINT) AS sel_rank FROM (
+         |  SELECT gs.*, row_number() OVER (ORDER BY g_score DESC, doc_id) AS rn FROM gs)
+         |WHERE rn <= ${Sampling.DsirK}""".stripMargin,
+
     "zorder_key" ->
       s"""WITH d AS (SELECT o_orderkey, o_custkey,
          |             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day
@@ -2546,6 +2613,24 @@ object SparkEntry {
          |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6) >= ${Curation.ContamFracMin}
          |    AS contaminated
          |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin,
+
+    // contamination_semantic twin: per benchmark vector, the closest
+    // non-benchmark corpus vector by cosine — argmax as rn=1 over
+    // (cos DESC, doc_id), mirroring Spark's struct-max (cos, -doc_id).
+    "contamination_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |d AS (SELECT doc_id, source FROM documents),
+         |j AS (SELECT vec_id, v, source FROM e JOIN d ON vec_id = doc_id),
+         |b AS (SELECT vec_id AS bench_id, v AS bv FROM j
+         |      WHERE source = '${Curation.BenchmarkSource}'
+         |      ORDER BY bench_id LIMIT ${Similarity.SemanticBenchK}),
+         |c AS (SELECT vec_id AS cid, v FROM j WHERE source <> '${Curation.BenchmarkSource}'),
+         |sc AS (SELECT bench_id, cid,
+         |         round(${dot("c.v", "b.bv")} / (${l2("c.v")} * ${l2("b.bv")}), 4) AS cos
+         |       FROM c, b)
+         |SELECT bench_id, cid AS doc_id, cos FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY bench_id
+         |    ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1""".stripMargin,
 
     "pii_scrub" ->
       raw"""WITH r AS (SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -426,5 +426,165 @@ object Sampling {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "valid")
           .otherwise("test"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DSIR data selection — hashed n-gram importance resampling
+  // (Xie et al. 2023, "Data Selection for Language Models via Importance
+  // Resampling"; the published method CCNet-style pipelines use to pick
+  // raw-web documents that RESEMBLE a small high-quality target corpus).
+  // Reference scope: the curation step upstream of the reference's
+  // validation pipeline — registered as part of the LLM-pipeline surface.
+  // ---------------------------------------------------------------------
+
+  /** Hashed-feature dimensionality for the DSIR family. The model is a
+    * FIXED-B-row table regardless of corpus size: at 100 TB the
+    * vocabulary-grain alternative is a billion-row dimension that must
+    * shuffle; the hashed one stays [[DsirBuckets]] rows and broadcasts. */
+  val DsirBuckets = 1024
+  /** Selection size for dsir_select / dsir_resample. */
+  val DsirK = 100
+
+  /** The gram stream the DSIR model is fit on and scored over: unigrams
+    * + word bigrams of the shared normalized tokenization, hashed into
+    * [[DsirBuckets]] buckets (first 32 md5 bits of "dsir:" || gram, mod
+    * B). Pure per-row array work + one explode — bigrams come from
+    * zip_with over adjacent slices, so building the stream never
+    * shuffles and never needs a per-doc window. */
+  private def dsirGrams(docs: DataFrame): DataFrame = {
+    val ws = graft.operators.TextOps.normWords(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(col("doc_id"), col("lang"),
+        explode(concat(ws, bigrams)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets).as("bucket"))
+  }
+
+  /** dsir_weights — the DSIR importance model AS a table: per hashed
+    * bucket, the target-slice and raw-corpus gram counts and the add-1-
+    * smoothed log probability ratio
+    * `lr_b = ln((n_t+1)/(T+B)) − ln((n_r+1)/(R+B))`, snapped to
+    * decimal(18,6) (the bm25/surprisal convention that absorbs last-ulp
+    * `ln` differences between engines). Target slice here: lang = 'en'
+    * (the resemble-English selection of the paper); [[dsirWeights]]
+    * takes any boolean target column.
+    *
+    * Scale shape: one token-grain scan → map-side-combined groupBy over
+    * ≤B keys (the reduce sees ≤B rows per task) → a 1-row totals
+    * broadcast. Nothing data-sized shuffles; the output is B rows. */
+  def qDsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeights(documents(s, d), col("lang") === "en")
+      .select(col("bucket"), col("n_target"), col("n_raw"),
+        col("log_ratio").cast("double").as("log_ratio")) // decimal internally, double at the contract edge (render parity)
+
+  /** See [[qDsirWeights]]; `isTarget` is evaluated against the gram
+    * stream's carried doc columns (doc_id, lang). */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame =
+    dsirRatiosFrom(dsirCounts(docs, isTarget))
+
+  /** The mergeable half of the DSIR model: per-bucket (n_target, n_raw)
+    * gram counts. Integer sums — partials over corpus shards or stream
+    * micro-batches fold by bucket-wise addition into EXACTLY the direct
+    * whole-corpus counts (the CMS linearity argument). */
+  def dsirCounts(docs: DataFrame, isTarget: Column): DataFrame =
+    dsirGrams(docs)
+      .groupBy(col("bucket"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("n_target"),
+        count(lit(1)).as("n_raw"))
+
+  /** Per-bucket counts → the smoothed log-ratio model. `counts` must be
+    * bucket-unique (the serve path folds partials first); the totals are
+    * a 1-row broadcast over the ≤B-row table. Deterministic given the
+    * counts, so folded-state serving is bit-identical to direct. */
+  def dsirRatiosFrom(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n_target")).as("tt"), sum(col("n_raw")).as("rr"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_target"), col("n_raw"),
+        round(
+          log((col("n_target") + 1).cast("double") / (col("tt") + DsirBuckets).cast("double")) -
+            log((col("n_raw") + 1).cast("double") / (col("rr") + DsirBuckets).cast("double")), 6)
+          .cast("decimal(18,6)").as("log_ratio"))
+  }
+
+  /** foreachBatch sink: this micro-batch's DSIR count PARTIAL, written
+    * under its batch id (overwrite — a retried micro-batch replaces its
+    * own partial, never double-counts: the reservoirSink / bm25IndexSink
+    * idempotence contract). Per-batch state is ≤ [[DsirBuckets]] rows;
+    * history is never rescanned. */
+  def dsirSink(statePath: String, targetLang: String)(batch: DataFrame, id: Long): Unit =
+    dsirCounts(batch, col("lang") === targetLang)
+      .write.mode("overwrite").parquet(s"$statePath/dsir/batch=$id")
+
+  /** Serve the whole-stream DSIR model from a [[dsirSink]] state dir:
+    * fold the per-batch partials bucket-wise (exact integer merge), then
+    * the deterministic ratio step — served == a direct [[dsirWeights]]
+    * over everything ingested, EXACTLY (SamplingStreamSpec pins it after
+    * every chunk). The fold input is ≤ batches × B rows — bounded by
+    * state layout, not data; compaction may re-fold partials any time
+    * (integer addition is associative and idempotent under overwrite). */
+  def dsirWeightsFromState(s: SparkSession, statePath: String): DataFrame =
+    dsirRatiosFrom(
+      s.read.parquet(s"$statePath/dsir")
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_target")).as("n_target"), sum(col("n_raw")).as("n_raw")))
+
+  /** Per-doc DSIR importance score: Σ over the doc's gram stream of its
+    * bucket's log_ratio — an exact decimal sum (order-free, partition-
+    * invariant) of the 6-dec-snapped per-bucket values, so the score is
+    * bit-identical across engines. One broadcast join (the B-row weight
+    * table) + one doc-keyed partial agg: a single data-sized shuffle. */
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val wt = dsirWeights(docs, isTarget).select(col("bucket"), col("log_ratio"))
+    dsirGrams(docs)
+      .join(broadcast(wt), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("log_ratio")).cast("decimal(18,6)").as("score"))
+  }
+
+  /** Rank the top [[DsirK]] rows of a scored frame by (keyCol desc,
+    * doc_id asc). limit-first keeps the plan a TakeOrderedAndProject
+    * (per-partition partial top-k, no global sort shuffle); the rank
+    * window then runs over ≤k rows. */
+  private def topKRanked(scored: DataFrame, keyCol: String): DataFrame =
+    scored.orderBy(col(keyCol).desc, col("doc_id")).limit(DsirK)
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col(keyCol).desc, col("doc_id"))).cast("long"))
+
+  /** dsir_select — deterministic hard selection: the [[DsirK]] documents
+    * with the highest importance score (doc_id tie-break). The greedy
+    * variant of DSIR (take the head of the importance ranking); the
+    * sampled form the paper actually uses is [[qDsirResample]].
+    *
+    * Scale shape: [[dsirScores]]' one shuffle + a global top-k that
+    * plans as TakeOrderedAndProject — per-partition partial top-k, only
+    * k rows per partition ever reach the driver-side ordering. */
+  def qDsirSelect(s: SparkSession, d: String): DataFrame =
+    topKRanked(dsirScores(documents(s, d), col("lang") === "en"), "score")
+      .select(col("doc_id"), col("score").cast("double").as("score"), col("sel_rank"))
+
+  /** dsir_resample — importance RESAMPLING via the Gumbel-top-k trick:
+    * adding an independent Gumbel(0,1) to each log-weight and taking the
+    * k largest draws exactly k documents without replacement with
+    * probability ∝ exp(score), which is the paper's sampled selection.
+    * The Gumbel is CONTENT-KEYED (same resumability argument as
+    * [[qHashSplit]]): u = (h15 + 0.5) / 16^15 from md5("dsirg:" || id)
+    * (+0.5 keeps u strictly inside (0,1) so −ln(−ln u) is finite at both
+    * hash extremes), gkey = round(−ln(−ln u), 6) as decimal(18,6) — the
+    * [[esKey]] convention — and g_score = score + gkey is an exact
+    * decimal add. Same top-k plan shape as [[qDsirSelect]]. */
+  def qDsirResample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("dsirg:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(1.152921504606846976e18) // 16^15
+    val scored = dsirScores(documents(s, d), col("lang") === "en")
+      .withColumn("gkey", round(-log(-log(u)), 6).cast("decimal(18,6)"))
+      .withColumn("g_score", (col("score") + col("gkey")).cast("decimal(18,6)"))
+    topKRanked(scored, "g_score")
+      .select(col("doc_id"), col("score").cast("double").as("score"),
+        col("gkey").cast("double").as("gkey"),
+        col("g_score").cast("double").as("g_score"), col("sel_rank"))
   }
 }

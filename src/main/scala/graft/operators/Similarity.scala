@@ -1138,4 +1138,43 @@ object Similarity {
     val v = vecd(col("embedding"))
     em.select(col("vec_id"), v.as("v"), sqrt(dot(v, v)).as("nrm"))
   }
+
+  /** Benchmark-block size for [[qContaminationSemantic]] — a constant of
+    * the audit (eval sets are fixed-size artifacts, not data-scaled). */
+  val SemanticBenchK = 100
+
+  /** Semantic contamination audit (contamination_semantic): for EVERY
+    * item of a fixed-size benchmark block (the first [[SemanticBenchK]]
+    * vectors of [[Curation.BenchmarkSource]]-sourced documents — the
+    * exact-contamination convention at embedding granularity), the single
+    * closest non-benchmark corpus document by cosine and its score. The
+    * embedding-level counterpart of [[Curation.qContamination]] and the
+    * substring decontaminator: n-gram checks miss paraphrases; this is
+    * the release audit that shows HOW CLOSE the training corpus gets to
+    * each eval item. Thresholding is the consumer's policy call — the
+    * report carries the scores (the synthetic corpus peaks near cos 0.5).
+    *
+    * Scale shape: the benchmark block is LIMIT-bounded and broadcasts;
+    * the corpus streams through ONE scan with a per-partition partial
+    * argmax per bench item — the N×B pair stream is never materialized
+    * and never shuffles; the reduce sees ≤ [[SemanticBenchK]] rows per
+    * task (struct-max = lexicographic (cos, −doc_id), i.e. min-doc_id
+    * tie-break, mirroring the oracle's row_number order). The only
+    * data-sized exchange is the id-keyed source-slice equi join. */
+  def qContaminationSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = withVec(s, d)
+    val src = documents(s, d).select(col("doc_id").as("did"), col("source"))
+    val joined = e.join(src, col("vec_id") === col("did"))
+    val bench = joined.filter(col("source") === Curation.BenchmarkSource)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"), col("nrm").as("bnrm"))
+      .orderBy(col("bench_id")).limit(SemanticBenchK)
+    val corpus = joined.filter(col("source") =!= Curation.BenchmarkSource)
+      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
+    corpus.crossJoin(broadcast(bench))
+      .select(col("bench_id"), col("cid"),
+        round(dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")), 4).as("cos"))
+      .groupBy(col("bench_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nid"))).as("m"))
+      .select(col("bench_id"), (-col("m.nid")).as("doc_id"), col("m.cos").as("cos"))
+  }
 }

@@ -286,4 +286,71 @@ class SamplingSpec extends AnyFunSuite {
     assert(singletonDiffs == 0L, "singleton docs must keep their hash_split assignment")
     split.unpersist()
   }
+
+  // ---- DSIR importance resampling (r15) ----
+
+  test("dsir: importance model separates a handcrafted target vocabulary") {
+    import spark.implicits._
+    // target (en) docs speak "alpha gamma", raw-only (zz) docs speak "beta delta"
+    val docs = Seq(
+      (1L, "alpha gamma alpha gamma alpha", "en"),
+      (2L, "alpha gamma gamma alpha alpha", "en"),
+      (3L, "beta delta beta delta beta", "zz"),
+      (4L, "delta beta delta beta delta", "zz"),
+      (5L, "alpha gamma alpha beta delta", "zz")) // mixed: mostly target-ish text
+      .toDF("doc_id", "text", "lang")
+    val scores = Sampling.dsirScores(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    // docs written in the target vocabulary outscore the off-target ones,
+    // whether or not they were IN the target slice (doc 5 is the point of
+    // DSIR: raw docs that RESEMBLE the target rank high)
+    assert(scores(1) > scores(3) && scores(2) > scores(4),
+      s"target-vocab docs must outscore off-target ones: $scores")
+    assert(scores(5) > scores(3), s"resembling doc must outscore off-target: $scores")
+  }
+
+  test("dsir_weights: bounded model table, consistent counts, smoothed ratios finite") {
+    val w = Sampling.qDsirWeights(spark, d).collect()
+    assert(w.length <= Sampling.DsirBuckets, "model table must stay <= B rows")
+    w.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "target grams are a subset of raw grams")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite, "smoothing keeps ratios finite")
+    }
+    // total raw gram mass == sum over docs of (2*len - 1) unigrams+bigrams
+    val expected = graft.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.size(TextOps.normWords(col("text"))).as("n"))
+      .agg(sum(col("n") * 2 - 1)).collect()(0).getLong(0)
+    assert(w.map(_.getLong(2)).sum == expected, "raw gram mass must equal 2n-1 per doc")
+  }
+
+  test("dsir_select: deterministic contiguous top-k with non-increasing scores; plan is broadcast + TakeOrdered") {
+    val sel = Sampling.qDsirSelect(spark, d)
+    val rows = sel.collect().sortBy(_.getLong(2))
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq, "ranks contiguous from 1")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(1) > b.getDouble(1) ||
+        (a.getDouble(1) == b.getDouble(1) && a.getLong(0) < b.getLong(0)),
+        "ordering must be (score desc, doc_id asc)")
+      case _ => ()
+    }
+    val again = Sampling.qDsirSelect(spark, d).collect().sortBy(_.getLong(2))
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq, "content-keyed => rerun-identical")
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"B-row weight table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no data-sized join may appear:\n$plan")
+  }
+
+  test("dsir_resample: g_score is the exact decimal sum of score and gumbel key") {
+    val rows = Sampling.qDsirResample(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, gkey, gscore) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // both addends are 6-dec-snapped decimals, so the add is exact
+      assert((BigDecimal(score) + BigDecimal(gkey) - BigDecimal(gscore)).abs == BigDecimal(0),
+        s"g_score must equal score + gkey exactly: $score + $gkey != $gscore")
+      assert(!gkey.isInfinite, "u in (0,1) strictly => finite gumbel at both hash extremes")
+    }
+  }
 }

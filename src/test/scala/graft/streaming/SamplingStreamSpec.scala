@@ -86,4 +86,64 @@ class SamplingStreamSpec extends AnyFunSuite {
       assert(reServed == direct, "retried micro-batch must be idempotent")
     } finally query.stop()
   }
+
+  /** Streaming DSIR model maintenance (r15): the importance model's
+    * mergeable half is an integer per-bucket count table, so per-batch
+    * partials folded bucket-wise serve a model IDENTICAL to a direct
+    * whole-prefix [[Sampling.dsirWeights]] pass — exactly, because the
+    * ratio step is deterministic given the folded counts. */
+  test("streamed DSIR count partials serve exactly the direct model after " +
+    "each chunk; a retried batch is idempotent; per-batch state is bounded") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3).toPlainString))
+        .sortBy(_._1).toSeq
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val chunks = (0 until 3).map(i =>
+      docs.filter($"doc_id" % 3 === i).as[(Long, String, String)].collect().toSeq)
+
+    val statePath = Files.createTempDirectory("graft-dsir").toString + "/state"
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "text", "lang")
+      .writeStream
+      .outputMode("update")
+      .queryName("dsir_" + UUID.randomUUID().toString.replace("-", ""))
+      .option("checkpointLocation", Files.createTempDirectory("graft-dsir-ckpt").toString)
+      .foreachBatch(Sampling.dsirSink(statePath, "en") _)
+      .start()
+    try {
+      var arrived = Seq.empty[(Long, String, String)]
+      chunks.foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+        arrived ++= chunk
+        val served = rows(Sampling.dsirWeightsFromState(spark, statePath))
+        val direct = rows(Sampling.dsirWeights(
+          arrived.toDF("doc_id", "text", "lang"), col("lang") === "en"))
+        assert(served == direct, s"after ${arrived.size} docs")
+        assert(served.nonEmpty)
+      }
+      // per-batch partials are model-sized, never data-sized
+      val perBatch = spark.read.parquet(s"$statePath/dsir")
+        .groupBy("batch").count().collect().map(_.getLong(1))
+      assert(perBatch.nonEmpty)
+      perBatch.foreach(n =>
+        assert(n <= Sampling.DsirBuckets, s"partial has $n rows > B = ${Sampling.DsirBuckets}"))
+      // a retried micro-batch must overwrite its own partial, not add to it
+      val lastBatch = spark.read.parquet(s"$statePath/dsir")
+        .selectExpr("max(batch)").collect()(0).getInt(0)
+      Sampling.dsirSink(statePath, "en")(
+        chunks.last.toDF("doc_id", "text", "lang"), lastBatch.toLong)
+      val reServed = rows(Sampling.dsirWeightsFromState(spark, statePath))
+      val direct = rows(Sampling.dsirWeights(
+        arrived.toDF("doc_id", "text", "lang"), col("lang") === "en"))
+      assert(reServed == direct, "retried micro-batch must be idempotent")
+    } finally query.stop()
+  }
 }
