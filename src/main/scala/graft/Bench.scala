@@ -371,7 +371,28 @@ object Bench {
               .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 2))
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
+      // DSIR pipeline (r15): the importance model is fit ONCE per corpus
+      // (billed as dsir_weights) and both selection consumers read it
+      // cached — each still pays its own gram-stream scoring pass, which
+      // is the real per-serve cost at 100 TB (the model is 1024 rows).
+      val dsirDocs = Tables.documents(spark, sfDir)
+      var dsirWt: org.apache.spark.sql.DataFrame = null
+      val dsirPipeline = Seq(
+        "dsir_weights" -> time {
+          dsirWt = operators.Sampling.dsirWeights(dsirDocs,
+            org.apache.spark.sql.functions.col("lang") === "en").persist()
+          dsirWt.queryExecution.toRdd.count() },
+        "dsir_select" -> time {
+          upstream(dsirWt, "dsir_weights")
+          operators.Sampling.dsirSelectFrom(dsirDocs, dsirWt)
+            .queryExecution.toRdd.count() },
+        "dsir_resample" -> time {
+          upstream(dsirWt, "dsir_weights")
+          operators.Sampling.dsirResampleFrom(dsirDocs, dsirWt)
+            .queryExecution.toRdd.count() })
+      spark.catalog.clearCache()
       val shared = Set("corpus_curate", "curation_funnel", "curation_report",
+        "dsir_weights", "dsir_select", "dsir_resample",
         "gram_index_compact", "substring_dedup_serve",
         "curation_state_build", "curate_incremental", "curation_state_report",
         "classifier_train", "classifier_train_score",
@@ -396,7 +417,7 @@ object Bench {
         }
       shinglePipeline ++ overlapPipeline ++ tokenPipeline ++ simhashPipeline ++
         curationPipeline ++ classifierPipeline ++ annPipeline ++
-        substringPipeline ++ rest
+        substringPipeline ++ dsirPipeline ++ rest
     }
 
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -536,13 +536,18 @@ object Sampling {
     * invariant) of the 6-dec-snapped per-bucket values, so the score is
     * bit-identical across engines. One broadcast join (the B-row weight
     * table) + one doc-keyed partial agg: a single data-sized shuffle. */
-  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
-    val wt = dsirWeights(docs, isTarget).select(col("bucket"), col("log_ratio"))
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame =
+    dsirScoresFrom(docs, dsirWeights(docs, isTarget))
+
+  /** See [[dsirScores]]; takes a prebuilt weight table (the bench threads
+    * its cached one — the model is fit once per corpus and every scoring
+    * consumer reads it, the token_table/shingle_table billing shape; a
+    * production serve reads it from [[dsirWeightsFromState]]). */
+  def dsirScoresFrom(docs: DataFrame, wt: DataFrame): DataFrame =
     dsirGrams(docs)
-      .join(broadcast(wt), "bucket")
+      .join(broadcast(wt.select(col("bucket"), col("log_ratio"))), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("log_ratio")).cast("decimal(18,6)").as("score"))
-  }
 
   /** Rank the top [[DsirK]] rows of a scored frame by (keyCol desc,
     * doc_id asc). limit-first keeps the plan a TakeOrderedAndProject
@@ -562,7 +567,12 @@ object Sampling {
     * plans as TakeOrderedAndProject — per-partition partial top-k, only
     * k rows per partition ever reach the driver-side ordering. */
   def qDsirSelect(s: SparkSession, d: String): DataFrame =
-    topKRanked(dsirScores(documents(s, d), col("lang") === "en"), "score")
+    dsirSelectFrom(documents(s, d),
+      dsirWeights(documents(s, d), col("lang") === "en"))
+
+  /** See [[qDsirSelect]]; takes a prebuilt weight table. */
+  def dsirSelectFrom(docs: DataFrame, wt: DataFrame): DataFrame =
+    topKRanked(dsirScoresFrom(docs, wt), "score")
       .select(col("doc_id"), col("score").cast("double").as("score"), col("sel_rank"))
 
   /** dsir_resample — importance RESAMPLING via the Gumbel-top-k trick:
@@ -575,11 +585,16 @@ object Sampling {
     * hash extremes), gkey = round(−ln(−ln u), 6) as decimal(18,6) — the
     * [[esKey]] convention — and g_score = score + gkey is an exact
     * decimal add. Same top-k plan shape as [[qDsirSelect]]. */
-  def qDsirResample(s: SparkSession, d: String): DataFrame = {
+  def qDsirResample(s: SparkSession, d: String): DataFrame =
+    dsirResampleFrom(documents(s, d),
+      dsirWeights(documents(s, d), col("lang") === "en"))
+
+  /** See [[qDsirResample]]; takes a prebuilt weight table. */
+  def dsirResampleFrom(docs: DataFrame, wt: DataFrame): DataFrame = {
     val h = conv(substring(md5(concat(lit("dsirg:"), col("doc_id").cast("string"))), 1, 15),
       16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(1.152921504606846976e18) // 16^15
-    val scored = dsirScores(documents(s, d), col("lang") === "en")
+    val scored = dsirScoresFrom(docs, wt)
       .withColumn("gkey", round(-log(-log(u)), 6).cast("decimal(18,6)"))
       .withColumn("g_score", (col("score") + col("gkey")).cast("decimal(18,6)"))
     topKRanked(scored, "g_score")
