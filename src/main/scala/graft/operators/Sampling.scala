@@ -529,7 +529,28 @@ object Sampling {
     dsirRatiosFrom(
       s.read.parquet(s"$statePath/dsir")
         .groupBy(col("bucket"))
-        .agg(sum(col("n_target")).as("n_target"), sum(col("n_raw")).as("n_raw")))
+        .agg(sum(col("n_target")).as("n_target"), sum(col("n_raw")).as("n_raw"))
+        // presence = positive folded mass: a purge epoch may zero a bucket
+        // out entirely (its only carriers opted out) — the served model
+        // must then drop the row exactly as a live-corpus rebuild would
+        .filter(col("n_raw") > 0))
+
+  /** RTBF purge for the streamed DSIR model ([[dsirSink]] state): the
+    * model is LINEAR in documents — a bucket count is a sum of per-doc
+    * gram counts (the CMS-purge argument, [[TextOps.cmsPurgeSketch]]) —
+    * so deletion is EXACT: write the purged docs' own count partial
+    * NEGATED under its purge epoch id (overwrite = replay-idempotent).
+    * The serve fold sums signed partials; with presence = n_raw > 0 the
+    * served model equals a full rebuild over the live corpus
+    * BIT-IDENTICALLY (integer merge + deterministic ratio step), and a
+    * re-publish simply adds the counts back (+1 −1 +1 = +1 by linearity
+    * — no epoch-ordering logic needed, unlike the non-linear BM25
+    * tombstones). No state rebuild: an opt-out costs one victim-sized
+    * epoch, completing deletion propagation for this serving artifact. */
+  def dsirPurgeSink(statePath: String, targetLang: String)(purged: DataFrame, id: Long): Unit =
+    dsirCounts(purged, col("lang") === targetLang)
+      .select(col("bucket"), (-col("n_target")).as("n_target"), (-col("n_raw")).as("n_raw"))
+      .write.mode("overwrite").parquet(s"$statePath/dsir/batch=$id")
 
   /** Per-doc DSIR importance score: Σ over the doc's gram stream of its
     * bucket's log_ratio — an exact decimal sum (order-free, partition-

@@ -146,4 +146,57 @@ class SamplingStreamSpec extends AnyFunSuite {
       assert(reServed == direct, "retried micro-batch must be idempotent")
     } finally query.stop()
   }
+
+  /** RTBF purge for the DSIR model state (r15 deletion-propagation
+    * story): the model is linear in documents, so a negated count
+    * partial is an EXACT deletion — served == a full rebuild over the
+    * live corpus after the purge epoch, a replayed purge must not
+    * double-decrement, and a re-publish restores the original model by
+    * plain linearity. */
+  test("DSIR purge epoch: served == rebuild over live docs; replay " +
+    "idempotent; re-publish restores; zeroed buckets leave the model") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3).toPlainString))
+        .sortBy(_._1).toSeq
+
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+    // plant a doc with a UNIQUE vocabulary: its buckets exist ONLY through
+    // it, so the purge must zero them out of the served model entirely
+    val planted = (900000L, "qqxyzzy qqxyzzy wwvutts", "en")
+    val docs = real :+ planted
+    val (c0, c1) = docs.splitAt(docs.size / 2)
+
+    def direct(live: Seq[(Long, String, String)]) =
+      rows(Sampling.dsirWeights(live.toDF("doc_id", "text", "lang"), col("lang") === "en"))
+
+    val statePath = Files.createTempDirectory("graft-dsirpurge").toString + "/state"
+    Sampling.dsirSink(statePath, "en")(c0.toDF("doc_id", "text", "lang"), 0L)
+    Sampling.dsirSink(statePath, "en")(c1.toDF("doc_id", "text", "lang"), 1L)
+    assert(rows(Sampling.dsirWeightsFromState(spark, statePath)) == direct(docs),
+      "happy-path serve broken")
+
+    val victims = Seq(planted)
+    val live = docs.filterNot(_._1 == planted._1)
+    Sampling.dsirPurgeSink(statePath, "en")(victims.toDF("doc_id", "text", "lang"), 2L)
+    val afterPurge = rows(Sampling.dsirWeightsFromState(spark, statePath))
+    assert(afterPurge == direct(live), "post-purge serve != rebuild over live docs")
+    assert(afterPurge.size < direct(docs).size,
+      "the planted doc's unique buckets must vanish from the served model")
+
+    // replayed purge epoch (a retry) must overwrite, not double-decrement
+    Sampling.dsirPurgeSink(statePath, "en")(victims.toDF("doc_id", "text", "lang"), 2L)
+    assert(rows(Sampling.dsirWeightsFromState(spark, statePath)) == direct(live),
+      "purge replay changed the serve")
+
+    // re-publish in a later epoch: linearity restores the original model
+    Sampling.dsirSink(statePath, "en")(victims.toDF("doc_id", "text", "lang"), 3L)
+    assert(rows(Sampling.dsirWeightsFromState(spark, statePath)) == direct(docs),
+      "re-published doc does not count again")
+  }
 }
