@@ -22,19 +22,50 @@ import org.apache.spark.sql.SparkSession
   * entry, and both downstream queries read the cached table, so the
   * tokenize shuffle is paid (and counted) exactly once per pass.
   *
-  * sf1 addendum (r12; min-of-2 since r13): when target/testdata/sf1
-  * exists (or SPARK_GRAFT_SF1_DIR points elsewhere; SPARK_GRAFT_SF1=0
-  * disables, SPARK_GRAFT_SF1_RUNS overrides the pass count), extra
-  * passes run the whole catalogue at the 10x tier and land as a compact
-  * "sf1" object on the summary line plus a full "sf1_queries" map in
-  * bench.json — the whole-catalogue scaling measurement VERDICT r11
-  * task 6 asked for, hardened per VERDICT r12 task 1 (the min-of-1
-  * column carried 41x co-tenant artifacts one loaded tail could cause). */
+  * sf1 addendum (r12): when target/testdata/sf1 exists (or
+  * SPARK_GRAFT_SF1_DIR points elsewhere; SPARK_GRAFT_SF1=0 disables,
+  * SPARK_GRAFT_SF1_RUNS overrides the pass count), extra passes run the
+  * whole catalogue at the 10x tier and land as a compact "sf1" object on
+  * the summary line plus a full "sf1_queries" map in bench.json — the
+  * whole-catalogue scaling measurement VERDICT r11 task 6 asked for.
+  * Min-of-2 r13..r15; ONE full pass since r16 (the second all-inclusive
+  * sf1 pass busted the r15 harness deadline) with entries new this round
+  * still getting min-of-2 via a partial second pass ([[newSf1Entries]]).
+  *
+  * Deadline awareness (r16, VERDICT r15 task 1): the whole run fits
+  * SPARK_GRAFT_BENCH_DEADLINE_S (default 2700 s). sf0.1 pass 1 always
+  * runs; later passes are skipped when their projected cost (1.15x the
+  * slowest completed pass, plus a reservation for one sf1 pass) would
+  * bust the deadline; the summary line is printed and bench.json
+  * rewritten after EVERY completed pass; a shutdown hook (stdout + file
+  * only, no Spark calls) flushes the latest totals on SIGTERM. The
+  * summary carries passes_run so BENCH_DIFF can normalize a shortened
+  * round; "runs" keeps its requested-count semantics. BenchContractSpec
+  * pins all of this against the sf0.001 fixture on every sbt test. */
 object Bench {
+  /** Entries first registered THIS round: they get min-of-2 at the sf1
+    * tier via a partial second pass (no prior-round ratio exists to
+    * adjudicate a one-pass artifact against); everything else runs
+    * min-of-1 at sf1 since r16 — the second all-inclusive sf1 pass is
+    * what busted the r15 harness deadline. Update per round. */
+  val newSf1Entries: Set[String] = Set("overlap_purge")
+
+  /** Config lookup: system property first (BenchContractSpec drives the
+    * main in-JVM and cannot set environment variables), then the
+    * environment, then the default. */
+  private def cfg(name: String, default: String): String =
+    sys.props.get(name).orElse(sys.env.get(name)).getOrElse(default)
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
+    val sfDir = cfg("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = cfg("SPARK_GRAFT_CPUS", "32")
+    val runs = cfg("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Wall-clock budget (VERDICT r15 task 1): r14's driver invocation
+    // passed at 53:44, r15's timed out — default to a safe ~45 min and
+    // let the scheduler below drop repeat passes first, sf1 passes last.
+    val deadlineS = cfg("SPARK_GRAFT_BENCH_DEADLINE_S", "2700").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,6 +100,16 @@ object Bench {
       if (v == null) throw new IllegalStateException(
         s"upstream entry '$name' failed — dependent entry skipped")
 
+    // Shared-table builds happen OUTSIDE timed blocks (the pipeline-
+    // sharing design); a failed build (e.g. a nonexistent SF dir, the
+    // BenchContractSpec degenerate case) must surface as per-entry -1s,
+    // never abort the whole pass — the "all failed, total 0.0" contract.
+    def safe[T >: Null](body: => T): T =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared build FAILED: ${e.getMessage}"); null
+      }
+
     // Fixed-work calibration probe, timed at the head of every pass: a
     // constant CPU+shuffle kernel (20M-row modular groupBy, no data
     // dependence on sfDir) whose runtime moves only with box load. The
@@ -89,13 +130,15 @@ object Bench {
       // entry), ngram_jaccard, minhash_lsh, THEN drop all caches. No
       // clearCache in between — that would silently re-bill the tokenize
       // shuffle to whichever consumer ran second.
-      val shingles =
-        operators.Dedup.shingleTable(Tables.documents(spark, sfDir)).persist()
+      val shingles = safe {
+        operators.Dedup.shingleTable(Tables.documents(spark, sfDir)).persist() }
       // The candidate PAIRS are materialized once too (timed as the
       // ngram_jaccard entry) and shared by the clusterer and the edit-
       // distance verifier — a dedup cascade computes its pair list once
       // (VERDICT r03 §wrong-2: q38 used to re-bill the whole self-join).
-      val pairs = operators.Dedup.ngramJaccardFrom(shingles).persist()
+      val pairs = safe {
+        upstream(shingles, "shingle_table")
+        operators.Dedup.ngramJaccardFrom(shingles).persist() }
       var labels: org.apache.spark.sql.DataFrame = null
       var ccPrior: org.apache.spark.sql.DataFrame = null
       val shinglePipeline = Seq(
@@ -184,10 +227,12 @@ object Bench {
       // overlap consumes the SAME shared doc-grain shingle table via a
       // thin (doc_id, source) join; the source-grain distinct is billed
       // to overlap_exact (first consumer), the KMV entry reads it cached
-      val srcShingles = operators.Overlap.sourceShinglesFrom(shingles,
-        Tables.documents(spark, sfDir)
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("source"))).persist()
+      val srcShingles = safe {
+        upstream(shingles, "shingle_table")
+        operators.Overlap.sourceShinglesFrom(shingles,
+          Tables.documents(spark, sfDir)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("source"))).persist() }
       val overlapPipeline = Seq(
         "overlap_exact" -> time {
           operators.Overlap.overlapExact(srcShingles).queryExecution.toRdd.count() },
@@ -198,7 +243,7 @@ object Bench {
       // fingerprint artifacts — its billed cost is the matrix itself
       // (winnow pair join + nine bounded aggs), not three rebuilt
       // cascades (r10; the standalone registration still builds its own).
-      val sigsMd5 = operators.Dedup.qSimHashMd5(spark, sfDir).persist()
+      val sigsMd5 = safe { operators.Dedup.qSimHashMd5(spark, sfDir).persist() }
       var simPairs: org.apache.spark.sql.DataFrame = null
       var winnowFps: org.apache.spark.sql.DataFrame = null
       val simhashPipeline = Seq(
@@ -221,7 +266,8 @@ object Bench {
       // token-grain consumer — the layout a real pipeline materializes
       // per corpus (VERDICT r8 task 5). The incremental twin filters the
       // cached table by doc_id residue, so it pays no second tokenize.
-      val tokens = operators.TextOps.tokenTable(Tables.documents(spark, sfDir)).persist()
+      val tokens = safe {
+        operators.TextOps.tokenTable(Tables.documents(spark, sfDir)).persist() }
       val bq = operators.TextOps.Bm25Query
       var cmsMerged: org.apache.spark.sql.DataFrame = null
       val tokenPipeline = Seq(
@@ -269,14 +315,14 @@ object Bench {
       // Curation pipeline: the per-doc verdict frame is the materialized
       // artifact (billed as corpus_curate); the funnel reads it cached —
       // the report is an agg over the run's own output, as in production
-      val ccVerdict = operators.Pipeline.qCorpusCurate(spark, sfDir).persist()
+      val ccVerdict = safe { operators.Pipeline.qCorpusCurate(spark, sfDir).persist() }
       // The frozen-state artifact is built ONCE per ingest cycle in
       // production (r9 VERDICT task 1) — billed as its own entry; the
       // serving query then pays only fresh-batch work, which is the number
       // that matters at 100 TB (state >> fresh).
       val csPath = java.nio.file.Files
         .createTempDirectory("graft-bench-cstate").toString
-      val docsForCs = Tables.documents(spark, sfDir)
+      val docsForCs = safe { Tables.documents(spark, sfDir) }
       val curationPipeline = Seq(
         "corpus_curate" -> time { ccVerdict.queryExecution.toRdd.count() },
         "curation_funnel" -> time {
@@ -309,7 +355,7 @@ object Bench {
       // join + one integer agg (VERDICT r12 task 2: the combined entry
       // used to re-train and double-bill ~8 s; the standalone registration
       // still trains inside the entry so the driver hash is unaffected).
-      val clsDocs = Tables.documents(spark, sfDir)
+      val clsDocs = safe { Tables.documents(spark, sfDir) }
       var clsModel: org.apache.spark.sql.DataFrame = null
       val classifierPipeline = Seq(
         "classifier_train" -> time {
@@ -375,7 +421,7 @@ object Bench {
       // (billed as dsir_weights) and both selection consumers read it
       // cached — each still pays its own gram-stream scoring pass, which
       // is the real per-serve cost at 100 TB (the model is 1024 rows).
-      val dsirDocs = Tables.documents(spark, sfDir)
+      val dsirDocs = safe { Tables.documents(spark, sfDir) }
       var dsirWt: org.apache.spark.sql.DataFrame = null
       val dsirPipeline = Seq(
         "dsir_weights" -> time {
@@ -408,7 +454,11 @@ object Bench {
         "vocab_build", "vocab_coverage", "oov_rate", "corpus_divergence", "heavy_hitters",
         "heavy_hitters_exact", "cms_counts", "cms_lookup",
         "overlap_exact", "overlap_kmv")
-      val rest = SparkEntry.queries.toSeq
+      // benchOnly carries the raw codec boundaries (media_features /
+      // media_frames, r16): off the oracle surface — DuckDB cannot decode
+      // PNG/WAV — but still timed every pass so codec throughput stays a
+      // regression-tracked number with round-over-round continuity.
+      val rest = (SparkEntry.queries.toSeq ++ SparkEntry.benchOnly.toSeq)
         .filterNot { case (name, _) => shared(name) }
         .map { case (name, fn) =>
           val sec = time { fn(spark, sfDir).queryExecution.toRdd.count() }
@@ -420,110 +470,223 @@ object Bench {
         substringPipeline ++ dsirPipeline ++ rest
     }
 
+    // ---- deadline-aware pass scheduler (VERDICT r15 task 1) ----
+    // r15's driver invocation timed out (rc 124, parsed:null) because the
+    // catalogue outgrew the harness budget: 199 entries x (3 sf0.1 + 2
+    // all-inclusive sf1 passes) was 53:44 at r14 and blew past it at r15
+    // on a slow window. The scheduler below (a) always runs sf0.1 pass 1,
+    // (b) skips any LATER pass whose projected cost would bust
+    // SPARK_GRAFT_BENCH_DEADLINE_S, reserving room for at least one sf1
+    // pass, (c) emits the summary line + rewrites the bench.json artifact
+    // after EVERY completed pass, and (d) flushes via a shutdown hook
+    // (pure file/stdout work, no Spark calls) so even a SIGTERM mid-pass
+    // leaves a parseable artifact of the passes that did complete.
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passes = (1 to runs).map { i =>
-      System.err.println(s"[bench] pass $i/$runs")
-      val c = calibrate()
-      calibrations += c
-      System.err.println(f"[bench] calibration $c%.3f s")
-      runPass(sfDir)
-    }
-    val names = passes.head.map(_._1)
-    // per-query min across passes; a query that failed EVERY pass stays -1
-    val results = names.map { n =>
-      val xs = passes.map(_.toMap.apply(n)).filter(_ >= 0)
-      n -> (if (xs.isEmpty) -1.0 else xs.min)
-    }
+    val sf01Passes = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val sf01Durs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sf1Full = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val sf1Durs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sf1Cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sf1SecondPass = Seq.empty[(String, Double)]
+
     // locale-independent rendering: the f interpolator formats with the
     // default locale, which under a comma-decimal locale would corrupt
     // the machine-read JSON ("0,512" → two array elements)
     def r3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
 
-    // sf1 addendum (r11 VERDICT task 6): additional passes over the whole
-    // catalogue at the 10x tier, auto-detected at target/testdata/sf1
-    // (generated via `runMain graft.tools.ScaleProbe <sf0.1>
-    // target/testdata/sf1 10 --generate-only`; not in git — the pass is
-    // skipped cleanly when the tier is absent). Stdout stays
-    // line-budgeted: only a compact sub-object lands on the summary line;
-    // the full per-query sf1 map goes into bench.json, which is the
-    // committed per-round artifact. MIN-OF-2 since r13 (VERDICT r12 task
-    // 1: the r12 min-of-1 column carried 41x co-tenant artifacts the
-    // paired SCALEPROBE run never saw — one loaded tail could poison the
-    // whole committed column; with two passes and per-pass calibration a
-    // loaded window is both detectable and largely excluded). The sf0.1
-    // min-of-3 remains the regression gate; the sf1 column measures
-    // SCALING (ratio vs sf0.1). SPARK_GRAFT_SF1_RUNS overrides.
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/testdata/sf1")
-    val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "2").toInt
-    val sf1Pass: Option[(Seq[(String, Double)], Seq[Double])] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
-          new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
-        val sf1Passes = (1 to sf1Runs).map { i =>
-          System.err.println(s"[bench] sf1 addendum pass $i/$sf1Runs at $sf1Dir")
-          val c = calibrate()
-          System.err.println(f"[bench] sf1 calibration $c%.3f s")
-          (runPass(sf1Dir), c)
-        }
-        val ns = sf1Passes.head._1.map(_._1)
-        val mins = ns.map { n =>
-          val xs = sf1Passes.map(_._1.toMap.apply(n)).filter(_ >= 0)
+    // per-query min across completed passes (plus any partial-pass extras
+    // for the same name); a query that failed every pass stays -1
+    def minOver(passes: Seq[Seq[(String, Double)]],
+        extra: Seq[(String, Double)] = Nil): Seq[(String, Double)] =
+      if (passes.isEmpty) Seq.empty
+      else {
+        val extraByName = extra.groupBy(_._1)
+        passes.head.map(_._1).map { n =>
+          val xs = (passes.flatMap(_.toMap.get(n)) ++
+            extraByName.getOrElse(n, Nil).map(_._2)).filter(_ >= 0)
           n -> (if (xs.isEmpty) -1.0 else xs.min)
         }
-        Some((mins, sf1Passes.map(_._2)))
-      } else None
-    // One short line per query, then the summary line LAST (VERDICT r8
-    // task 3): the single all-queries line outgrew the driver's tail
-    // capture and r8's artifact came back parsed:null with half the
-    // per-query numbers lost. Short lines keep every entry inside any
-    // line- or byte-bounded tail; the summary stays compact (no repeated
-    // per-query map) so it can never outgrow the capture again.
-    results.foreach { case (k, v) => println(s"""{"query":"$k","sec":${r3(v)}}""") }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val cal = calibrations.map(r3).mkString("[", ",", "]")
+      }
+
+    // sf1 tier config (r11 VERDICT task 6): whole-catalogue passes at the
+    // 10x tier, auto-detected at target/testdata/sf1 (generated via
+    // `runMain graft.tools.ScaleProbe <sf0.1> target/testdata/sf1 10
+    // --generate-only`; not in git — skipped cleanly when absent).
+    // DEFAULT 1 FULL PASS since r16 (VERDICT r15 task 1d): the second
+    // all-inclusive sf1 pass — ~402 s of declared quadratics included —
+    // is what blew the r15 harness budget, and for entries with a stable
+    // prior-round ratio min-of-1 plus the per-pass calibration column is
+    // enough to adjudicate a window. Entries NEW this round (listed in
+    // [[newSf1Entries]]) still get min-of-2 via a cheap partial second
+    // pass over just those names.
+    val sf1Dir = cfg("SPARK_GRAFT_SF1_DIR", "target/testdata/sf1")
+    val sf1Runs = cfg("SPARK_GRAFT_SF1_RUNS", "1").toInt
+    val sf1Enabled = cfg("SPARK_GRAFT_SF1", "1") != "0" &&
+      new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
+    // one full-catalogue sf1 pass costs 5.5-6.5x one sf0.1 pass
+    // wall-clock (BENCH_r14.json: 3x ~200 s sf0.1 + 2 sf1 in 53:44);
+    // reserve at the high end so sf0.1 repeats never starve the tier
+    // that measures scaling.
+    val Sf1EstFactor = 6.5
+
     // sf1 headline split (r14, VERDICT r13 task 3): the three DECLARED
-    // exact all-pairs baselines are ~40% of the sf1 total and swing with
-    // co-tenant load faster than two passes can cancel (3.7x between
-    // same-round min-of-2 runs on prefix_jaccard at sf1) — so the
-    // HEADLINE sf1 total tracks only the scale-path entries it is meant
-    // to gate, and the quadratic baselines land in their own
-    // quadratic_total field (still per-entry in sf1_queries for the
-    // diff tool). Each has a registered sublinear scale twin
-    // (ngram_jaccard via the capped prefix filter, triplet_mine_scale,
-    // embedding_dedup_blocked/_2level).
+    // exact all-pairs baselines land in their own quadratic_total field;
+    // the HEADLINE sf1 total tracks only the scale-path entries. Each
+    // quadratic has a registered sublinear scale twin.
     val sf1Quadratics = Set("prefix_jaccard", "triplet_mine", "embedding_dedup")
-    val sf1Summary = sf1Pass.map { case (rs, cs) =>
-      val sf1Failed = rs.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+
+    // ---- emission: summary after EVERY completed pass + crash-safe flush
+    val out = cfg("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    @volatile var latestSummary: Option[String] = None
+    @volatile var latestArtifact: Option[String] = None
+    val flushed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def render(finalEmit: Boolean): Unit = {
+      val results = minOver(sf01Passes.toSeq)
+      val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      val sf1Total = rs.collect {
-        case (k, v) if v >= 0 && !sf1Quadratics(k) => v }.sum
-      val quadTotal = rs.collect {
-        case (k, v) if v >= 0 && sf1Quadratics(k) => v }.sum
-      val quadNames = rs.collect { case (k, _) if sf1Quadratics(k) => "\"" + k + "\"" }
-        .mkString("[", ",", "]")
-      val sf1Cal = cs.map(r3).mkString("[", ",", "]")
-      // "total" keeps its PRE-r14 all-inclusive semantics (ADVICE r14:
-      // redefining a field in place makes cross-round tooling compare
-      // incomparables); the r14 scale-path headline lives under its own
-      // name, scale_path_total = total - quadratic_total.
-      s""""sf1":{"total":${r3(sf1Total + quadTotal)},"scale_path_total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${cs.size},"calibration_s":$sf1Cal,"dir":"$sf1Dir"}"""
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val cal = calibrations.map(r3).mkString("[", ",", "]")
+      val sf1Summary =
+        if (sf1Full.isEmpty) None
+        else {
+          val rs = minOver(sf1Full.toSeq, sf1SecondPass)
+          val sf1Failed = rs.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+            .mkString("[", ",", "]")
+          val sf1Total = rs.collect {
+            case (k, v) if v >= 0 && !sf1Quadratics(k) => v }.sum
+          val quadTotal = rs.collect {
+            case (k, v) if v >= 0 && sf1Quadratics(k) => v }.sum
+          val quadNames = rs.collect { case (k, _) if sf1Quadratics(k) => "\"" + k + "\"" }
+            .mkString("[", ",", "]")
+          val sf1Cal = sf1Cals.map(r3).mkString("[", ",", "]")
+          val second = sf1SecondPass.map(p => "\"" + p._1 + "\"")
+            .mkString("[", ",", "]")
+          // "total" keeps its pre-r14 all-inclusive semantics (ADVICE
+          // r14: never redefine a field in place); the scale-path
+          // headline lives under its own name.
+          Some(s""""sf1":{"total":${r3(sf1Total + quadTotal)},"scale_path_total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${sf1Cals.size},"second_pass":$second,"calibration_s":$sf1Cal,"dir":"$sf1Dir"}""")
+        }
+      // "runs" keeps its pre-r16 requested-count semantics; the new
+      // passes_run field carries how many sf0.1 passes actually ran so
+      // BENCH_DIFF can normalize a deadline-shortened round (VERDICT r15
+      // task 1a).
+      val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"passes_run":${sf01Passes.size},"deadline_s":${r3(deadlineS)},"calibration_s":$cal,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
+      // One short line per query, then the summary line LAST (VERDICT r8
+      // task 3: a single all-queries line outgrew the driver's tail
+      // capture). Per-query lines print only on the final emission;
+      // interim emissions print just the summary so the stdout stays
+      // line-budgeted while still leaving a parseable line after every
+      // completed pass (VERDICT r15 task 1b).
+      if (finalEmit)
+        results.foreach { case (k, v) => println(s"""{"query":"$k","sec":${r3(v)}}""") }
+      println(summary)
+      System.out.flush()
+      // Machine-readable artifact (r9 VERDICT task 3): bench.json carries
+      // EVERY query's min-of-N plus the calibration column — rewritten
+      // after every pass, so a hard kill loses at most the pass in
+      // flight. Commit a copy per round.
+      val perQuery = results
+        .map { case (k, v) => s"""    "$k": ${r3(v)}""" }.mkString(",\n")
+      val sf1Queries =
+        if (sf1Full.isEmpty) ""
+        else {
+          val m = minOver(sf1Full.toSeq, sf1SecondPass)
+            .map { case (k, v) => s"""    "$k": ${r3(v)}""" }.mkString(",\n")
+          s""",\n  "sf1_queries": {\n$m\n  }"""
+        }
+      val artifact =
+        s"""{\n  "summary": $summary,\n  "queries": {\n$perQuery\n  }$sf1Queries\n}\n"""
+      latestSummary = Some(summary)
+      latestArtifact = Some(artifact)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), artifact)
     }
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"calibration_s":$cal,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
-    println(summary)
-    // Machine-readable artifact (r9 VERDICT task 3): the stdout tail the
-    // driver captures is line-bounded, so per-query round-over-round diffs
-    // used to depend on what survived it. bench.json carries EVERY query's
-    // min-of-N plus the calibration column; commit a copy per round.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    val perQuery = results
-      .map { case (k, v) => s"""    "$k": ${r3(v)}""" }.mkString(",\n")
-    val sf1Queries = sf1Pass.fold("") { case (rs, _) =>
-      val m = rs.map { case (k, v) => s"""    "$k": ${r3(v)}""" }.mkString(",\n")
-      s""",\n  "sf1_queries": {\n$m\n  }"""
+
+    // Shutdown-hook flush (VERDICT r15 task 1c): pure stdout + file work —
+    // deliberately NO Spark calls, so it cannot race the context's own
+    // shutdown (the r15 tail was full of "stopped SparkContext" noise
+    // from exactly that race in the still-running suite).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (flushed.compareAndSet(false, true)) {
+        latestSummary.foreach { s => System.out.println(s); System.out.flush() }
+        try latestArtifact.foreach(a =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out), a))
+        catch { case _: Throwable => () }
+      }
+    }, "graft-bench-flush"))
+
+    // ---- scheduler ----
+    // sf0.1 passes: pass 1 unconditionally (an artifact with zero passes
+    // helps nobody); later passes only if the projected cost — 1.15x the
+    // slowest completed pass — plus the sf1 reservation still fits.
+    var p = 1
+    var deadlineNote = List.empty[String]
+    while (p <= runs) {
+      val sf1Reserve =
+        if (sf1Enabled && sf1Full.isEmpty && sf01Durs.nonEmpty)
+          Sf1EstFactor * sf01Durs.min
+        else 0.0
+      if (p > 1 && elapsedS + 1.15 * sf01Durs.max + sf1Reserve > deadlineS) {
+        deadlineNote ::= s"sf0.1 passes $p..$runs skipped (deadline)"
+        System.err.println(s"[bench] ${deadlineNote.head} at ${r3(elapsedS)}s")
+        p = runs + 1
+      } else {
+        System.err.println(s"[bench] pass $p/$runs")
+        val c = calibrate()
+        calibrations += c
+        System.err.println(f"[bench] calibration $c%.3f s")
+        val t0 = System.nanoTime()
+        sf01Passes += runPass(sfDir)
+        sf01Durs += (System.nanoTime() - t0) / 1e9
+        render(finalEmit = false)
+        p += 1
+      }
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      s"""{\n  "summary": $summary,\n  "queries": {\n$perQuery\n  }$sf1Queries\n}\n""")
-    spark.stop()
+    // sf1 passes: before the first, the estimate is the factor above; a
+    // repeat is projected from the measured first pass.
+    if (sf1Enabled) {
+      var q = 1
+      while (q <= sf1Runs) {
+        val need =
+          if (sf1Durs.isEmpty) Sf1EstFactor * (if (sf01Durs.isEmpty) 0.0 else sf01Durs.min)
+          else 1.15 * sf1Durs.max
+        if (elapsedS + need > deadlineS) {
+          deadlineNote ::= s"sf1 passes $q..$sf1Runs skipped (deadline)"
+          System.err.println(s"[bench] ${deadlineNote.head} at ${r3(elapsedS)}s")
+          q = sf1Runs + 1
+        } else {
+          System.err.println(s"[bench] sf1 addendum pass $q/$sf1Runs at $sf1Dir")
+          val c = calibrate()
+          sf1Cals += c
+          System.err.println(f"[bench] sf1 calibration $c%.3f s")
+          val t0 = System.nanoTime()
+          sf1Full += runPass(sf1Dir)
+          sf1Durs += (System.nanoTime() - t0) / 1e9
+          render(finalEmit = false)
+          q += 1
+        }
+      }
+      // min-of-2 for entries NEW this round (no prior-round sf1 ratio to
+      // lean on): a partial second pass over just those names, via their
+      // standalone registrations — the same form the rest-loop times.
+      val pending = newSf1Entries.filter(SparkEntry.queries.contains).toSeq.sorted
+      if (sf1Full.size == 1 && pending.nonEmpty) {
+        val firstPass = sf1Full.head.toMap
+        val est = 2.0 * pending.flatMap(firstPass.get).filter(_ >= 0).sum + 30.0
+        if (elapsedS + est <= deadlineS) {
+          System.err.println(s"[bench] sf1 partial second pass: ${pending.mkString(",")}")
+          sf1SecondPass = pending.map { name =>
+            val sec = time {
+              SparkEntry.queries(name)(spark, sf1Dir).queryExecution.toRdd.count() }
+            spark.catalog.clearCache()
+            name -> sec
+          }
+          render(finalEmit = false)
+        } else deadlineNote ::= "sf1 partial second pass skipped (deadline)"
+      }
+    }
+    render(finalEmit = true)
+    flushed.set(true)
+    if (cfg("SPARK_GRAFT_BENCH_NO_STOP", "0") != "1") spark.stop()
   }
 }

@@ -76,6 +76,7 @@ object SparkEntry {
     "prefix_jaccard"      -> (Dedup.qPrefixJaccard _),
     "overlap_exact"       -> (Overlap.qOverlapExact _), // cross-source distinct-shingle overlap (ground truth)
     "overlap_kmv"         -> (Overlap.qOverlapKmv _), // hash table frozen; oracle recomputes k-min selection + pairwise estimates (hash-green since r11); merge-invariance + bounds in OverlapSpec
+    "overlap_purge"       -> (Overlap.qOverlapPurge _), // NEW r16 (VERDICT r15 task 4): RTBF rebuild of the non-linear KMV sketches at SOURCE grain (untouched sources keep their sketches); flagged hash table frozen, oracle recomputes estimates over live rows alone
     "minhash_lsh"         -> (Dedup.qMinHashLsh _),   // sig/bucket tables frozen; oracle recomputes pairs + agreement (hash-green since r10)
     "minhash_lsh_md5"     -> (Dedup.qMinHashLshMd5 _), // oracle twin: md5-string permutations, hash-matched in DuckDB
     "lsh_eval"            -> (Dedup.qLshEval _), // banded-LSH precision/recall vs the exact Jaccard truth
@@ -191,12 +192,14 @@ object SparkEntry {
     "classifier_train_score" -> (Curation.qClassifierTrainScore _), // serve leg of the trained model: broadcast join + integer margins
     // ---- LLM-pipeline: multimodal ----
     "multimodal_meta"     -> (Multimodal.qMultimodalMeta _),
-    "media_features"      -> ((s: SparkSession, d: String) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()),
+    // raw media_features / media_frames (the live codec boundary itself)
+    // are BENCH-ONLY since r16 (VERDICT r15 task 3): DuckDB cannot decode
+    // PNG/WAV, so they can never be oracle rows — their correctness lives
+    // in the driver-gated _check twins below (live decode vs frozen
+    // boundary, hash-green) + OperatorSpec determinism pins, and their
+    // throughput stays measured via [[benchOnly]].
     "media_resize"        -> (Multimodal.qMediaResize _), // decoded input dims frozen; oracle recomputes the resize-box arithmetic (hash-green since r11)
     "media_report"        -> (Multimodal.qMediaReport _), // decoded table frozen; oracle recomputes the per-type aggregation algebra (NEW r11)
-    "media_frames"        -> ((s: SparkSession, d: String) =>
-      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
     "media_frame_audit"   -> (Multimodal.qMediaFrameAudit _), // frozen dims table; oracle recomputes the sampler's stride/index arithmetic (NEW r12)
     "media_features_check" -> (Multimodal.qMediaFeaturesCheck _), // NEW r13: LIVE decode totals vs frozen boundary — the codec OUTPUT is driver-gated
     "media_frames_check"  -> (Multimodal.qMediaFramesCheck _), // NEW r13: live frame-sampler accounting vs frozen per-frame table, per asset
@@ -246,9 +249,12 @@ object SparkEntry {
   /** DSIR model CTEs shared by the three dsir_* twins: gram stream
     * (unigrams + bigrams of the shared tokenization), 32-bit md5 bucket
     * mod [[Sampling.DsirBuckets]], per-bucket target/raw counts and the
-    * add-1-smoothed log ratio snapped at 6 decimals as DECIMAL(18,6). */
+    * add-1-smoothed log ratio snapped at 6 decimals as DECIMAL(18,6).
+    * list_filter drops the [""] token string_split yields for empty
+    * text, mirroring the Spark-side zero-length-word filter in
+    * Sampling.dsirGrams (ADVICE r15: empty docs carry no gram). */
   private lazy val DSIR_CTES =
-    s"""w AS (SELECT doc_id, lang, $WORDS AS l FROM documents),
+    s"""w AS (SELECT doc_id, lang, list_filter($WORDS, x -> len(x) > 0) AS l FROM documents),
        |gr AS (SELECT doc_id, lang,
        |         unnest(l || list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
        |       FROM w),
@@ -270,6 +276,57 @@ object SparkEntry {
   private lazy val DSIR_SCORE_CTE =
     """sc AS (SELECT bk.doc_id, CAST(sum(wt.log_ratio) AS DECIMAL(18,6)) AS score
       |       FROM bk JOIN wt USING (bucket) GROUP BY 1)""".stripMargin
+
+  /** KMV k-min selection + pairwise union/intersection estimates over a
+    * caller-supplied (source, h) hash CTE body — shared by overlap_kmv
+    * (all rows of its frozen hash artifact) and overlap_purge (live rows
+    * of its flagged artifact). DuckDB independently recomputes the
+    * k-minimum selection (unsigned 64-bit order == ORDER BY (h < 0), h),
+    * the per-source and pairwise-union cardinality estimates ((k-1)/U_k
+    * with U_k as a (0,1) fraction — the CAST chain reproduces
+    * KMinValues.fraction's IEEE ops bit-for-bit), the sketch-intersection
+    * Jaccard, and the rint rounding (round_even == math.rint, verified on
+    * the half-way cases m/512*1e6 can hit). */
+  private def kmvEstimateSql(hshBody: String): String = {
+    val k = graft.functions.KMinValues.DefaultK
+    def frac(h: String) =
+      s"(CAST(xor($h, -9223372036854775807 - 1) AS DOUBLE) + 9223372036854775808.0) / 1.8446744073709552e19"
+    s"""WITH hsh AS ($hshBody),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY (h < 0), h) AS rn
+       |       FROM hsh),
+       |sk AS (SELECT source, h, rn FROM rk WHERE rn <= $k),
+       |se AS (SELECT source, count(*) AS n,
+       |         max(CASE WHEN rn = $k THEN ${frac("h")} END) AS fr
+       |       FROM sk GROUP BY source),
+       |est AS (SELECT source,
+       |          CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |               ELSE round_even(($k - 1) / fr, 0) END AS e
+       |        FROM se),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |          FROM est a JOIN est b ON a.source < b.source),
+       |uv AS (SELECT p.sa, p.sb, s.h,
+       |         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |       FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+       |       GROUP BY p.sa, p.sb, s.h),
+       |ur AS (SELECT sa, sb, h, ina, inb,
+       |         row_number() OVER (PARTITION BY sa, sb ORDER BY (h < 0), h) AS rn
+       |       FROM uv),
+       |ua AS (SELECT sa, sb, count(*) AS usize,
+       |         sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS m,
+       |         max(CASE WHEN rn = $k THEN ${frac("h")} END) AS fr
+       |       FROM ur WHERE rn <= $k GROUP BY sa, sb),
+       |jz AS (SELECT sa, sb, usize, fr,
+       |         CASE WHEN usize = 0 THEN 0.0 ELSE CAST(m AS DOUBLE) / usize END AS jac
+       |       FROM ua)
+       |SELECT j.sa AS source_a, j.sb AS source_b,
+       |  ea.e AS est_a, eb.e AS est_b,
+       |  round_even(j.jac * (CASE WHEN j.usize < $k THEN CAST(j.usize AS DOUBLE)
+       |                           ELSE ($k - 1) / j.fr END), 0) AS est_common,
+       |  round_even(j.jac * 1e6, 0) / 1e6 AS est_jaccard
+       |FROM jz j JOIN est ea ON j.sa = ea.source JOIN est eb ON j.sb = eb.source""".stripMargin
+  }
 
   /** The driver's verify data directory — frozen-artifact oracle paths are
     * pinned to it and ALWAYS built via the same Scala path helper the
@@ -1081,47 +1138,20 @@ object SparkEntry {
     // bit-for-bit), the sketch-intersection Jaccard, and the rint
     // rounding (round_even == math.rint, verified on the half-way
     // cases m/512*1e6 can hit).
-    "overlap_kmv" -> {
-      val k = graft.functions.KMinValues.DefaultK
-      def frac(h: String) =
-        s"(CAST(xor($h, -9223372036854775807 - 1) AS DOUBLE) + 9223372036854775808.0) / 1.8446744073709552e19"
-      s"""WITH hsh AS (SELECT DISTINCT source, h
-         |  FROM read_parquet('${Overlap.overlapArtifactPath(VerifySf)}/*.parquet')),
-         |rk AS (SELECT source, h,
-         |         row_number() OVER (PARTITION BY source ORDER BY (h < 0), h) AS rn
-         |       FROM hsh),
-         |sk AS (SELECT source, h, rn FROM rk WHERE rn <= $k),
-         |se AS (SELECT source, count(*) AS n,
-         |         max(CASE WHEN rn = $k THEN ${frac("h")} END) AS fr
-         |       FROM sk GROUP BY source),
-         |est AS (SELECT source,
-         |          CASE WHEN n < $k THEN CAST(n AS DOUBLE)
-         |               ELSE round_even(($k - 1) / fr, 0) END AS e
-         |        FROM se),
-         |pairs AS (SELECT a.source AS sa, b.source AS sb
-         |          FROM est a JOIN est b ON a.source < b.source),
-         |uv AS (SELECT p.sa, p.sb, s.h,
-         |         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
-         |         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
-         |       FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
-         |       GROUP BY p.sa, p.sb, s.h),
-         |ur AS (SELECT sa, sb, h, ina, inb,
-         |         row_number() OVER (PARTITION BY sa, sb ORDER BY (h < 0), h) AS rn
-         |       FROM uv),
-         |ua AS (SELECT sa, sb, count(*) AS usize,
-         |         sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS m,
-         |         max(CASE WHEN rn = $k THEN ${frac("h")} END) AS fr
-         |       FROM ur WHERE rn <= $k GROUP BY sa, sb),
-         |jz AS (SELECT sa, sb, usize, fr,
-         |         CASE WHEN usize = 0 THEN 0.0 ELSE CAST(m AS DOUBLE) / usize END AS jac
-         |       FROM ua)
-         |SELECT j.sa AS source_a, j.sb AS source_b,
-         |  ea.e AS est_a, eb.e AS est_b,
-         |  round_even(j.jac * (CASE WHEN j.usize < $k THEN CAST(j.usize AS DOUBLE)
-         |                           ELSE ($k - 1) / j.fr END), 0) AS est_common,
-         |  round_even(j.jac * 1e6, 0) / 1e6 AS est_jaccard
-         |FROM jz j JOIN est ea ON j.sa = ea.source JOIN est eb ON j.sb = eb.source""".stripMargin
-    },
+    "overlap_kmv" -> kmvEstimateSql(
+      s"""SELECT DISTINCT source, h
+         |  FROM read_parquet('${Overlap.overlapArtifactPath(VerifySf)}/*.parquet')""".stripMargin),
+
+    // overlap_purge twin (r16, VERDICT r15 task 4): the SAME k-min +
+    // pairwise-estimate recomputation as overlap_kmv, over the LIVE rows
+    // of the purge entry's flagged hash artifact alone — the oracle is a
+    // from-scratch rebuild over the post-purge corpus, which the Spark
+    // side's source-grain path (untouched sources keep prior sketches)
+    // must equal exactly.
+    "overlap_purge" -> kmvEstimateSql(
+      s"""SELECT DISTINCT source, h
+         |  FROM read_parquet('${Overlap.overlapPurgeArtifactPath(VerifySf)}/*.parquet')
+         |  WHERE live""".stripMargin),
 
     "minhash_lsh_md5" ->
       // generated wide-form SQL: 64 min(md5) aggregates (lexicographic min
@@ -2620,7 +2650,8 @@ object SparkEntry {
     "contamination_semantic" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |d AS (SELECT doc_id, source FROM documents),
-         |j AS (SELECT vec_id, v, source FROM e JOIN d ON vec_id = doc_id),
+         |j AS (SELECT vec_id, v, source FROM e JOIN d ON vec_id = doc_id
+         |      WHERE ${l2("v")} > 0),
          |b AS (SELECT vec_id AS bench_id, v AS bv FROM j
          |      WHERE source = '${Curation.BenchmarkSource}'
          |      ORDER BY bench_id LIMIT ${Similarity.SemanticBenchK}),
@@ -3602,8 +3633,25 @@ object SparkEntry {
     * and `tools/oracle_check.py` prints it, so the driver artifact itself
     * carries the declaration. Kept in sync by a VerifySpec assertion:
     * keys == queries.keySet -- oracleSql.keySet. */
-  def rowsOnly: Map[String, String] = ListMap(
-    "media_features" -> "the decode boundary itself (real ImageIO/AudioSystem codecs; no SQL equivalent): deterministic checksums + distributed==local equality pinned in OperatorSpec; downstream algebra hash-gated via media_report's frozen-table oracle; since r13 the boundary's OUTPUT totals are ALSO driver-gated via media_features_check (live decode vs frozen table); metadata twin multimodal_meta IS driver-matched",
-    "media_frames" -> "frame sampling re-decodes payloads per frame (no SQL equivalent): stride/index determinism pinned in OperatorSpec; the sibling resize/report/frame-accounting algebra is hash-gated from the frozen decode boundary (media_resize, media_report, media_frame_audit); since r13 the sampler's OUTPUT accounting is ALSO driver-gated per asset via media_frames_check",
+  def rowsOnly: Map[String, String] = ListMap.empty
+
+  /** Bench-only entries (VERDICT r15 task 3): runnable surfaces whose
+    * output a SQL oracle can NEVER check — the live codec boundary
+    * itself (DuckDB cannot decode PNG/WAV). They are NOT part of
+    * [[queries]], so the driver's correctness artifact carries zero
+    * `no_oracle` rows; their correctness is driver-gated through the
+    * registered `_check` twins (live decode vs frozen boundary,
+    * hash-green) plus OperatorSpec determinism pins, and [[graft.Bench]]
+    * appends this map to its catalogue so codec throughput stays a
+    * measured, regression-tracked number. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // real ImageIO/AudioSystem decode of every asset: checksums over
+    // decoded rasters/samples; distributed==local pinned in OperatorSpec
+    "media_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d)).toDF()),
+    // frame sampler: per-frame re-decode (stride/index arithmetic is
+    // hash-gated separately via media_frame_audit's frozen-dims oracle)
+    "media_frames" -> ((s: SparkSession, d: String) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 4).toDF()),
   )
 }

@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // spills through a temp file in java.io.tmpdir
+  // (FileCacheImageInput/OutputStream), so per-asset decode cost tracks
+  // local-disk health and the create/delete syscalls serialize under
+  // executor-thread contention — measured 2.5x slower at 32 threads on
+  // this box, and the likely driver of the r15 media-family timing
+  // swings (BENCH_DIFF_r15.md watch item). All payloads here are
+  // in-memory byte arrays; the memory-backed cache is strictly better.
+  // JVM-global, set when the object initializes on each executor —
+  // every codec call below goes through this object.
+  ImageIO.setUseCache(false)
+
   /** A media asset: opaque bytes + typed metadata. */
   case class MediaAsset(
       asset_id: Long,

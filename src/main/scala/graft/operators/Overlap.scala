@@ -108,6 +108,63 @@ object Overlap {
     overlapKmvFromHashes(freeze(hashed, overlapArtifactPath(d)))
   }
 
+  /** Frozen-artifact location for the overlap_purge entry — the same
+    * per-source hashed-shingle table as [[overlapArtifactPath]] plus the
+    * `live` flag, so the oracle can recompute the post-purge estimates
+    * over live rows alone. */
+  def overlapPurgeArtifactPath(d: String): String =
+    "/tmp/graft-overlap-purge-hashes/" + new java.io.File(d).getName
+
+  /** overlap_purge — RTBF deletion propagation for the KMV overlap
+    * sketches, the one serving artifact the r15 purge sweep declared a
+    * rebuild: KMV is NOT linear (a k-min set cannot subtract a departed
+    * member — once a purged doc's hash made the sketch there is no way
+    * to know which evicted value should replace it), so purge must
+    * re-accumulate. But at SOURCE grain, not corpus grain: a sketch is
+    * per source, so only sources that actually LOST a distinct shingle
+    * re-sketch from their live rows; every untouched source keeps its
+    * prior sketch, which already equals a live-rows rebuild (no purged
+    * member ever entered it). At 100 TB an opt-out batch touches a
+    * handful of sources, so the rebuild scans those sources' partitions
+    * only — never the corpus (the affected-source list is request-sized
+    * and broadcasts into both legs).
+    *
+    * Oracle (the overlap_kmv frozen-hash pattern): the per-(source,
+    * shingle) xxhash64 table is frozen WITH the live flag; DuckDB
+    * independently recomputes the k-min selection and pairwise
+    * estimates over `WHERE live` rows alone — which the source-grain
+    * Spark path must equal exactly, per the argument above. Purge set:
+    * the rtbf_purge opt-out convention (doc_id % 17 == 0). */
+  def qOverlapPurge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val all = sourceShingleTable(docs)
+      .select(col("source"), xxhash64(col("shingle")).as("h")).distinct()
+    val live = sourceShingleTable(docs.filter(col("doc_id") % 17 =!= 0))
+      .select(col("source"), xxhash64(col("shingle")).as("h")).distinct()
+      .withColumn("live", lit(true))
+    val flagged = all.join(live, Seq("source", "h"), "left")
+      .select(col("source"), col("h"), coalesce(col("live"), lit(false)).as("live"))
+    overlapPurgeFromHashes(freeze(flagged, overlapPurgeArtifactPath(d)))
+  }
+
+  /** Source-grain purge rebuild over a flagged (source, h, live) hash
+    * table: untouched sources (no dead hash) keep their full-row
+    * sketches; affected sources re-sketch from live rows only. The
+    * affected list is bounded by the source count → broadcast anti/semi
+    * joins; the sketch aggregation stays the one map-side-combinable
+    * corpus pass either way. */
+  def overlapPurgeFromHashes(flagged: DataFrame,
+      k: Int = KMinValues.DefaultK): DataFrame = {
+    val affected = flagged.filter(!col("live")).select(col("source")).distinct()
+    val untouched = sketchFromHashes(flagged.select(col("source"), col("h")), k)
+      .join(broadcast(affected), Seq("source"), "left_anti")
+    val rebuilt = sketchFromHashes(
+      flagged.filter(col("live"))
+        .join(broadcast(affected), Seq("source"), "left_semi")
+        .select(col("source"), col("h")), k)
+    pairEstimates(untouched.unionByName(rebuilt), k)
+  }
+
   /** Sketch-side result row. Estimates are doubles (rounded for output
     * stability); `est_jaccard` carries ~1/√k standard error. */
   private case class PairEst(source_a: String, source_b: String,
@@ -172,6 +229,41 @@ object Overlap {
     sketchTable(sourceShingleTable(batch))
       .write.mode("overwrite").parquet(s"$statePath/sk/batch=$id")
 
+  /** RTBF purge for the streamed sketch state ([[sketchSink]]): KMV is
+    * non-linear, so the purge RE-SKETCHES each affected source from its
+    * live rows (supplied by the caller — at scale, a scan of those
+    * sources' partitions only) and writes (a) the rebuilt per-source
+    * sketches under `purge/epoch=<id>` and (b) a `ts/epoch=<id>`
+    * tombstone of (source, cutoff) rows, where cutoff = max existing
+    * ingest batch id + 1 — the serve fold then drops the affected
+    * sources' pre-cutoff ingest partials and folds the rebuilt sketch in
+    * their place, while ingest batches arriving AFTER the purge (ids >=
+    * cutoff) merge back in by plain KMV union. Untouched sources' state
+    * is never rewritten — source-grain, like the batch [[qOverlapPurge]].
+    *
+    * Epoch ids live in their own purge/ + ts/ namespaces, DISJOINT from
+    * foreachBatch's sk/batch=<id> allocator (the dsirPurgeSink r16
+    * contract: a caller-chosen id can never clobber a micro-batch
+    * partial). Replay of the same epoch overwrites identical files —
+    * idempotent. Caller contract: epoch ids strictly increase across
+    * purge requests (later epoch wins per source via max-epoch fold).
+    *
+    * `liveAffectedDocs`: the affected sources' LIVE documents (doc_id,
+    * source, text); `affectedSources` the full affected list — kept
+    * separate so a source whose every doc was purged still gets its
+    * tombstone (it simply has no rebuilt sketch, and so vanishes from
+    * the served estimates exactly as a rebuild would have it). */
+  def overlapPurgeSink(s: SparkSession, statePath: String, epochId: Long)(
+      liveAffectedDocs: DataFrame, affectedSources: Seq[String]): Unit = {
+    import s.implicits._
+    val cutoff = s.read.parquet(s"$statePath/sk")
+      .agg(max(col("batch").cast("long"))).collect()(0).getLong(0) + 1L
+    sketchTable(sourceShingleTable(liveAffectedDocs))
+      .write.mode("overwrite").parquet(s"$statePath/purge/epoch=$epochId")
+    affectedSources.toDF("source").withColumn("cutoff", lit(cutoff))
+      .write.mode("overwrite").parquet(s"$statePath/ts/epoch=$epochId")
+  }
+
   /** Serve pairwise overlap estimates from a [[sketchSink]] state
     * directory. KMV composes EXACTLY under union — the k smallest of
     * (k smallest of A ∪ k smallest of B) are the k smallest of A ∪ B —
@@ -179,10 +271,39 @@ object Overlap {
     * identical sketch (and identical estimates) to a direct whole-corpus
     * pass, provided no document spans batches (shingles are per-doc).
     * OverlapStreamSpec pins served == direct EXACTLY after every chunk,
-    * not within a tolerance. */
+    * not within a tolerance. With [[overlapPurgeSink]] tombstones
+    * present, each tombstoned source folds its winning (max-epoch)
+    * rebuilt sketch plus only its cutoff-or-later ingest partials —
+    * served == a direct pass over the live corpus, still exact. */
   def overlapServeFromState(s: SparkSession, statePath: String,
       k: Int = KMinValues.DefaultK): DataFrame = {
-    val merged = s.read.parquet(s"$statePath/sk").drop("batch")
+    val parts = s.read.parquet(s"$statePath/sk")
+      .select(col("source"), col("sk"), col("batch").cast("long").as("batch"))
+    val tsDir = new java.io.File(s"$statePath/ts")
+    val folded =
+      if (!tsDir.exists()) parts.select(col("source"), col("sk"))
+      else {
+        // winning purge epoch per source (caller contract: later epoch =
+        // later request); the tombstone table is sources-sized → broadcast
+        val win = s.read.parquet(tsDir.toString)
+          .groupBy(col("source"))
+          .agg(max(struct(col("epoch").cast("long").as("epoch"),
+            col("cutoff").as("cutoff"))).as("w"))
+          .select(col("source"), col("w.epoch").as("win_epoch"),
+            col("w.cutoff").as("cutoff"))
+        val liveParts = parts.join(broadcast(win), Seq("source"), "left")
+          .filter(col("cutoff").isNull || col("batch") >= col("cutoff"))
+          .select(col("source"), col("sk"))
+        val rebuilt = s.read.parquet(s"$statePath/purge")
+          .select(col("source"), col("sk"), col("epoch").cast("long").as("epoch"))
+          .as("r")
+          .join(broadcast(win.as("t")),
+            col("r.source") === col("t.source") &&
+              col("r.epoch") === col("t.win_epoch"))
+          .select(col("r.source").as("source"), col("r.sk").as("sk"))
+        liveParts.unionByName(rebuilt)
+      }
+    val merged = folded
       .select(col("source"), explode(col("sk")).as("h"))
       .groupBy(col("source"))
       .agg(KMinValues.kmv(k)(col("h")).as("sk"))

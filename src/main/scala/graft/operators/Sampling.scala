@@ -452,9 +452,20 @@ object Sampling {
     * zip_with over adjacent slices, so building the stream never
     * shuffles and never needs a per-doc window. */
   private def dsirGrams(docs: DataFrame): DataFrame = {
-    val ws = graft.operators.TextOps.normWords(col("text"))
+    // normWords yields [""] for empty/whitespace-only text (split on a
+    // trimmed-empty string); unfiltered, every empty doc would hash one
+    // junk md5("dsir:") gram into a single bucket, distorting that
+    // bucket's log ratio in proportion to empty-doc count (ADVICE r15).
+    // Dropping zero-length words leaves empty docs with an empty gram
+    // stream — no counts, no score — mirrored by list_filter in the
+    // DuckDB twin (SparkEntry.DSIR_CTES).
+    val ws = filter(graft.operators.TextOps.normWords(col("text")),
+      w => length(w) > 0)
+    // greatest(…, 0): a filtered-empty word array would otherwise hand
+    // slice a -1 length, which is a runtime error (not an empty slice)
     val bigrams = zip_with(
-      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
     docs.select(col("doc_id"), col("lang"),
         explode(concat(ws, bigrams)).as("g"))
@@ -525,15 +536,29 @@ object Sampling {
     * every chunk). The fold input is ≤ batches × B rows — bounded by
     * state layout, not data; compaction may re-fold partials any time
     * (integer addition is associative and idempotent under overwrite). */
-  def dsirWeightsFromState(s: SparkSession, statePath: String): DataFrame =
-    dsirRatiosFrom(
-      s.read.parquet(s"$statePath/dsir")
+  def dsirWeightsFromState(s: SparkSession, statePath: String): DataFrame = {
+    val ingest = s.read.parquet(s"$statePath/dsir")
+      .select(col("bucket"), col("n_target"), col("n_raw"))
+    // purge epochs live in their own namespace (dsir_purge/epoch=<id>) so
+    // a caller-chosen purge id can NEVER collide with the monotone batch
+    // ids foreachBatch allocates from its checkpoint — a collision would
+    // silently overwrite one partial with the other, losing ingested
+    // counts or undoing an RTBF deletion (ADVICE r15). The fold is a
+    // plain union: signed-partial addition is namespace-blind.
+    val purgeDir = new java.io.File(s"$statePath/dsir_purge")
+    val folded =
+      (if (purgeDir.exists())
+         ingest.unionByName(s.read.parquet(purgeDir.toString)
+           .select(col("bucket"), col("n_target"), col("n_raw")))
+       else ingest)
         .groupBy(col("bucket"))
         .agg(sum(col("n_target")).as("n_target"), sum(col("n_raw")).as("n_raw"))
         // presence = positive folded mass: a purge epoch may zero a bucket
         // out entirely (its only carriers opted out) — the served model
         // must then drop the row exactly as a live-corpus rebuild would
-        .filter(col("n_raw") > 0))
+        .filter(col("n_raw") > 0)
+    dsirRatiosFrom(folded)
+  }
 
   /** RTBF purge for the streamed DSIR model ([[dsirSink]] state): the
     * model is LINEAR in documents — a bucket count is a sum of per-doc
@@ -546,11 +571,18 @@ object Sampling {
     * re-publish simply adds the counts back (+1 −1 +1 = +1 by linearity
     * — no epoch-ordering logic needed, unlike the non-linear BM25
     * tombstones). No state rebuild: an opt-out costs one victim-sized
-    * epoch, completing deletion propagation for this serving artifact. */
+    * epoch, completing deletion propagation for this serving artifact.
+    *
+    * Purge epochs write under `dsir_purge/epoch=<id>` — a namespace
+    * DISJOINT from the `dsir/batch=<id>` ids the streaming sink's
+    * foreachBatch allocates from its checkpoint, so purge ids are the
+    * caller's to choose freely (replay-idempotent per id via overwrite)
+    * and can never clobber a current or future micro-batch partial
+    * (ADVICE r15; the bm25PurgeSink ts/ isolation precedent). */
   def dsirPurgeSink(statePath: String, targetLang: String)(purged: DataFrame, id: Long): Unit =
     dsirCounts(purged, col("lang") === targetLang)
       .select(col("bucket"), (-col("n_target")).as("n_target"), (-col("n_raw")).as("n_raw"))
-      .write.mode("overwrite").parquet(s"$statePath/dsir/batch=$id")
+      .write.mode("overwrite").parquet(s"$statePath/dsir_purge/epoch=$id")
 
   /** Per-doc DSIR importance score: Σ over the doc's gram stream of its
     * bucket's log_ratio — an exact decimal sum (order-free, partition-

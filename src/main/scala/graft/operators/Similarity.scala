@@ -1164,7 +1164,13 @@ object Similarity {
   def qContaminationSemantic(s: SparkSession, d: String): DataFrame = {
     val e = withVec(s, d)
     val src = documents(s, d).select(col("doc_id").as("did"), col("source"))
+    // zero-norm guard (ADVICE r15): an all-zero embedding would make the
+    // cosine NaN and leave the argmax at the mercy of engine-specific NaN
+    // ordering; filtering nrm > 0 on BOTH sides (mirrored in the oracle
+    // twin) keeps the audit deterministic — the weightedReservoir
+    // n_tokens > 0 precedent.
     val joined = e.join(src, col("vec_id") === col("did"))
+      .filter(col("nrm") > 0)
     val bench = joined.filter(col("source") === Curation.BenchmarkSource)
       .select(col("vec_id").as("bench_id"), col("v").as("bv"), col("nrm").as("bnrm"))
       .orderBy(col("bench_id")).limit(SemanticBenchK)

@@ -45,6 +45,7 @@ class EntryContractSpec extends AnyFunSuite {
       case f if f.startsWith("ppl-cuts-") => Some(Curation.pplCutsPath(sf, f.stripPrefix("ppl-cuts-")))
       case "bpe-segs"                     => Some(TextOps.bpeSegsPath(sf))
       case "overlap-hashes"               => Some(Overlap.overlapArtifactPath(sf))
+      case "overlap-purge-hashes"         => Some(Overlap.overlapPurgeArtifactPath(sf))
       case _                              => None
     }
     val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>

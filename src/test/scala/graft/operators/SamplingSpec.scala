@@ -316,11 +316,32 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getLong(1) <= r.getLong(2), "target grams are a subset of raw grams")
       assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite, "smoothing keeps ratios finite")
     }
-    // total raw gram mass == sum over docs of (2*len - 1) unigrams+bigrams
+    // total raw gram mass == sum over docs of (2*len - 1) unigrams+bigrams,
+    // counting only non-empty words (an empty doc contributes ZERO grams —
+    // ADVICE r15: the [""] token normWords yields for empty text is
+    // filtered before hashing, so no junk md5("dsir:") bucket exists)
     val expected = graft.Tables.documents(spark, d)
-      .select(org.apache.spark.sql.functions.size(TextOps.normWords(col("text"))).as("n"))
-      .agg(sum(col("n") * 2 - 1)).collect()(0).getLong(0)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(TextOps.normWords(col("text")),
+          x => org.apache.spark.sql.functions.length(x) > 0)).as("n"))
+      .agg(sum(when(col("n") > 0, col("n") * 2 - 1).otherwise(0L)))
+      .collect()(0).getLong(0)
     assert(w.map(_.getLong(2)).sum == expected, "raw gram mass must equal 2n-1 per doc")
+  }
+
+  test("dsir: empty and whitespace-only docs carry no grams and no score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "", "en"),
+      (3L, "   ", "zz")).toDF("doc_id", "text", "lang")
+    val counts = Sampling.dsirCounts(docs, col("lang") === "en").collect()
+    // doc 1 alone: 2 unigrams + 1 bigram = 3 raw grams, all target
+    assert(counts.map(_.getLong(2)).sum == 3L,
+      "empty docs must contribute zero gram mass (no md5('dsir:') bucket)")
+    val scored = Sampling.dsirScores(docs, col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    assert(scored == Set(1L), "empty docs must receive no DSIR score")
   }
 
   test("dsir_select: deterministic contiguous top-k with non-increasing scores; plan is broadcast + TakeOrdered") {

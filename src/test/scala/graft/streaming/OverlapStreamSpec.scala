@@ -62,4 +62,77 @@ class OverlapStreamSpec extends AnyFunSuite {
       assert(reServed == direct, "retried micro-batch must be idempotent")
     } finally query.stop()
   }
+
+  /** RTBF purge for the streamed KMV state (r16, VERDICT r15 task 4):
+    * KMV is non-linear, so the purge re-sketches the AFFECTED sources
+    * from their live rows and tombstones their pre-cutoff partials —
+    * served estimates must equal a direct pass over the live corpus
+    * EXACTLY after the purge, after a replayed purge epoch, after
+    * post-purge ingest (new batches merge back in by KMV union), and
+    * after a second, later purge epoch (max-epoch wins). Untouched
+    * sources' state is never rewritten — the source-grain contract. */
+  test("KMV purge epoch: served == direct over live docs; replay idempotent; " +
+    "post-purge ingest merges; later epoch wins; untouched sources untouched") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    def direct(live: Seq[(Long, String, String)]) =
+      rows(Overlap.overlapKmv(
+        Overlap.sourceShingleTable(live.toDF("doc_id", "source", "text"))))
+
+    val statePath = Files.createTempDirectory("graft-ovlpurge").toString + "/state"
+    val (c0, c1) = docs.splitAt(docs.size / 2)
+    Overlap.sketchSink(statePath)(c0.toDF("doc_id", "source", "text"), 0L)
+    Overlap.sketchSink(statePath)(c1.toDF("doc_id", "source", "text"), 1L)
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(docs),
+      "happy-path serve broken before any purge")
+
+    val sources = docs.map(_._2).distinct.sorted
+    val victimSource = sources.head
+    val victims = docs.filter(t => t._2 == victimSource && t._1 % 3 == 0)
+    assert(victims.nonEmpty && victims.size < docs.count(_._2 == victimSource),
+      "fixture must leave the victim source with live docs")
+    val live = docs.filterNot(victims.toSet)
+    val liveAffected = live.filter(_._2 == victimSource)
+    Overlap.overlapPurgeSink(spark, statePath, 100L)(
+      liveAffected.toDF("doc_id", "source", "text"), Seq(victimSource))
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(live),
+      "post-purge serve != direct over live docs")
+
+    // replayed purge epoch (a retry) must overwrite, not corrupt
+    Overlap.overlapPurgeSink(spark, statePath, 100L)(
+      liveAffected.toDF("doc_id", "source", "text"), Seq(victimSource))
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(live),
+      "purge replay changed the serve")
+
+    // source-grain: only the affected source was re-sketched
+    val rebuiltSources = spark.read.parquet(s"$statePath/purge")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(rebuiltSources == Set(victimSource),
+      "purge must not rewrite untouched sources' state")
+
+    // post-purge ingest: batch ids allocated after the purge are >= the
+    // tombstone cutoff and must merge back in
+    val fresh = Seq(
+      (900001L, victimSource, "zzfresh alpha beta gamma delta epsilon"),
+      (900002L, sources.last, "qqfresh one two three four five six"))
+    Overlap.sketchSink(statePath)(fresh.toDF("doc_id", "source", "text"), 2L)
+    val live2 = live ++ fresh
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(live2),
+      "post-purge ingest did not merge back into the served estimates")
+
+    // a SECOND purge of the same source (later epoch) must win over the
+    // first epoch's rebuilt sketch
+    val victims2 = live2.filter(t => t._2 == victimSource && t._1 % 3 == 1)
+    assert(victims2.nonEmpty)
+    val live3 = live2.filterNot(victims2.toSet)
+    Overlap.overlapPurgeSink(spark, statePath, 101L)(
+      live3.filter(_._2 == victimSource).toDF("doc_id", "source", "text"),
+      Seq(victimSource))
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(live3),
+      "later purge epoch must supersede the earlier rebuilt sketch")
+  }
 }
