@@ -120,6 +120,53 @@ class OverlapSpec extends AnyFunSuite {
     }
   }
 
+  /** Batch purge invariants the DuckDB oracle can't express: the
+    * source-grain claim itself. (1) a purge confined to one source must
+    * leave every pair NOT involving that source with estimates IDENTICAL
+    * to the unpurged overlap_kmv run — untouched sources' sketches are
+    * never recomputed, so this is equality by construction, asserted
+    * anyway as the regression trap; (2) the purge result must equal a
+    * from-scratch KMV over live rows only (the rebuild it replaces). */
+  test("overlap_purge: source-grain — pairs without the affected source keep " +
+    "their unpurged estimates; result equals a live-rows-only rebuild") {
+    val docs = graft.Tables.documents(spark, d)
+    val all = Overlap.sourceShingleTable(docs)
+      .select(col("source"), xxhash64(col("shingle")).as("h")).distinct()
+    val victimSource = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted.head
+    val purgedDocs = col("source") === victimSource && col("doc_id") % 3 === 0
+    val live = Overlap.sourceShingleTable(docs.filter(!purgedDocs))
+      .select(col("source"), xxhash64(col("shingle")).as("h")).distinct()
+      .withColumn("live", lit(true))
+    val flagged = all.join(live, Seq("source", "h"), "left")
+      .select(col("source"), col("h"), coalesce(col("live"), lit(false)).as("live"))
+      .persist()
+    assert(flagged.filter(!col("live")).select("source").distinct()
+      .collect().map(_.getString(0)).toSet == Set(victimSource),
+      "fixture must confine dead hashes to the victim source")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+
+    val purged = rows(Overlap.overlapPurgeFromHashes(flagged))
+    // (2) equals the from-scratch rebuild over live rows
+    val rebuild = rows(Overlap.overlapKmvFromHashes(
+      flagged.filter(col("live")).select(col("source"), col("h"))))
+    assert(purged == rebuild, "purge must equal a live-rows-only rebuild")
+    // (1) pairs not involving the victim source are untouched vs unpurged
+    val unpurged = rows(Overlap.overlapKmvFromHashes(
+      flagged.select(col("source"), col("h"))))
+    val untouched = (p: (String, String, Double, Double, Double, Double)) =>
+      p._1 != victimSource && p._2 != victimSource
+    assert(purged.filter(untouched) == unpurged.filter(untouched),
+      "pairs without the affected source must keep their unpurged estimates")
+    // and the victim's own pairs DID change (the purge actually bit)
+    assert(purged.filterNot(untouched) != unpurged.filterNot(untouched),
+      "fixture too weak: the purge removed nothing observable")
+    flagged.unpersist()
+  }
+
   test("pmi_collocations: top-k via TakeOrderedAndProject; floor respected; PMI recomputes from raw counts") {
     val df = TextOps.qPmiCollocations(spark, d)
     val plan = df.queryExecution.executedPlan.toString
