@@ -48,8 +48,117 @@ object Bench {
     * tier via a partial second pass (no prior-round ratio exists to
     * adjudicate a one-pass artifact against); everything else runs
     * min-of-1 at sf1 since r16 — the second all-inclusive sf1 pass is
-    * what busted the r15 harness deadline. Update per round. */
-  val newSf1Entries: Set[String] = Set("overlap_purge")
+    * what busted the r15 harness deadline. Update per round (r17: none —
+    * the catalogue is deliberately flat, VERDICT r16 task 7). */
+  val newSf1Entries: Set[String] = Set.empty
+
+  /** Entries billed from cached upstream tables inside a pass's shared
+    * pipelines. Their STANDALONE registrations rebuild those tables, so a
+    * standalone timing is an upper bound of the pipeline billing and must
+    * never be mixed into a min silently (ADVICE r16) — only as an
+    * explicitly tagged re-probe, where an upper bound can only keep a min
+    * honest, never deflate it. Object-level so the partial-second-pass
+    * filter and the re-probe tagging share one source of truth. */
+  val sharedPipelineEntries: Set[String] = Set(
+    "corpus_curate", "curation_funnel", "curation_report",
+    "dsir_weights", "dsir_select", "dsir_resample",
+    "gram_index_compact", "substring_dedup_serve",
+    "curation_state_build", "curate_incremental", "curation_state_report",
+    "classifier_train", "classifier_train_score",
+    "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_2level",
+    "ann_exact_top3", "ann_eval",
+    "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
+    "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
+    "dedup_clusters_incremental", "dedup_clusters_maintain",
+    "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
+    "simhash_md5",
+    "simhash_pairs_md5", "winnow_md5", "dedup_agreement", "novelty_score",
+    "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
+    "vocab_build", "vocab_coverage", "oov_rate", "corpus_divergence", "heavy_hitters",
+    "heavy_hitters_exact", "cms_counts", "cms_lookup",
+    "overlap_exact", "overlap_kmv")
+
+  /** Per-query min across completed passes (plus any tagged extras —
+    * partial-pass or re-probe samples — for the same name); a query that
+    * failed every pass stays -1. Object-level since r17 so
+    * BenchContractSpec can pin the re-probe merge on a synthetic fixture. */
+  def minOver(passes: Seq[Seq[(String, Double)]],
+      extra: Seq[(String, Double)] = Nil): Seq[(String, Double)] =
+    if (passes.isEmpty) Seq.empty
+    else {
+      val extraByName = extra.groupBy(_._1)
+      passes.head.map(_._1).map { n =>
+        val xs = (passes.flatMap(_.toMap.get(n)) ++
+          extraByName.getOrElse(n, Nil).map(_._2)).filter(_ >= 0)
+        n -> (if (xs.isEmpty) -1.0 else xs.min)
+      }
+    }
+
+  /** Outlier detection for the re-probe pass (VERDICT r16 task 1): the
+    * r16 driver artifact published q07 = 17.2 s — 18x the committed value
+    * — because its only completed pass ran on a window calibrating 3.125
+    * and nothing re-checked the inflated minima. An entry's min is NOT
+    * trustworthy when (a) it exceeds ~2.5x its value in the committed
+    * prior artifact, or (b) every pass that contributed a sample
+    * calibrated > 1.5x the best pass of this run. Returns (name, current
+    * min) sorted cheapest-first (by the smaller of prior/current) so a
+    * tight remaining budget re-probes the most entries. */
+  def outlierEntries(passes: Seq[Seq[(String, Double)]], cals: Seq[Double],
+      prior: Map[String, Double]): Seq[(String, Double)] = {
+    val goodCals = cals.filter(_ > 0)
+    val bestCal = if (goodCals.nonEmpty) goodCals.min else -1.0
+    minOver(passes).flatMap {
+      case (n, cur) if cur >= 0 =>
+        val inflated = prior.get(n).exists(p => p >= 0.001 && cur > 2.5 * p)
+        val contributing = passes.zipWithIndex.collect {
+          case (pass, i) if pass.toMap.get(n).exists(_ >= 0) => i }
+        val loadedOnly = bestCal > 0 && contributing.nonEmpty &&
+          contributing.forall(i => i < cals.size && cals(i) > 1.5 * bestCal)
+        if (inflated || loadedOnly) Some(n -> cur) else None
+      case _ => None
+    }.sortBy { case (n, cur) => math.min(prior.getOrElse(n, cur), cur) }
+  }
+
+  /** sf1 flag detection for the automated adjudication probe (VERDICT r16
+    * task 4): an sf1 entry is flagged when its min exceeds 1.5x its
+    * committed prior AFTER normalizing by the calibration ratio of the
+    * two windows — the same arithmetic BENCH_DIFF applies, so the probe
+    * list is exactly the flag list the diff would raise. Sorted
+    * cheapest-first. */
+  def sf1Flagged(current: Seq[(String, Double)], prior: Map[String, Double],
+      curCal: Double, priorCal: Double): Seq[(String, Double)] = {
+    val norm = if (priorCal > 0 && curCal > 0) curCal / priorCal else 1.0
+    current.filter { case (n, v) =>
+      v >= 0 && prior.get(n).exists(p => p >= 0.001 && v > 1.5 * p * norm)
+    }.sortBy(_._2)
+  }
+
+  /** Parse a prior bench.json artifact (this file's own render format —
+    * machine-written, so the shapes are exact): the sf0.1 and sf1
+    * per-query maps plus the sf0.1 and sf1 calibration columns. Absent
+    * file / section → empty. Regex-based by design: the bench must not
+    * depend on a JSON library the runtime classpath doesn't pin. */
+  def parsePrior(text: String)
+      : (Map[String, Double], Map[String, Double], Seq[Double], Seq[Double]) = {
+    def mapBlock(key: String): Map[String, Double] = {
+      val i = text.indexOf("\"" + key + "\": {")
+      if (i < 0) Map.empty
+      else {
+        val rest = text.substring(i + key.length + 5)
+        val end = rest.indexOf("}")
+        """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
+          .findAllMatchIn(if (end < 0) rest else rest.take(end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    def cals(scope: String): Seq[Double] =
+      """"calibration_s":\[([^\]]*)\]""".r.findFirstMatchIn(scope)
+        .map(_.group(1).split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
+        .getOrElse(Seq.empty)
+    val sf1Start = text.indexOf("\"sf1\":{")
+    val (pre, post) = if (sf1Start < 0) (text, "") else text.splitAt(sf1Start)
+    (mapBlock("queries"), mapBlock("sf1_queries"), cals(pre), cals(post))
+  }
 
   /** Config lookup: system property first (BenchContractSpec drives the
     * main in-JVM and cannot set environment variables), then the
@@ -438,23 +547,7 @@ object Bench {
           operators.Sampling.dsirResampleFrom(dsirDocs, dsirWt)
             .queryExecution.toRdd.count() })
       spark.catalog.clearCache()
-      val shared = Set("corpus_curate", "curation_funnel", "curation_report",
-        "dsir_weights", "dsir_select", "dsir_resample",
-        "gram_index_compact", "substring_dedup_serve",
-        "curation_state_build", "curate_incremental", "curation_state_report",
-        "classifier_train", "classifier_train_score",
-        "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_2level",
-        "ann_exact_top3", "ann_eval",
-        "ngram_jaccard", "prefix_jaccard", "minhash_lsh",
-        "minhash_lsh_md5", "lsh_eval", "minhash_incremental", "dedup_clusters",
-        "dedup_clusters_incremental", "dedup_clusters_maintain",
-        "canonical_select", "q38_edit_distance", "split_leakage", "cluster_split",
-        "simhash_md5",
-        "simhash_pairs_md5", "winnow_md5", "dedup_agreement", "novelty_score",
-        "q31_tfidf", "bm25_topterms", "bm25_search", "bm25_incremental",
-        "vocab_build", "vocab_coverage", "oov_rate", "corpus_divergence", "heavy_hitters",
-        "heavy_hitters_exact", "cms_counts", "cms_lookup",
-        "overlap_exact", "overlap_kmv")
+      val shared = sharedPipelineEntries
       // benchOnly carries the raw codec boundaries (media_features /
       // media_frames, r16): off the oracle surface — DuckDB cannot decode
       // PNG/WAV — but still timed every pass so codec throughput stays a
@@ -495,20 +588,6 @@ object Bench {
     // the machine-read JSON ("0,512" → two array elements)
     def r3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
 
-    // per-query min across completed passes (plus any partial-pass extras
-    // for the same name); a query that failed every pass stays -1
-    def minOver(passes: Seq[Seq[(String, Double)]],
-        extra: Seq[(String, Double)] = Nil): Seq[(String, Double)] =
-      if (passes.isEmpty) Seq.empty
-      else {
-        val extraByName = extra.groupBy(_._1)
-        passes.head.map(_._1).map { n =>
-          val xs = (passes.flatMap(_.toMap.get(n)) ++
-            extraByName.getOrElse(n, Nil).map(_._2)).filter(_ >= 0)
-          n -> (if (xs.isEmpty) -1.0 else xs.min)
-        }
-      }
-
     // sf1 tier config (r11 VERDICT task 6): whole-catalogue passes at the
     // 10x tier, auto-detected at target/testdata/sf1 (generated via
     // `runMain graft.tools.ScaleProbe <sf0.1> target/testdata/sf1 10
@@ -546,16 +625,40 @@ object Bench {
 
     // ---- emission: summary after EVERY completed pass + crash-safe flush
     val out = cfg("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // Prior artifact (VERDICT r16 task 1): the committed bench.json is the
+    // adjudication baseline for the outlier re-probe and the sf1 flag
+    // probe. Read BEFORE the first render overwrites the out path; a
+    // separate prior can be pointed at via SPARK_GRAFT_BENCH_PRIOR.
+    val priorPath = cfg("SPARK_GRAFT_BENCH_PRIOR", out)
+    val (priorQ, priorSf1Q, _, priorSf1Cals) =
+      try parsePrior(java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath)))
+      catch { case _: Throwable =>
+        (Map.empty[String, Double], Map.empty[String, Double],
+          Seq.empty[Double], Seq.empty[Double])
+      }
+    // Re-probe / probe samples. reprobes fold into the sf0.1 minima (an
+    // explicitly tagged standalone sample — for shared-pipeline entries an
+    // upper bound, so the fold can only correct inflation, never deflate);
+    // sf1Probes are ADJUDICATION-ONLY (never folded: the sf1 min keeps its
+    // pipeline billing) — BENCH_DIFF reads them from the artifact.
+    var reprobes = Seq.empty[(String, Double)]
+    var sf1Probes = Seq.empty[(String, Double)]
+    var sf1ProbeCal = -1.0
+    var deadlineNote = List.empty[String]
     @volatile var latestSummary: Option[String] = None
     @volatile var latestArtifact: Option[String] = None
     val flushed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def render(finalEmit: Boolean): Unit = {
-      val results = minOver(sf01Passes.toSeq)
+      val results = minOver(sf01Passes.toSeq, reprobes)
       val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val cal = calibrations.map(r3).mkString("[", ",", "]")
+      val reprobedArr = reprobes.map(p => "\"" + p._1 + "\"")
+        .mkString("[", ",", "]")
+      val deferredArr = deadlineNote.reverse.map(n => "\"" + n + "\"")
+        .mkString("[", ",", "]")
       val sf1Summary =
         if (sf1Full.isEmpty) None
         else {
@@ -571,16 +674,22 @@ object Bench {
           val sf1Cal = sf1Cals.map(r3).mkString("[", ",", "]")
           val second = sf1SecondPass.map(p => "\"" + p._1 + "\"")
             .mkString("[", ",", "]")
+          // in-artifact adjudication probes (VERDICT r16 task 4): min-of-2
+          // same-JVM standalone re-runs of calibration-normalized flags,
+          // with the calibration of the probe window alongside — never
+          // folded into the minima (standalone != pipeline billing)
+          val probes = sf1Probes
+            .map(p => "\"" + p._1 + "\":" + r3(p._2)).mkString("{", ",", "}")
           // "total" keeps its pre-r14 all-inclusive semantics (ADVICE
           // r14: never redefine a field in place); the scale-path
           // headline lives under its own name.
-          Some(s""""sf1":{"total":${r3(sf1Total + quadTotal)},"scale_path_total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${sf1Cals.size},"second_pass":$second,"calibration_s":$sf1Cal,"dir":"$sf1Dir"}""")
+          Some(s""""sf1":{"total":${r3(sf1Total + quadTotal)},"scale_path_total":${r3(sf1Total)},"quadratic_total":${r3(quadTotal)},"quadratic":$quadNames,"n_queries":${rs.size},"failed":$sf1Failed,"runs":${sf1Cals.size},"second_pass":$second,"calibration_s":$sf1Cal,"probes":$probes,"probe_cal":${r3(sf1ProbeCal)},"dir":"$sf1Dir"}""")
         }
       // "runs" keeps its pre-r16 requested-count semantics; the new
       // passes_run field carries how many sf0.1 passes actually ran so
       // BENCH_DIFF can normalize a deadline-shortened round (VERDICT r15
       // task 1a).
-      val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"passes_run":${sf01Passes.size},"deadline_s":${r3(deadlineS)},"calibration_s":$cal,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
+      val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"passes_run":${sf01Passes.size},"deadline_s":${r3(deadlineS)},"calibration_s":$cal,"reprobed":$reprobedArr,"deferred":$deferredArr,"sf":"$sfDir"${sf1Summary.fold("")("," + _)}}"""
       // One short line per query, then the summary line LAST (VERDICT r8
       // task 3: a single all-queries line outgrew the driver's tail
       // capture). Per-query lines print only on the final emission;
@@ -629,7 +738,6 @@ object Bench {
     // helps nobody); later passes only if the projected cost — 1.15x the
     // slowest completed pass — plus the sf1 reservation still fits.
     var p = 1
-    var deadlineNote = List.empty[String]
     def runSf01Pass(label: String): Unit = {
       System.err.println(s"[bench] $label pass $p/$runs")
       val c = calibrate()
@@ -683,7 +791,15 @@ object Bench {
       // min-of-2 for entries NEW this round (no prior-round sf1 ratio to
       // lean on): a partial second pass over just those names, via their
       // standalone registrations — the same form the rest-loop times.
-      val pending = newSf1Entries.filter(SparkEntry.queries.contains).toSeq.sorted
+      // Shared-pipeline names are EXCLUDED (ADVICE r16): their standalone
+      // form rebuilds the cached upstream tables the full pass bills
+      // separately, so mixing the two into one min would be incomparable.
+      val pendingShared = newSf1Entries.intersect(sharedPipelineEntries)
+      if (pendingShared.nonEmpty)
+        System.err.println("[bench] newSf1Entries in the shared pipeline run " +
+          s"min-of-1 (standalone billing is incomparable): ${pendingShared.mkString(",")}")
+      val pending = newSf1Entries.filter(SparkEntry.queries.contains)
+        .filterNot(sharedPipelineEntries).toSeq.sorted
       if (sf1Full.size == 1 && pending.nonEmpty) {
         val firstPass = sf1Full.head.toMap
         val est = 2.0 * pending.flatMap(firstPass.get).filter(_ >= 0).sum + 30.0
@@ -702,9 +818,111 @@ object Bench {
     // Backfill deferred sf0.1 passes with whatever budget the sf1 tier
     // left over: min-of-N noise rejection recovers whenever the window
     // does, and the sf1 tier (which has no other chance to run) was
-    // never starved to get it.
-    while (p <= runs && elapsedS + 1.15 * sf01Durs.max <= deadlineS)
+    // never starved to get it. A backfill pass reserves room for the
+    // outlier re-probe below — the re-probe is what guarantees the
+    // artifact's per-entry minima are load-robust (VERDICT r16 task 1),
+    // so a full repeat pass must not starve it.
+    def reprobeReserve: Double = {
+      val flagged = outlierEntries(sf01Passes.toSeq, calibrations.toSeq, priorQ)
+      math.min(90.0, flagged.map { case (n, cur) =>
+        1.3 * math.min(priorQ.getOrElse(n, cur), cur) + 2.0 }.sum)
+    }
+    while (p <= runs && elapsedS + 1.15 * sf01Durs.max + reprobeReserve <= deadlineS)
       runSf01Pass("backfill")
+
+    // ---- sf0.1 outlier re-probe (VERDICT r16 task 1) ----
+    // The r16 driver artifact published q07 = 17.2 s (18x the committed
+    // value) because its only surviving pass ran on a window calibrating
+    // 3.125. Detection runs over ALL completed passes (including
+    // backfill), so a clean repeat pass clears most flags for free;
+    // whatever stays inflated re-runs once, cheapest-first, and the
+    // sample folds into the minima under the explicit "reprobed" tag.
+    // Pipeline-only artifacts (no standalone registration) re-probe via
+    // [[pipelineOnlyProbe]], which reproduces exactly what the pass
+    // bills: shared inputs pre-materialized OUTSIDE the timed block.
+    def pipelineOnlyProbe(name: String, dir: String): Option[() => Double] =
+      name match {
+        case "shingle_table" => Some(() => time {
+          operators.Dedup.shingleTable(Tables.documents(spark, dir)).persist()
+            .queryExecution.toRdd.count() })
+        case "token_table" => Some(() => time {
+          operators.TextOps.tokenTable(Tables.documents(spark, dir)).persist()
+            .queryExecution.toRdd.count() })
+        case "cms_sketch_build" => Some { () =>
+          val tk = operators.TextOps.tokenTable(Tables.documents(spark, dir)).persist()
+          tk.queryExecution.toRdd.count()
+          time { operators.TextOps.cmsMergedSketch(tk).persist()
+            .queryExecution.toRdd.count() }
+        }
+        case "curation_state_build" => Some { () =>
+          val csp = java.nio.file.Files
+            .createTempDirectory("graft-reprobe-cstate").toString
+          time { operators.CurationState.write(
+            operators.CurationState.compute(
+              Tables.documents(spark, dir)
+                .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)),
+            csp) }
+        }
+        case _ => None
+      }
+    def standaloneProbe(name: String, dir: String): Option[() => Double] =
+      SparkEntry.queries.get(name).orElse(SparkEntry.benchOnly.get(name))
+        .map(fn => () => time { fn(spark, dir).queryExecution.toRdd.count() })
+        .orElse(pipelineOnlyProbe(name, dir))
+    outlierEntries(sf01Passes.toSeq, calibrations.toSeq, priorQ).foreach {
+      case (name, cur) =>
+        val est = 1.3 * math.min(priorQ.getOrElse(name, cur), cur) + 2.0
+        standaloneProbe(name, sfDir) match {
+          case None =>
+            deadlineNote ::= s"reprobe of $name impossible (no standalone form)"
+          case Some(_) if elapsedS + est > deadlineS =>
+            deadlineNote ::= s"reprobe of $name skipped (deadline)"
+          case Some(run) =>
+            System.err.println(s"[bench] re-probe $name: min ${r3(cur)}s" +
+              priorQ.get(name).fold("")(pv => s" vs prior ${r3(pv)}s"))
+            val sec = run()
+            spark.catalog.clearCache()
+            reprobes ++= Seq(name -> sec)
+        }
+    }
+    if (reprobes.nonEmpty) render(finalEmit = false)
+
+    // ---- sf1 flag adjudication probes (VERDICT r16 task 4) ----
+    // r16 adjudicated 27 sf1 flags by hand (same-JVM ABProbe sessions the
+    // judge could not replay). The same probe now runs IN the bench: each
+    // calibration-normalized >=1.5x flag vs the committed artifact gets a
+    // min-of-2 same-JVM standalone re-run on one freshly calibrated
+    // window, emitted per entry under sf1.probes (+ probe_cal) so
+    // BENCH_DIFF adjudicates from the artifact alone. Never folded into
+    // the minima: standalone billing is an upper bound of the pipeline
+    // billing, which is exactly what makes it valid as an in-band check
+    // and invalid as a replacement min.
+    if (sf1Full.nonEmpty && priorSf1Q.nonEmpty) {
+      val curCal = if (sf1Cals.nonEmpty) sf1Cals.min else -1.0
+      val priorCal = if (priorSf1Cals.nonEmpty) priorSf1Cals.min else -1.0
+      val flagged = sf1Flagged(
+        minOver(sf1Full.toSeq, sf1SecondPass), priorSf1Q, curCal, priorCal)
+      if (flagged.nonEmpty) {
+        sf1ProbeCal = calibrate()
+        System.err.println(
+          f"[bench] sf1 probes: ${flagged.size} flags, probe window $sf1ProbeCal%.3f s")
+        flagged.foreach { case (name, cur) =>
+          val est = 2.6 * math.min(priorSf1Q.getOrElse(name, cur), cur) + 4.0
+          standaloneProbe(name, sf1Dir) match {
+            case None =>
+              deadlineNote ::= s"sf1 probe of $name impossible (no standalone form)"
+            case Some(_) if elapsedS + est > deadlineS =>
+              deadlineNote ::= s"sf1 probe of $name skipped (deadline)"
+            case Some(run) =>
+              val s1 = run(); spark.catalog.clearCache()
+              val s2 = run(); spark.catalog.clearCache()
+              val best = Seq(s1, s2).filter(_ >= 0)
+              sf1Probes ++= Seq(name -> (if (best.nonEmpty) best.min else -1.0))
+          }
+        }
+        render(finalEmit = false)
+      }
+    }
     render(finalEmit = true)
     flushed.set(true)
     if (cfg("SPARK_GRAFT_BENCH_NO_STOP", "0") != "1") spark.stop()

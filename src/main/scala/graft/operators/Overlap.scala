@@ -166,8 +166,12 @@ object Overlap {
   }
 
   /** Sketch-side result row. Estimates are doubles (rounded for output
-    * stability); `est_jaccard` carries ~1/√k standard error. */
-  private case class PairEst(source_a: String, source_b: String,
+    * stability); `est_jaccard` carries ~1/√k standard error. Must NOT be
+    * `private`: Spark's encoder codegen instantiates it from generated
+    * Janino code outside this object, and a private constructor makes the
+    * compile fail and the whole stage silently fall back to interpreted
+    * evaluation (a CompileException in every overlap run's log). */
+  case class PairEst(source_a: String, source_b: String,
       est_a: Double, est_b: Double, est_common: Double, est_jaccard: Double)
 
   /** Per-source KMV sketches → pairwise overlap estimates. The corpus is
@@ -256,8 +260,18 @@ object Overlap {
   def overlapPurgeSink(s: SparkSession, statePath: String, epochId: Long)(
       liveAffectedDocs: DataFrame, affectedSources: Seq[String]): Unit = {
     import s.implicits._
-    val cutoff = s.read.parquet(s"$statePath/sk")
-      .agg(max(col("batch").cast("long"))).collect()(0).getLong(0) + 1L
+    // A purge may legitimately precede any ingest (ops ordering is not
+    // ours to dictate): absent sk/ dir or an all-null max → cutoff 0, so
+    // the tombstone admits every future ingest batch and the purge still
+    // lands instead of crashing on a missing path / NPE.
+    val skDir = new java.io.File(s"$statePath/sk")
+    val cutoff =
+      if (!skDir.exists()) 0L
+      else {
+        val row = s.read.parquet(skDir.toString)
+          .agg(max(col("batch").cast("long"))).collect()(0)
+        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+      }
     sketchTable(sourceShingleTable(liveAffectedDocs))
       .write.mode("overwrite").parquet(s"$statePath/purge/epoch=$epochId")
     affectedSources.toDF("source").withColumn("cutoff", lit(cutoff))
@@ -277,8 +291,20 @@ object Overlap {
     * served == a direct pass over the live corpus, still exact. */
   def overlapServeFromState(s: SparkSession, statePath: String,
       k: Int = KMinValues.DefaultK): DataFrame = {
-    val parts = s.read.parquet(s"$statePath/sk")
-      .select(col("source"), col("sk"), col("batch").cast("long").as("batch"))
+    // Same ops-ordering tolerance as the purge sink: a state dir holding
+    // only purge epochs (no ingest batch yet) serves the rebuilt sketches
+    // alone rather than crashing on the missing sk/ path.
+    val skDir = new java.io.File(s"$statePath/sk")
+    val parts =
+      if (skDir.exists())
+        s.read.parquet(skDir.toString)
+          .select(col("source"), col("sk"), col("batch").cast("long").as("batch"))
+      else {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("source", StringType),
+            StructField("sk", ArrayType(LongType)), StructField("batch", LongType))))
+      }
     val tsDir = new java.io.File(s"$statePath/ts")
     val folded =
       if (!tsDir.exists()) parts.select(col("source"), col("sk"))

@@ -819,8 +819,13 @@ object Relational {
     * [[qHllMergeChecked]], which puts BOTH properties under the driver's
     * hash gate. */
   def qHllPartitionedDistinct(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+    hllPartitionedDistinctFrom(events(s, d))
+
+  /** [[qHllPartitionedDistinct]] over an explicit events frame — shared by
+    * the registered entry and HllPurgeSpec's served-vs-direct comparisons
+    * so both sides compute the rollup through literally the same plan. */
+  def hllPartitionedDistinctFrom(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
@@ -852,6 +857,117 @@ object Relational {
         round(abs(col("merged_distinct").cast("double") - col("exact_users").cast("double"))
           / col("exact_users").cast("double"), 6).as("rel_err"))
       .withColumn("within_bound", (col("rel_err") <= lit(0.05)).cast("int"))
+  }
+
+  // -------------------------------------------------------------------
+  // Streamed HLL serving state + RTBF purge (r17, VERDICT r16 task 5a)
+  // -------------------------------------------------------------------
+  // q43's mergeability story made streamable: per-micro-batch HLL
+  // partials at the (event_type, day) grain, served by register-wise-max
+  // union — which composes EXACTLY under arbitrary batch splits, so the
+  // served rollup equals a direct whole-corpus pass (HllPurgeSpec pins
+  // it exactly, the OverlapStreamSpec contract). This closes the last
+  // declared-rebuild RTBF row: HLL is non-linear (a register max cannot
+  // subtract a departed user), so purge re-sketches — but at CELL grain,
+  // never corpus grain: only (event_type, day) cells that actually lost
+  // a user rebuild from their live events; untouched cells keep their
+  // partials, which already equal a live-rows rebuild. Namespace / epoch
+  // discipline is the overlapPurgeSink contract verbatim: purge/ + ts/
+  // epochs disjoint from the foreachBatch sk/batch allocator, replay
+  // idempotent by overwrite, later epoch wins by max-epoch fold, cutoff
+  // defaults to 0 when no ingest batch exists yet (ADVICE r16).
+
+  /** foreachBatch sink: sketch THIS micro-batch's events at the q43 cell
+    * grain and overwrite the per-batch partial (a retried micro-batch
+    * replaces its own file, never double-counts — harmless here anyway,
+    * union is idempotent, but the idempotence contract stays uniform
+    * across every serving sink). Per-batch state is cells × one sketch. */
+  def hllSketchSink(statePath: String)(batch: DataFrame, id: Long): Unit =
+    batch.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(s"$statePath/sk/batch=$id")
+
+  /** RTBF purge for the streamed HLL state: re-sketch the AFFECTED cells
+    * from their live events (caller-supplied — at scale, a scan of those
+    * cells' partitions only) under `purge/epoch=<id>`, and tombstone
+    * (event_type, day, cutoff) under `ts/epoch=<id>`. `affectedCells` is
+    * kept separate from the live events so a cell whose every event was
+    * purged still gets its tombstone (it has no rebuilt sketch and so
+    * vanishes from the served rollup, exactly as a rebuild would have
+    * it). Cutoff 0 when no ingest batch exists yet. */
+  def hllPurgeSink(s: SparkSession, statePath: String, epochId: Long)(
+      liveAffectedEvents: DataFrame, affectedCells: DataFrame): Unit = {
+    val skDir = new java.io.File(s"$statePath/sk")
+    val cutoff =
+      if (!skDir.exists()) 0L
+      else {
+        val row = s.read.parquet(skDir.toString)
+          .agg(max(col("batch").cast("long"))).collect()(0)
+        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+      }
+    liveAffectedEvents
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(s"$statePath/purge/epoch=$epochId")
+    affectedCells
+      .select(col("event_type"), col("day").cast("date").as("day"))
+      .withColumn("cutoff", lit(cutoff))
+      .write.mode("overwrite").parquet(s"$statePath/ts/epoch=$epochId")
+  }
+
+  /** Serve the q43 rollup from a [[hllSketchSink]] state directory: fold
+    * each cell's partials (tombstoned cells: the winning max-epoch
+    * rebuilt sketch plus only cutoff-or-later ingest partials), union per
+    * cell, then roll up per event_type — identical to
+    * [[hllPartitionedDistinctFrom]] over the live corpus because HLL
+    * union is register-wise max. The tombstone table is cells-sized →
+    * broadcast. */
+  def hllServeFromState(s: SparkSession, statePath: String): DataFrame = {
+    val skDir = new java.io.File(s"$statePath/sk")
+    val parts =
+      if (skDir.exists())
+        s.read.parquet(skDir.toString)
+          .select(col("event_type"), col("day"), col("sk"),
+            col("batch").cast("long").as("batch"))
+      else {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("day", DateType), StructField("sk", BinaryType),
+            StructField("batch", LongType))))
+      }
+    val tsDir = new java.io.File(s"$statePath/ts")
+    val folded =
+      if (!tsDir.exists()) parts.select(col("event_type"), col("day"), col("sk"))
+      else {
+        val win = s.read.parquet(tsDir.toString)
+          .groupBy(col("event_type"), col("day"))
+          .agg(max(struct(col("epoch").cast("long").as("epoch"),
+            col("cutoff").as("cutoff"))).as("w"))
+          .select(col("event_type"), col("day"),
+            col("w.epoch").as("win_epoch"), col("w.cutoff").as("cutoff"))
+        val liveParts = parts
+          .join(broadcast(win), Seq("event_type", "day"), "left")
+          .filter(col("cutoff").isNull || col("batch") >= col("cutoff"))
+          .select(col("event_type"), col("day"), col("sk"))
+        val rebuilt = s.read.parquet(s"$statePath/purge")
+          .select(col("event_type"), col("day"), col("sk"),
+            col("epoch").cast("long").as("epoch"))
+          .as("r")
+          .join(broadcast(win.as("t")),
+            col("r.event_type") === col("t.event_type") &&
+              col("r.day") === col("t.day") &&
+              col("r.epoch") === col("t.win_epoch"))
+          .select(col("r.event_type").as("event_type"),
+            col("r.day").as("day"), col("r.sk").as("sk"))
+        liveParts.unionByName(rebuilt)
+      }
+    folded
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
+      .orderBy("event_type")
   }
 
   /** Bucketized range join (q42) — the scale composition q40's scaladoc

@@ -30,12 +30,28 @@ class BenchContractSpec extends AnyFunSuite {
   private def runMain(props: Map[String, String]): Seq[String] = {
     val saved = props.keys.map(k => k -> sys.props.get(k)).toMap
     props.foreach { case (k, v) => System.setProperty(k, v) }
+    // Bench.main's getOrCreate applies its builder confs to the SHARED
+    // test session (ADVICE r16: shuffle partitions / timezone / UI flags
+    // leaked into later plan-sensitive suites) — snapshot and restore the
+    // keys the builder sets, like the sys.props save/restore above.
+    val spark = graft.streaming.StreamFixture.spark
+    // only the RUNTIME-settable keys: static confs (spark.ui.enabled)
+    // cannot be modified on a live session, so they cannot leak either
+    val confKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+    val savedConf = confKeys.map(k => k -> spark.conf.getOption(k))
     val bos = new ByteArrayOutputStream()
     try Console.withOut(new PrintStream(bos, true, "UTF-8")) {
       Bench.main(Array.empty)
-    } finally saved.foreach {
-      case (k, Some(v)) => System.setProperty(k, v)
-      case (k, None)    => System.clearProperty(k)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => System.setProperty(k, v)
+        case (k, None)    => System.clearProperty(k)
+      }
+      savedConf.foreach {
+        case (k, Some(v)) => try spark.conf.set(k, v) catch { case _: Throwable => () }
+        case (k, None)    => try spark.conf.unset(k) catch { case _: Throwable => () }
+      }
     }
     bos.toString("UTF-8").linesIterator.toSeq.filter(_.nonEmpty)
   }
@@ -89,6 +105,105 @@ class BenchContractSpec extends AnyFunSuite {
       s"bench artifact missing sections: ${parsed.columns.mkString(",")}")
     assert(parsed.select("queries.*").columns.length == reported.size,
       "artifact per-query map must cover the whole catalogue")
+  }
+
+  // ---- outlier re-probe protocol (VERDICT r16 task 1) ----
+
+  test("synthetic slow pass: the inflated min is flagged and the re-probe " +
+    "sample replaces it via the tagged merge") {
+    // the r16 incident, miniaturized: one surviving pass on a window
+    // calibrating 3.125 published q07 at 18x its committed value
+    val slowPass = Seq("q07" -> 17.2, "cheap" -> 0.4, "fine" -> 2.0)
+    val prior = Map("q07" -> 0.94, "cheap" -> 0.35, "fine" -> 1.9)
+    val flagged = Bench.outlierEntries(Seq(slowPass), Seq(3.125), prior)
+    assert(flagged.map(_._1) == Seq("q07"),
+      s"only the >2.5x-prior entry may flag: $flagged")
+    // the re-probe sample folds in through the same tagged-extra merge
+    val merged = Bench.minOver(Seq(slowPass), Seq("q07" -> 0.98)).toMap
+    assert(merged("q07") == 0.98, "re-probe must replace the inflated min")
+    assert(merged("fine") == 2.0, "untouched entries keep their pass min")
+    // a slower re-probe (load got worse) must never inflate further
+    assert(Bench.minOver(Seq(slowPass), Seq("fine" -> 9.9)).toMap.apply("fine") == 2.0)
+  }
+
+  test("loaded-passes-only criterion: entries whose every sample came from " +
+    "a >1.5x-calibration pass flag even without a prior") {
+    // both entries sampled on the clean (best-calibration) pass: no flags
+    val flagged = Bench.outlierEntries(
+      Seq(Seq("a" -> 4.8, "b" -> 1.0), Seq("a" -> 5.0, "b" -> 0.9)),
+      Seq(0.6, 3.0), Map.empty)
+    assert(flagged.isEmpty, s"clean-pass samples must clear the flag: $flagged")
+    // b FAILED on the clean pass; its only valid sample is loaded-window
+    val flagged2 = Bench.outlierEntries(
+      Seq(Seq("a" -> 4.8, "b" -> -1.0), Seq("a" -> 5.0, "b" -> 2.0)),
+      Seq(0.6, 3.0), Map.empty)
+    assert(flagged2.map(_._1) == Seq("b"),
+      s"b's only sample is loaded-window: $flagged2")
+  }
+
+  test("sf1 flags are calibration-normalized against the committed prior") {
+    val cur = Seq("x" -> 9.0, "y" -> 9.0, "z" -> -1.0)
+    val prior = Map("x" -> 4.0, "y" -> 8.0, "z" -> 1.0)
+    // window ratio 1.2: x normalizes to 9/(4*1.2)=1.875x (flag), y to
+    // 0.94x (clear), z failed (never flagged)
+    val flagged = Bench.sf1Flagged(cur, prior, curCal = 0.72, priorCal = 0.6)
+    assert(flagged.map(_._1) == Seq("x"), s"$flagged")
+  }
+
+  test("parsePrior round-trips the artifact this bench writes") {
+    val text =
+      """{
+        |  "summary": {"metric":"total","value":10.5,"unit":"sec","n_queries":2,"failed":[],"runs":3,"passes_run":2,"deadline_s":2700.0,"calibration_s":[0.641,3.125],"reprobed":[],"deferred":[],"sf":"/x","sf1":{"total":99.0,"scale_path_total":90.0,"quadratic_total":9.0,"quadratic":["p"],"n_queries":2,"failed":[],"runs":1,"second_pass":[],"calibration_s":[0.789],"probes":{},"probe_cal":-1.0,"dir":"/y"}},
+        |  "queries": {
+        |    "q07_agg_tpch_q1": 0.94,
+        |    "q09": 1.4
+        |  },
+        |  "sf1_queries": {
+        |    "q07_agg_tpch_q1": 7.1
+        |  }
+        |}""".stripMargin
+    val (q, sf1q, cal01, calSf1) = Bench.parsePrior(text)
+    assert(q == Map("q07_agg_tpch_q1" -> 0.94, "q09" -> 1.4))
+    assert(sf1q == Map("q07_agg_tpch_q1" -> 7.1))
+    assert(cal01 == Seq(0.641, 3.125))
+    assert(calSf1 == Seq(0.789))
+    // degenerate inputs parse to empty, never throw
+    assert(Bench.parsePrior("") == (Map.empty, Map.empty, Seq.empty, Seq.empty))
+    assert(Bench.parsePrior("not json at all") ==
+      (Map.empty, Map.empty, Seq.empty, Seq.empty))
+  }
+
+  test("end-to-end: a prior claiming tiny values makes the re-probe run and " +
+    "the artifact carries the reprobed tag") {
+    val out = java.nio.file.Files.createTempFile("graft-bench-reprobe", ".json")
+    val prior = java.nio.file.Files.createTempFile("graft-bench-prior", ".json")
+    // a committed prior in which one cheap standalone entry was ~free
+    // (but above outlierEntries' 0.001 epsilon floor): the live run's min
+    // exceeds 2.5x of it, so the re-probe must fire
+    java.nio.file.Files.writeString(prior,
+      """{
+        |  "summary": {"metric":"total","value":1.0,"unit":"sec","calibration_s":[0.5],"sf":"/root/testdata/sf0.001"},
+        |  "queries": {
+        |    "q01_scan_count": 0.002
+        |  }
+        |}""".stripMargin)
+    val lines = runMain(Map(
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_RUNS" -> "1",
+      "SPARK_GRAFT_BENCH_DEADLINE_S" -> "9999",
+      "SPARK_GRAFT_SF1" -> "0",
+      "SPARK_GRAFT_BENCH_PRIOR" -> prior.toString,
+      "SPARK_GRAFT_BENCH_OUT" -> out.toString,
+      "SPARK_GRAFT_BENCH_NO_STOP" -> "1"))
+    val summary = lines.last
+    assert(field(summary, "reprobed").exists(_.contains("q01_scan_count")),
+      s"re-probe must fire for the >2.5x-prior entry: $summary")
+    // entries absent from the prior must not be re-probed
+    val reprobed = field(summary, "reprobed").getOrElse("[]")
+    assert(reprobed.count(_ == ',') == 0 && reprobed.contains("q01_scan_count"),
+      s"only the flagged entry may re-probe: $reprobed")
+    assert(field(summary, "deferred").contains("[]"),
+      s"nothing may defer under a 9999s deadline: $summary")
   }
 
   test("nonexistent SF dir: every entry fails, total 0.0, no crash") {

@@ -135,4 +135,39 @@ class OverlapStreamSpec extends AnyFunSuite {
     assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(live3),
       "later purge epoch must supersede the earlier rebuilt sketch")
   }
+
+  /** ADVICE r16: a purge issued BEFORE any ingest batch exists is a
+    * plausible ops ordering (an opt-out request can arrive while the
+    * ingest job is still being provisioned) and must not crash on the
+    * missing sk/ path — the sink writes a cutoff-0 tombstone, the serve
+    * returns the rebuilt sketches alone, and ingest batches arriving
+    * afterwards (ids >= 0 = all of them) merge back in by KMV union. */
+  test("purge before first ingest: cutoff-0 tombstone, no crash, later ingest merges") {
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    def direct(live: Seq[(Long, String, String)]) =
+      rows(Overlap.overlapKmv(
+        Overlap.sourceShingleTable(live.toDF("doc_id", "source", "text"))))
+
+    val statePath = Files.createTempDirectory("graft-ovlpre").toString + "/state"
+    val victimSource = docs.map(_._2).distinct.sorted.head
+    // the purge request names a source none of whose docs have arrived yet
+    Overlap.overlapPurgeSink(spark, statePath, 100L)(
+      spark.emptyDataset[(Long, String, String)].toDF("doc_id", "source", "text"),
+      Seq(victimSource))
+    val cutoffs = spark.read.parquet(s"$statePath/ts")
+      .select("source", "cutoff").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(cutoffs.toSeq == Seq((victimSource, 0L)),
+      "pre-ingest purge must write a cutoff-0 tombstone")
+    // serving an ingest-free state: no pairs (nothing sketched), no crash
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)).isEmpty)
+    // every later ingest batch has id >= 0 == cutoff, so all of it merges
+    Overlap.sketchSink(statePath)(docs.toDF("doc_id", "source", "text"), 0L)
+    assert(rows(Overlap.overlapServeFromState(spark, statePath)) == direct(docs),
+      "post-purge ingest must serve exactly the direct estimates")
+  }
 }

@@ -95,7 +95,16 @@ def main():
               f"(fastest calibration: old {oldcal}, new {newcal})")
         print(f"- {len(rows)} entries compared, {len(flagged)} flagged at "
               f"{args.threshold}x (calibration-normalized); "
-              f"added: {', '.join(added) or '-'}; removed: {', '.join(removed) or '-'}\n")
+              f"added: {', '.join(added) or '-'}; removed: {', '.join(removed) or '-'}")
+        # r17: the bench's own load-robustness moves, read from the artifact
+        reprobed = news.get("reprobed") or []
+        deferred = news.get("deferred") or []
+        if reprobed:
+            print(f"- re-probed (inflated min replaced by a tagged standalone "
+                  f"sample): {', '.join(reprobed)}")
+        if deferred:
+            print(f"- deadline deferrals: {'; '.join(deferred)}")
+        print()
         print("| query | old s | new s | new norm s | ratio | flag |")
         print("|---|---|---|---|---|---|")
         for name, o, n, norm, r, fl in rows:
@@ -103,16 +112,37 @@ def main():
                 print(f"| {name} | {o:.2f} | {n:.2f} | {norm:.2f} | {r:.2f}x | "
                       f"{'**FLAG**' if fl else ''} |")
         if sf1_rows is not None:
+            # In-artifact adjudication probes (r17, VERDICT r16 task 4):
+            # Bench re-runs every calibration-normalized flag min-of-2
+            # same-JVM on one freshly calibrated window and records the
+            # result under summary.sf1.probes — so the flag table below
+            # adjudicates from the artifact alone, no manual ABProbe
+            # session. A probe is an upper bound (standalone billing
+            # rebuilds shared pipeline inputs), so "probe in-band" is
+            # conclusive and "probe high" means look closer, not regress.
+            probes = news.get("sf1", {}).get("probes") or {}
+            pcal = news.get("sf1", {}).get("probe_cal")
             print(f"\n## sf1 tier (10x)\n")
             print(f"- calibration ratio {round(sf1_ratio, 3)} "
                   f"(fastest sf1 calibration: old {oldsf1cal}, new {newsf1cal}); "
-                  f"{len(sf1_rows)} entries compared, {len(sf1_flagged)} flagged\n")
-            print("| query | old s | new s | new norm s | ratio | flag |")
-            print("|---|---|---|---|---|---|")
+                  f"{len(sf1_rows)} entries compared, {len(sf1_flagged)} flagged"
+                  + (f"; {len(probes)} in-artifact probes at probe_cal {pcal}"
+                     if probes else "") + "\n")
+            print("| query | old s | new s | new norm s | ratio | flag | probe s | probe norm | verdict |")
+            print("|---|---|---|---|---|---|---|---|---|")
             for name, o, n, norm, r, fl in sf1_rows:
                 if fl or abs(r - 1) >= 0.25:
+                    pv = probes.get(name)
+                    if pv is not None and pv > 0 and pcal and oldsf1cal:
+                        pn = pv / (pcal / oldsf1cal)
+                        verdict = ("in-band" if pn / o < args.threshold
+                                   else "still high")
+                        pcell, pncell = f"{pv:.2f}", f"{pn:.2f}"
+                    else:
+                        pcell, pncell = "", ""
+                        verdict = "" if not fl else "unprobed"
                     print(f"| {name} | {o:.2f} | {n:.2f} | {norm:.2f} | {r:.2f}x | "
-                          f"{'**FLAG**' if fl else ''} |")
+                          f"{'**FLAG**' if fl else ''} | {pcell} | {pncell} | {verdict} |")
         elif oldsf1 or newsf1:
             print(f"\n## sf1 tier (10x)\n")
             print(f"- only {'new' if newsf1 else 'old'} artifact carries "
