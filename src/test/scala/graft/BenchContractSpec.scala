@@ -173,17 +173,23 @@ class BenchContractSpec extends AnyFunSuite {
       (Map.empty, Map.empty, Seq.empty, Seq.empty))
   }
 
-  test("end-to-end: a prior claiming tiny values makes the re-probe run and " +
-    "the artifact carries the reprobed tag") {
+  test("end-to-end: a prior claiming tiny values makes the re-probe run " +
+    "(reprobed tag) and the sf1 flag probe run (sf1.probes + probe_cal)") {
     val out = java.nio.file.Files.createTempFile("graft-bench-reprobe", ".json")
     val prior = java.nio.file.Files.createTempFile("graft-bench-prior", ".json")
     // a committed prior in which one cheap standalone entry was ~free
-    // (but above outlierEntries' 0.001 epsilon floor): the live run's min
-    // exceeds 2.5x of it, so the re-probe must fire
+    // (but above outlierEntries' 0.001 epsilon floor) at BOTH tiers: the
+    // live run's min exceeds 2.5x (sf0.1 re-probe) / 1.5x-normalized
+    // (sf1 probe) of it, so both probe paths must fire. The "sf1 tier"
+    // here is the sf0.001 fixture again — the protocol under test is the
+    // probe machinery, not the scaling numbers.
     java.nio.file.Files.writeString(prior,
       """{
-        |  "summary": {"metric":"total","value":1.0,"unit":"sec","calibration_s":[0.5],"sf":"/root/testdata/sf0.001"},
+        |  "summary": {"metric":"total","value":1.0,"unit":"sec","calibration_s":[0.5],"sf":"/root/testdata/sf0.001","sf1":{"total":1.0,"calibration_s":[0.5],"dir":"/root/testdata/sf0.001"}},
         |  "queries": {
+        |    "q01_scan_count": 0.002
+        |  },
+        |  "sf1_queries": {
         |    "q01_scan_count": 0.002
         |  }
         |}""".stripMargin)
@@ -191,7 +197,9 @@ class BenchContractSpec extends AnyFunSuite {
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
       "SPARK_GRAFT_BENCH_RUNS" -> "1",
       "SPARK_GRAFT_BENCH_DEADLINE_S" -> "9999",
-      "SPARK_GRAFT_SF1" -> "0",
+      "SPARK_GRAFT_SF1" -> "1",
+      "SPARK_GRAFT_SF1_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_SF1_RUNS" -> "1",
       "SPARK_GRAFT_BENCH_PRIOR" -> prior.toString,
       "SPARK_GRAFT_BENCH_OUT" -> out.toString,
       "SPARK_GRAFT_BENCH_NO_STOP" -> "1"))
@@ -204,6 +212,12 @@ class BenchContractSpec extends AnyFunSuite {
       s"only the flagged entry may re-probe: $reprobed")
     assert(field(summary, "deferred").contains("[]"),
       s"nothing may defer under a 9999s deadline: $summary")
+    // the sf1 probe leg: flagged vs the tiny prior, min-of-2 probed,
+    // probe window calibration recorded
+    assert(field(summary, "probes").exists(_.contains("q01_scan_count")),
+      s"sf1 probe must fire for the flagged entry: $summary")
+    assert(field(summary, "probe_cal").exists(_.toDouble > 0),
+      s"probe calibration must be recorded: $summary")
   }
 
   test("nonexistent SF dir: every entry fails, total 0.0, no crash") {

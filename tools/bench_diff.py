@@ -140,7 +140,10 @@ def main():
                         pcell, pncell = f"{pv:.2f}", f"{pn:.2f}"
                     else:
                         pcell, pncell = "", ""
-                        verdict = "" if not fl else "unprobed"
+                        # downward movers need no defense; only an upward
+                        # flag without a probe is a gap
+                        verdict = ("" if not fl else
+                                   ("speedup" if r < 1 else "unprobed"))
                     print(f"| {name} | {o:.2f} | {n:.2f} | {norm:.2f} | {r:.2f}x | "
                           f"{'**FLAG**' if fl else ''} | {pcell} | {pncell} | {verdict} |")
         elif oldsf1 or newsf1:
