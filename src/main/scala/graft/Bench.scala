@@ -127,7 +127,14 @@ object Bench {
     * cheapest-first. */
   def sf1Flagged(current: Seq[(String, Double)], prior: Map[String, Double],
       curCal: Double, priorCal: Double): Seq[(String, Double)] = {
-    val norm = if (priorCal > 0 && curCal > 0) curCal / priorCal else 1.0
+    // The deflation side of the normalization is CLAMPED at 0.9: the sf1
+    // calibration is min-of-1, and one lucky sample (r17 live run: 0.630
+    // vs prior 0.789) deflates the threshold enough to manufacture 50+
+    // flags out of raw ratios near 1.2x. A real regression still flags —
+    // raw 1.35x+ always exceeds the clamped threshold — while the probe
+    // budget stops drowning in calibration variance.
+    val raw = if (priorCal > 0 && curCal > 0) curCal / priorCal else 1.0
+    val norm = math.max(raw, 0.9)
     current.filter { case (n, v) =>
       v >= 0 && prior.get(n).exists(p => p >= 0.001 && v > 1.5 * p * norm)
     }.sortBy(_._2)
@@ -909,6 +916,14 @@ object Bench {
         flagged.foreach { case (name, cur) =>
           val est = 2.6 * math.min(priorSf1Q.getOrElse(name, cur), cur) + 4.0
           standaloneProbe(name, sf1Dir) match {
+            case _ if sharedPipelineEntries(name) =>
+              // a standalone probe rebuilds the cached upstream tables the
+              // full pass bills separately (r17 live run: dedup_agreement
+              // probed 12x its pipeline-billed prior) — no probe is
+              // better than a misleading one; these stay adjudicated by
+              // min-of-1 + the calibration column as before
+              deadlineNote ::= s"sf1 probe of $name skipped " +
+                "(shared-pipeline standalone billing incomparable)"
             case None =>
               deadlineNote ::= s"sf1 probe of $name impossible (no standalone form)"
             case Some(_) if elapsedS + est > deadlineS =>

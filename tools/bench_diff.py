@@ -48,7 +48,13 @@ def diff_rows(oldq, newq, oldcal, newcal, threshold):
             continue  # failed entries carry sec = -1
         norm = n / ratio
         r = norm / o
-        rows.append((name, o, n, norm, r, r >= threshold or r <= 1 / threshold))
+        # Upward flags additionally require the RAW ratio to clear a
+        # 0.9-clamped threshold (same rule as Bench.sf1Flagged, r17): a
+        # lucky calibration sample on the new side deflates the threshold
+        # and manufactures flags out of raw ratios near 1.2x. Displayed
+        # norm/ratio stay unclamped — only the flag decision is damped.
+        up = r >= threshold and (n / o) >= threshold * 0.9
+        rows.append((name, o, n, norm, r, up or r <= 1 / threshold))
     rows.sort(key=lambda t: -abs(__import__("math").log(t[4])))
     return rows, ratio
 
