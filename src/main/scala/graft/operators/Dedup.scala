@@ -480,7 +480,20 @@ object Dedup {
     * DedupChaosSpec pins every boundary. Epoch dirs older than the
     * latest exist only to make the commit atomic; a production deployment
     * prunes them (retention is policy, not correctness — serve reads only
-    * the latest). */
+    * the latest).
+    *
+    * Deployment constraint: `stateDir` must be a DRIVER-VISIBLE POSIX
+    * filesystem (local disk or a mounted NFS) — the commit is a
+    * `Files.move(ATOMIC_MOVE)` and the epoch listing is `File.listFiles`,
+    * both deliberately chosen because a same-filesystem rename is the
+    * strongest atomicity primitive available (HDFS `rename` is also
+    * atomic and a drop-in swap via `FileSystem.rename`; S3 has no atomic
+    * rename at all, so an object-store deployment must put THIS dir —
+    * which holds only (doc_id, cluster_id) labels, not documents — on
+    * real disk). The data-plane state sinks (sketchSink, bm25IndexSink,
+    * gramIndexSink, hllSketchSink) have no such constraint: they are
+    * plain parquet writes on any Hadoop filesystem, probed via
+    * [[StatePath]]. */
   final class PersistedClusterMaintainer(s: SparkSession, stateDir: String) {
     private val root = new java.io.File(stateDir)
     root.mkdirs()

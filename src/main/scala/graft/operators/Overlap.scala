@@ -264,11 +264,11 @@ object Overlap {
     // ours to dictate): absent sk/ dir or an all-null max → cutoff 0, so
     // the tombstone admits every future ingest batch and the purge still
     // lands instead of crashing on a missing path / NPE.
-    val skDir = new java.io.File(s"$statePath/sk")
+    val skDir = s"$statePath/sk"
     val cutoff =
-      if (!skDir.exists()) 0L
+      if (!StatePath.exists(s, skDir)) 0L
       else {
-        val row = s.read.parquet(skDir.toString)
+        val row = s.read.parquet(skDir)
           .agg(max(col("batch").cast("long"))).collect()(0)
         if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
       }
@@ -294,10 +294,10 @@ object Overlap {
     // Same ops-ordering tolerance as the purge sink: a state dir holding
     // only purge epochs (no ingest batch yet) serves the rebuilt sketches
     // alone rather than crashing on the missing sk/ path.
-    val skDir = new java.io.File(s"$statePath/sk")
+    val skDir = s"$statePath/sk"
     val parts =
-      if (skDir.exists())
-        s.read.parquet(skDir.toString)
+      if (StatePath.exists(s, skDir))
+        s.read.parquet(skDir)
           .select(col("source"), col("sk"), col("batch").cast("long").as("batch"))
       else {
         import org.apache.spark.sql.types._
@@ -305,13 +305,13 @@ object Overlap {
           StructType(Seq(StructField("source", StringType),
             StructField("sk", ArrayType(LongType)), StructField("batch", LongType))))
       }
-    val tsDir = new java.io.File(s"$statePath/ts")
+    val tsDir = s"$statePath/ts"
     val folded =
-      if (!tsDir.exists()) parts.select(col("source"), col("sk"))
+      if (!StatePath.exists(s, tsDir)) parts.select(col("source"), col("sk"))
       else {
         // winning purge epoch per source (caller contract: later epoch =
         // later request); the tombstone table is sources-sized → broadcast
-        val win = s.read.parquet(tsDir.toString)
+        val win = s.read.parquet(tsDir)
           .groupBy(col("source"))
           .agg(max(struct(col("epoch").cast("long").as("epoch"),
             col("cutoff").as("cutoff"))).as("w"))

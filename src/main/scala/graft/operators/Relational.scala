@@ -897,11 +897,11 @@ object Relational {
     * it). Cutoff 0 when no ingest batch exists yet. */
   def hllPurgeSink(s: SparkSession, statePath: String, epochId: Long)(
       liveAffectedEvents: DataFrame, affectedCells: DataFrame): Unit = {
-    val skDir = new java.io.File(s"$statePath/sk")
+    val skDir = s"$statePath/sk"
     val cutoff =
-      if (!skDir.exists()) 0L
+      if (!StatePath.exists(s, skDir)) 0L
       else {
-        val row = s.read.parquet(skDir.toString)
+        val row = s.read.parquet(skDir)
           .agg(max(col("batch").cast("long"))).collect()(0)
         if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
       }
@@ -923,10 +923,10 @@ object Relational {
     * union is register-wise max. The tombstone table is cells-sized →
     * broadcast. */
   def hllServeFromState(s: SparkSession, statePath: String): DataFrame = {
-    val skDir = new java.io.File(s"$statePath/sk")
+    val skDir = s"$statePath/sk"
     val parts =
-      if (skDir.exists())
-        s.read.parquet(skDir.toString)
+      if (StatePath.exists(s, skDir))
+        s.read.parquet(skDir)
           .select(col("event_type"), col("day"), col("sk"),
             col("batch").cast("long").as("batch"))
       else {
@@ -936,11 +936,11 @@ object Relational {
             StructField("day", DateType), StructField("sk", BinaryType),
             StructField("batch", LongType))))
       }
-    val tsDir = new java.io.File(s"$statePath/ts")
+    val tsDir = s"$statePath/ts"
     val folded =
-      if (!tsDir.exists()) parts.select(col("event_type"), col("day"), col("sk"))
+      if (!StatePath.exists(s, tsDir)) parts.select(col("event_type"), col("day"), col("sk"))
       else {
-        val win = s.read.parquet(tsDir.toString)
+        val win = s.read.parquet(tsDir)
           .groupBy(col("event_type"), col("day"))
           .agg(max(struct(col("epoch").cast("long").as("epoch"),
             col("cutoff").as("cutoff"))).as("w"))

@@ -545,10 +545,10 @@ object Sampling {
     // silently overwrite one partial with the other, losing ingested
     // counts or undoing an RTBF deletion (ADVICE r15). The fold is a
     // plain union: signed-partial addition is namespace-blind.
-    val purgeDir = new java.io.File(s"$statePath/dsir_purge")
+    val purgeDir = s"$statePath/dsir_purge"
     val folded =
-      (if (purgeDir.exists())
-         ingest.unionByName(s.read.parquet(purgeDir.toString)
+      (if (StatePath.exists(s, purgeDir))
+         ingest.unionByName(s.read.parquet(purgeDir)
            .select(col("bucket"), col("n_target"), col("n_raw")))
        else ingest)
         .groupBy(col("bucket"))

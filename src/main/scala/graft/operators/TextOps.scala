@@ -637,7 +637,7 @@ object TextOps {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def part(name: String) = s.read.parquet(s"$statePath/$name")
     val (tf, dl) =
-      if (!new java.io.File(s"$statePath/ts").exists())
+      if (!StatePath.exists(s, s"$statePath/ts"))
         (part("tf").drop("batch"), part("dl").drop("batch"))
       else {
         val tomb = broadcast(part("ts")

@@ -22,6 +22,16 @@ object StreamFixture {
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // No silent interpreted fallback ANYWHERE in the suite (VERDICT r16
+      // task 2, extended r17): CodegenPinSpec pins the registered
+      // catalogue in a strict child session, but the r16 defect
+      // (Overlap.PairEst) first surfaced on a spec-only SERVE path — so
+      // the shared fixture session is strict too, and every streaming
+      // sink / serve-from-state / chaos suite fails loudly if encoder or
+      // whole-stage codegen stops compiling. Production keeps Spark's
+      // default fallback behavior; strictness is a test-only tripwire.
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
