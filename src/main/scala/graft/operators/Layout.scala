@@ -94,14 +94,21 @@ object Layout {
     val Array(row) = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
-    val z = interleave16(
-      bucket16(col(colA), row.getDouble(0), row.getDouble(1)),
-      bucket16(col(colB), row.getDouble(2), row.getDouble(3)))
-    df.withColumn("_z", z)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+    if (row.isNullAt(0)) {
+      // Empty input (a filtered-out incremental batch is a plausible ops
+      // ordering): there is nothing to order, but the caller still gets a
+      // schema-preserving empty layout rather than an NPE on null bounds.
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      val z = interleave16(
+        bucket16(col(colA), row.getDouble(0), row.getDouble(1)),
+        bucket16(col(colB), row.getDouble(2), row.getDouble(3)))
+      df.withColumn("_z", z)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(path)
+    }
   }
 
   /** Comparison layout: single-column sort into `nFiles` files. */

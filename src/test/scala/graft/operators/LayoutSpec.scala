@@ -72,6 +72,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(prunedRead == full, s"pruned read lost rows: $prunedRead vs $full")
   }
 
+  test("z-order rewrite of an EMPTY frame writes a schema-preserving " +
+    "empty layout instead of crashing on null bounds") {
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+      .filter(col("pk") < 0) // an all-filtered incremental batch
+    val path = Files.createTempDirectory("graft-layout-empty").toString + "/z"
+    Layout.writeZOrdered(li, "pk", "sk", path, nFiles = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("pk", "sk"),
+      "empty layout must keep the input schema")
+  }
+
   test("equi-depth bucketed layout: equal-mass directories, plan-level pruning, sound range reads") {
     val li = graft.Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("price"))
