@@ -97,6 +97,13 @@ class BenchContractSpec extends AnyFunSuite {
     val expected = SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet
     assert((expected -- reported).isEmpty,
       s"entries missing from bench stdout: ${expected -- reported}")
+    // the scheduler's protection sets must track the live catalogue: a
+    // renamed entry left behind in sharedPipelineEntries/newSf1Entries
+    // would silently lose its probe-exclusion / min-of-2 protection
+    assert((Bench.sharedPipelineEntries -- reported).isEmpty,
+      s"sharedPipelineEntries names not in the catalogue: ${Bench.sharedPipelineEntries -- reported}")
+    assert((Bench.newSf1Entries -- reported).isEmpty,
+      s"newSf1Entries names not in the catalogue: ${Bench.newSf1Entries -- reported}")
     // artifact: valid JSON with the same per-query map (a real parse —
     // Spark's JSON reader — not a regex)
     val spark = graft.streaming.StreamFixture.spark
@@ -105,6 +112,16 @@ class BenchContractSpec extends AnyFunSuite {
       s"bench artifact missing sections: ${parsed.columns.mkString(",")}")
     assert(parsed.select("queries.*").columns.length == reported.size,
       "artifact per-query map must cover the whole catalogue")
+    // writer <-> parsePrior drift loop, closed on a REAL artifact: the
+    // regex prior-parser must read back what this very run just wrote —
+    // a format drift in render() would otherwise pass the hand-written
+    // round-trip fixture while silently disabling next round's re-probe
+    val (priorQ, _, priorCals, _) =
+      Bench.parsePrior(java.nio.file.Files.readString(out))
+    assert(priorQ.keySet == reported,
+      s"parsePrior must read back every written entry; missing: ${reported -- priorQ.keySet}")
+    assert(priorCals.nonEmpty && priorCals.forall(_ > 0),
+      s"parsePrior must read back the calibration column: $priorCals")
   }
 
   // ---- outlier re-probe protocol (VERDICT r16 task 1) ----
@@ -218,6 +235,15 @@ class BenchContractSpec extends AnyFunSuite {
       s"sf1 probe must fire for the flagged entry: $summary")
     assert(field(summary, "probe_cal").exists(_.toDouble > 0),
       s"probe calibration must be recorded: $summary")
+    // sf1 side of the writer <-> parsePrior drift loop (the sf0.001
+    // contract test covers the sf0.1 section; only this run writes an
+    // sf1_queries section to read back)
+    val (_, sf1Q, _, sf1Cals) =
+      Bench.parsePrior(java.nio.file.Files.readString(out))
+    assert(sf1Q.nonEmpty && sf1Q.contains("q01_scan_count"),
+      s"parsePrior must read back the sf1_queries section: ${sf1Q.size} entries")
+    assert(sf1Cals.nonEmpty && sf1Cals.forall(_ > 0),
+      s"parsePrior must read back the sf1 calibration column: $sf1Cals")
   }
 
   test("nonexistent SF dir: every entry fails, total 0.0, no crash") {
