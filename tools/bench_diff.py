@@ -140,7 +140,13 @@ def main():
                 if fl or abs(r - 1) >= 0.25:
                     pv = probes.get(name)
                     if pv is not None and pv > 0 and pcal and oldsf1cal:
-                        pn = pv / (pcal / oldsf1cal)
+                        # Same 0.9 deflation clamp as the flag rule (and
+                        # Bench.sf1Flagged): probe_cal is one sample, and a
+                        # lucky fast one inflates every probe norm into a
+                        # spurious "still high" even when the RAW probe
+                        # ratio is well under threshold (observed: probe
+                        # 1.14-1.36x raw rendered as 1.5-1.8x normalized).
+                        pn = pv / max(pcal / oldsf1cal, 0.9)
                         verdict = ("in-band" if pn / o < args.threshold
                                    else "still high")
                         pcell, pncell = f"{pv:.2f}", f"{pn:.2f}"
