@@ -139,6 +139,42 @@ class HllPurgeSpec extends AnyFunSuite {
       "later purge epoch must supersede the earlier rebuilt sketch")
   }
 
+  test("a cell whose EVERY event is purged vanishes from the served " +
+    "rollup: tombstone without a rebuilt sketch, surviving cells exact") {
+    // The hllPurgeSink scaladoc's reason for taking affectedCells
+    // separately from the live events — proven here directly, not by
+    // composition: a totally-purged cell contributes an EMPTY rebuild
+    // (zero rows under purge/epoch=) yet its tombstone still excises the
+    // pre-purge partials, so the cell is absent from the serve exactly
+    // as a live-corpus rebuild would have it.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    val all = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type")
+    // victim = the smallest (event_type, day) cell, resolved in-plan so
+    // the client never re-derives to_date's session-timezone semantics
+    val victim = all.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .count().orderBy(col("count"), col("event_type"), col("day"))
+      .limit(1).select("event_type", "day").persist()
+    def inVictim(df: DataFrame, joinType: String): DataFrame =
+      df.join(victim,
+        df("event_type") === victim("event_type") &&
+          to_date(df("ts")) === victim("day"), joinType)
+    val live = inVictim(all, "left_anti")
+    assert(inVictim(all, "left_semi").count() > 0 && live.count() > 0,
+      "fixture degenerate")
+
+    val statePath = Files.createTempDirectory("graft-hllcell").toString + "/state"
+    Relational.hllSketchSink(statePath)(all, 0L)
+    Relational.hllPurgeSink(spark, statePath, 100L)(
+      inVictim(live, "left_semi"), victim) // live events of the cell: none
+    assert(spark.read.parquet(s"$statePath/purge/epoch=100").count() == 0,
+      "a totally-purged cell must rebuild to zero rows, not crash")
+    assert(rows(Relational.hllServeFromState(spark, statePath)) == direct(live),
+      "served rollup must equal a direct pass over the corpus minus the cell")
+  }
+
   test("purge before first ingest: cutoff-0 tombstone, no crash, later " +
     "ingest merges") {
     val spark = StreamFixture.spark
