@@ -80,4 +80,35 @@ class Bm25PurgeSpec extends AnyFunSuite {
         s"direct: ${direct(docs)}")
     assert(afterRepub.exists(_._1 == topDoc), "re-published doc missing")
   }
+
+  test("purging EVERY doc serves an empty ranking — no crash, no NaN " +
+    "from the emptied corpus stats") {
+    // The all-victims edge the single-doc scenario never reaches: with
+    // zero live docs the corpus stats (df, avgdl) aggregate over
+    // nothing, and a scoring path that divides by them would NaN or
+    // throw instead of returning the empty set a live-corpus recompute
+    // yields.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val statePath = Files.createTempDirectory("graft-bm25gone").toString + "/idx"
+    TextOps.bm25IndexSink(statePath)(docs.toDF("doc_id", "source", "text"), 0L)
+    TextOps.bm25PurgeSink(statePath)(docs.toDF("doc_id", "source", "text"), 1L)
+    assert(TextOps.bm25ServeFromIndex(spark, statePath, TextOps.Bm25Query, 10)
+      .collect().isEmpty,
+      "an all-purged index must serve the empty ranking")
+    // and a fresh publish after the wipe serves again, epoch-aware
+    TextOps.bm25IndexSink(statePath)(
+      docs.take(5).toDF("doc_id", "source", "text"), 2L)
+    val revived = TextOps.bm25ServeFromIndex(spark, statePath, TextOps.Bm25Query, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = TextOps.bm25Search(docs.take(5).toDF("doc_id", "source", "text"),
+        TextOps.Bm25Query, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(revived == expect,
+      "post-wipe publish must serve exactly the direct recompute")
+  }
 }

@@ -85,4 +85,41 @@ class CcPurgeSpec extends AnyFunSuite {
     val afterFold = m2.serve().select(col("doc_id")).as[Long].collect().toSet
     assert(!afterFold.contains(victim), "purged doc resurrected by a fold")
   }
+
+  test("purging EVERY member of a cluster removes the whole cluster; " +
+    "other clusters' labels and sizes are untouched") {
+    // The whole-provider / whole-cluster RTBF edge the single-doc
+    // scenario never reaches: with zero live members there is no min
+    // live member to re-point labels to — the cluster must simply
+    // vanish from the serve, while every other cluster's rows stay
+    // bit-identical.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    val pairs = Dedup.qNgramJaccard(spark, d)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val full = Dedup.clusterPairs(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusters = full.groupBy(_._2)
+    assert(clusters.size >= 2, s"fixture needs >=2 clusters: ${clusters.size}")
+    val victimCluster = clusters.minBy { case (c, ms) => (ms.size, c) }._1
+    val victims = clusters(victimCluster).map(_._1)
+
+    val stateDir = Files.createTempDirectory("graft-ccgone").toString
+    val m = new Dedup.PersistedClusterMaintainer(spark, stateDir)
+    m.fold(0L, pairs.toDF("doc_a", "doc_b"))
+    val before = m.serve()
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    m.purge(1L, victims.toSeq.toDF("doc_id"))
+    val served = m.serve()
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == before.filterNot(r => victims.contains(r._1)),
+      "surviving clusters must be untouched and the purged cluster gone")
+    assert(!served.exists(r => r._2 == victimCluster),
+      "the all-purged cluster must not appear under any label")
+  }
 }

@@ -136,6 +136,42 @@ class OverlapStreamSpec extends AnyFunSuite {
       "later purge epoch must supersede the earlier rebuilt sketch")
   }
 
+  test("a source whose EVERY doc is purged vanishes from the served " +
+    "estimates: tombstone without a rebuilt sketch, surviving pairs exact") {
+    // The overlapPurgeSink contract's edge the partial-purge scenario
+    // never reaches (its fixture must leave the victim live docs): drop
+    // an entire provider. The rebuild is EMPTY (zero rows under
+    // purge/epoch=), the tombstone still excises every pre-purge
+    // partial, and the served pair estimates equal a direct pass over
+    // the corpus without that source — the source simply disappears.
+    val spark = StreamFixture.spark
+    import spark.implicits._
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val victimSource = docs.map(_._2).distinct.sorted.head
+    val live = docs.filterNot(_._2 == victimSource)
+    assert(live.nonEmpty && live.size < docs.size &&
+      live.map(_._2).distinct.size >= 2,
+      "fixture degenerate: need >=2 surviving sources for pair estimates")
+
+    val statePath = Files.createTempDirectory("graft-ovlgone").toString + "/state"
+    Overlap.sketchSink(statePath)(docs.toDF("doc_id", "source", "text"), 0L)
+    Overlap.overlapPurgeSink(spark, statePath, 100L)(
+      live.filter(_._2 == victimSource) // none, by construction
+        .toDF("doc_id", "source", "text"),
+      Seq(victimSource))
+    assert(spark.read.parquet(s"$statePath/purge/epoch=100").count() == 0,
+      "a totally-purged source must rebuild to zero rows, not crash")
+    val served = rows(Overlap.overlapServeFromState(spark, statePath))
+    assert(served == rows(Overlap.overlapKmv(
+      Overlap.sourceShingleTable(live.toDF("doc_id", "source", "text")))),
+      "served estimates must equal a direct pass without the source")
+    assert(!served.exists(t => t._1 == victimSource || t._2 == victimSource),
+      "the purged source must not appear in any served pair")
+  }
+
   /** ADVICE r16: a purge issued BEFORE any ingest batch exists is a
     * plausible ops ordering (an opt-out request can arrive while the
     * ingest job is still being provisioned) and must not crash on the
