@@ -46,4 +46,25 @@ class CmsPurgeSpec extends AnyFunSuite {
           s"($purgedTokenCount): lost $rowDrop")
     } finally { tokens.unpersist(); () }
   }
+
+  test("purging EVERY token empties the sketch (absent-means-zero) and " +
+    "the serving lookup reads exact 0 for every probe term") {
+    // The total-victim RTBF edge, completing the family sweep (HLL cell,
+    // overlap source, BM25 corpus, CC cluster): subtracting the full
+    // stream's own sketch cancels every cell, the =!= 0 filter drops
+    // them all, and the lookup path's left-join + coalesce serves 0 —
+    // never null, never negative.
+    val spark = graft.streaming.StreamFixture.spark
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tokens = TextOps.tokenTable(docs).persist()
+    try {
+      val wiped = TextOps.cmsPurgeSketch(TextOps.cmsMergedSketch(tokens), tokens)
+      assert(wiped.count() == 0,
+        "an all-token purge must cancel every cell of the linear sketch")
+      val served = TextOps.cmsLookupFrom(wiped, tokens.limit(0))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(served.nonEmpty && served.values.forall(_ == 0L),
+        s"an emptied sketch must serve 0 for every probe term: $served")
+    } finally { tokens.unpersist(); () }
+  }
 }
