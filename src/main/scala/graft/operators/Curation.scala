@@ -512,9 +512,22 @@ object Curation {
         (conv(substring(md5(concat(lit("feat:"), col("w"))), 1, 8), 16, 10)
           .cast("long") % FeatureDim).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
-    val nf = fx.groupBy("doc_id").agg(sum(col("x")).as("n_feats"))
-    // labeled feature grain, reused by every round (2 scans per round)
-    val ex = fx.join(nf, "doc_id").join(lab, "doc_id").persist()
+    // Labeled feature grain, reused by every round (2 scans per round).
+    // CO-PARTITIONED AND CO-SORTED BY doc_id before caching (opt r17,
+    // guide §2.4 "two operations keyed the same way share one exchange"):
+    // every round runs a groupBy(doc_id) margin agg and an ex ⋈ resid
+    // join on doc_id over this frame — with the cache partitioned by
+    // (doc_id, bucket) each of the 12 rounds re-exchanged and re-sorted
+    // the grain; hash-partitioned by doc_id the per-round plan needs no
+    // ex-side Exchange or Sort at all. n_feats comes from a doc_id
+    // window over the same partitioning (identical integer sum) instead
+    // of a separate aggregate+join. Measured same-JVM at sf0.1:
+    // 8.65 s → 5.75 s, output bit-identical.
+    val ex = fx.join(lab, "doc_id")
+      .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+      .withColumn("n_feats",
+        sum(col("x")).over(Window.partitionBy(col("doc_id"))))
+      .persist()
     val nDocs = docs.count().toDouble // scalar on driver, like pagerank's N
     // weight vector as a local broadcast relation each round: FeatureDim
     // rows collected per round — bounded by design; keeps every join a

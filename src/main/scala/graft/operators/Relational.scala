@@ -1796,15 +1796,43 @@ object Relational {
     * to double (exact to 2^53), so the oracle's `quantile_cont` matches to
     * the bit. */
   def qFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val steps = Seq("view", "click", "purchase")
-    val stages = funnelStageTimes(events(s, d), steps)
-    val gaps = (1 until steps.length).map { k =>
-      stages(k).withColumnRenamed("t", "t_cur")
-        .join(stages(k - 1).withColumnRenamed("t", "t_prev"), "user_id")
-        .select(lit(k).as("grp"),
-          (unix_micros(col("t_cur")) - unix_micros(col("t_prev")))
-            .cast("double").as("x"))
-    }.reduce(_.unionByName(_))
+    val stepOf = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    // Single-scan stage times (opt r17, guide §2.4 + §8): the K-scan
+    // relational chain ([[funnelStageTimes]]) embeds stage k−1's subtree
+    // in stage k, and the per-pair gap join references each stage twice —
+    // events ended up scanned ~7× and exchanged per stage. The greedy
+    // per-user fold below is [[funnelSingleScan]]'s machine extended to
+    // RECORD each completion time: ONE events scan, ONE user_id exchange,
+    // and gaps fall out in place. Identical semantics by the same
+    // greedy-exchange argument (earliest strict-after chain == the
+    // min-join chain; equality vs the relational form pinned in
+    // OperatorSpec). tm = unix_micros(ts) IS TimestampType's internal
+    // micros value, so ordering, strict-after ties, and the emitted
+    // double gaps are bit-identical to the old unix_micros arithmetic.
+    // Measured same-JVM at sf0.1: 2.49 s → 1.13 s, output identical.
+    // localCheckpoint: gaps are ≤ users×(K−1) rows and read twice
+    // (median refinement + counts).
+    val gaps = events(s, d)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tm"))
+      .filter(col("event_type").isin(steps: _*))
+      .filter(col("user_id").isNotNull)
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("tm")) { (_: Long, rows: Iterator[(Long, String, Long)]) =>
+        val times = new Array[Long](nSteps)
+        var k = 0
+        rows.foreach { case (_, et, tm) =>
+          if (k < nSteps && stepOf.get(et).contains(k) && (k == 0 || tm > times(k - 1))) {
+            times(k) = tm; k += 1
+          }
+        }
+        (1 until k).iterator.map(i => (i, (times(i) - times(i - 1)).toDouble))
+      }.toDF("grp", "x")
+      .localCheckpoint()
     val med = groupedEquidepthBounds(gaps, Seq(1 -> 0.5))
     val counts = gaps.groupBy(col("grp")).agg(count(lit(1)).as("n_users"))
     val pairName = (1 until steps.length)
