@@ -686,8 +686,14 @@ object Dedup {
   /** See [[qSubstringDedup]]; runs on any (doc_id, text) frame. */
   def substringDedup(docs: DataFrame): DataFrame = {
     // every k-token window, keyed by md5 of its text (engine-portable,
-    // fixed-width shuffle key)
-    val kg = substringGrams(docs)
+    // fixed-width shuffle key). Materialized ONCE (opt r17): the frame is
+    // consumed by both the first-doc agg and the probe join, and the two
+    // subtrees differ (partial-agg vs raw) so exchange reuse never fires —
+    // unchecked, the explode+slice+md5 gram build ran twice per query
+    // (measured same-JVM at sf0.1: 3.55 s → 2.57 s, output identical).
+    // One materialized gram pass is also the production layout (the
+    // gramIndexSink state IS this table persisted).
+    val kg = substringGrams(docs).localCheckpoint()
     val first = kg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     val dupWin = kg.join(first, "g")
       .filter(col("doc_id") > col("first_doc"))
@@ -794,7 +800,9 @@ object Dedup {
     * additive), which is what the driver oracle checks. */
   def substringDedupFromBucketed(s: SparkSession, table: String,
       fresh: DataFrame, batch: DataFrame): DataFrame = {
-    val bg = substringGrams(batch)
+    // three consumers of the batch grams (compacted probe, fresh probe,
+    // in-batch keep-first) — materialize once (opt r17)
+    val bg = substringGrams(batch).localCheckpoint()
     val dupVsCompacted = bucketedGramProbe(s, table, bg)
     val dupVsFresh = bg.join(broadcast(fresh.select(col("g"))), Seq("g"), "left_semi")
       .select(col("doc_id"), col("i"))
@@ -1002,7 +1010,10 @@ object Dedup {
     * maintained additively; see [[gramIndexSink]] for the streaming
     * maintenance). */
   def substringDedupFromIndex(priorIdx: DataFrame, batch: DataFrame): DataFrame = {
-    val bg = substringGrams(batch)
+    // batch grams feed three consumers (prior probe, first-in-batch agg,
+    // in-batch probe) — materialize the batch-sized frame once (opt r17,
+    // same rationale as substringDedup's kg)
+    val bg = substringGrams(batch).localCheckpoint()
     val dupVsPrior = bg.join(priorIdx, Seq("g"), "left_semi")
       .select(col("doc_id"), col("i"))
     val firstInBatch = bg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
