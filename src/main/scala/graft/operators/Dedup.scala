@@ -165,8 +165,16 @@ object Dedup {
   def prefixJaccardFrom(ex: DataFrame): DataFrame = {
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfs = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // materialized once (opt r17): exCapped feeds the rank windows, the
+    // prefix-probe join's full side, AND both verify-join sides — four
+    // structurally different subtrees, so exchange reuse never fires and
+    // the df-cap join re-ran per consumer (same-JVM sf0.1 warm:
+    // 4.89 s → 4.09 s, output identical). This entry is the DECLARED
+    // exact recall baseline, run on samples at scale — a sample-sized
+    // checkpoint.
     val exCapped = ex.join(dfs.filter(col("df") <= ShingleDfCap), Seq("shingle"))
       .select(col("doc_id"), col("shingle"), col("df"))
+      .localCheckpoint()
     // rarest-first global order; per-doc position and capped-set size
     val docW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val ranked = exCapped
