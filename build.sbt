@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseable stdout (VERDICT r17 item 2): by default sbt pipes a
+// forked run's stdout through its logger, prefixing every line with
+// "[info] " and appending a "[success] Total time ..." trailer — which is
+// exactly why BENCH_r16/r17 carry "parsed": null despite clean runs. Send
+// the forked process's stdout straight through (no logger prefix) and
+// suppress the success trailer so the bench's final summary JSON is the
+// absolute last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

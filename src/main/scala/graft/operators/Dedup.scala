@@ -172,9 +172,9 @@ object Dedup {
     // 4.89 s → 4.09 s, output identical). This entry is the DECLARED
     // exact recall baseline, run on samples at scale — a sample-sized
     // checkpoint.
-    val exCapped = ex.join(dfs.filter(col("df") <= ShingleDfCap), Seq("shingle"))
-      .select(col("doc_id"), col("shingle"), col("df"))
-      .localCheckpoint()
+    val exCapped = Ckpt.local(
+      ex.join(dfs.filter(col("df") <= ShingleDfCap), Seq("shingle"))
+        .select(col("doc_id"), col("shingle"), col("df")), Ckpt.SampleSized)
     // rarest-first global order; per-doc position and capped-set size
     val docW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val ranked = exCapped
@@ -245,9 +245,10 @@ object Dedup {
     // Measured same-JVM at sf0.1 on the bench's cascade lineage:
     // 2.5-2.8 s → 0.95-1.03 s, labels bit-identical. The checkpoint is
     // edge-sized — the same storage class the old persist() held.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    val edges = Ckpt.state(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      Ckpt.PairGraphSized)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).persist()
     var converged = false
@@ -352,8 +353,8 @@ object Dedup {
     // otherwise each re-run the whole shingle self-join (measured ~2.5 s
     // apiece at sf0.1; the bench additionally shares the cascade's cached
     // pair table, the VERDICT r03 §wrong-2 convention)
-    val pairs = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val pairs = Ckpt.local(
+      qNgramJaccard(s, d).select(col("doc_a"), col("doc_b")), Ckpt.PairGraphSized)
     dedupClustersIncrementalFrom(
       pairs.filter(col("doc_a") % 5 =!= 2 && col("doc_b") % 5 =!= 2),
       pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2))
@@ -374,9 +375,9 @@ object Dedup {
     // truncation makes AQE's per-update explainString rendering exponential
     // in total rounds (measured: OOM at sf0.01 — the string, not the data).
     maintainClusters(
-      clusterPairs(priorPairs)
-        .select(col("doc_id"), col("cluster_id")).localCheckpoint(),
-      deltaPairs.localCheckpoint())
+      Ckpt.state(clusterPairs(priorPairs)
+        .select(col("doc_id"), col("cluster_id")), Ckpt.PairGraphSized),
+      Ckpt.state(deltaPairs, Ckpt.BatchSized))
   }
 
   /** dedup_clusters_maintain (r14, VERDICT r13 task 2): the RECURRING leg
@@ -393,8 +394,8 @@ object Dedup {
     * / dedup_clusters_incremental — the driver hash match IS the
     * fold == full-recompute proof. */
   def qDedupClustersMaintain(s: SparkSession, d: String): DataFrame = {
-    val pairs = qNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val pairs = Ckpt.local(
+      qNgramJaccard(s, d).select(col("doc_a"), col("doc_b")), Ckpt.PairGraphSized)
     val prior = clusterPairs(
         pairs.filter(col("doc_a") % 5 =!= 2 && col("doc_b") % 5 =!= 2))
       .select(col("doc_id"), col("cluster_id"))
@@ -402,8 +403,8 @@ object Dedup {
     prior.write.mode("overwrite").parquet(statePath)
     maintainClusters(
       s.read.parquet(statePath),
-      pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2)
-        .localCheckpoint())
+      Ckpt.state(pairs.filter(col("doc_a") % 5 === 2 || col("doc_b") % 5 === 2),
+        Ckpt.BatchSized))
   }
 
   /** The maintenance kernel of [[dedupClustersIncrementalFrom]]: fold one
@@ -430,18 +431,18 @@ object Dedup {
     // scale this operator advertises). AQE demotes/promotes the join at
     // runtime: a typical small batch still gets a broadcast join from the
     // materialized size, a huge one falls back to a shuffled join.
-    val affected = prior.join(deltaV, "doc_id")
-      .select(col("cluster_id")).distinct().localCheckpoint()
+    val affected = Ckpt.state(prior.join(deltaV, "doc_id")
+      .select(col("cluster_id")).distinct(), Ckpt.BatchSized)
     val affMembers = prior.join(affected, "cluster_id")
     // member → representative edges re-connect each affected prior
     // component inside the reduced graph (self-edge on the rep is a no-op
     // under min propagation)
-    val reduced = delta.select(col("doc_a"), col("doc_b"))
+    val reduced = Ckpt.state(delta.select(col("doc_a"), col("doc_b"))
       .union(affMembers.select(col("doc_id").as("doc_a"),
-        col("cluster_id").as("doc_b")))
-      .localCheckpoint()
-    val relabeled = clusterPairs(reduced).select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint()
+        col("cluster_id").as("doc_b"))), Ckpt.BatchSized)
+    val relabeled = Ckpt.state(
+      clusterPairs(reduced).select(col("doc_id"), col("cluster_id")),
+      Ckpt.BatchSized)
     val untouched = prior.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
     val labels = untouched.union(relabeled)
@@ -468,8 +469,9 @@ object Dedup {
     @volatile private var state: DataFrame =
       Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
     def fold(edges: DataFrame): Unit = synchronized {
-      state = maintainClusters(state, edges.localCheckpoint())
-        .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+      state = Ckpt.state(
+        maintainClusters(state, Ckpt.state(edges, Ckpt.BatchSized))
+          .select(col("doc_id"), col("cluster_id")), Ckpt.PairGraphSized)
     }
     /** Current labeling with sizes — the serve-side read. */
     def serve(): DataFrame = {
@@ -538,7 +540,7 @@ object Dedup {
     def fold(epochId: Long, edges: DataFrame): Unit = synchronized {
       if (epochDir(epochId).exists()) return // re-delivered epoch: committed
       commitEpoch(epochId,
-        maintainClusters(loadState(), edges.localCheckpoint())
+        maintainClusters(loadState(), Ckpt.state(edges, Ckpt.BatchSized))
           .select(col("doc_id"), col("cluster_id")))
     }
 
@@ -561,11 +563,11 @@ object Dedup {
       * as committed. */
     def purge(epochId: Long, docIds: DataFrame): Unit = synchronized {
       if (epochDir(epochId).exists()) return
-      val purged = docIds.select(col("doc_id")).localCheckpoint()
+      val purged = Ckpt.state(docIds.select(col("doc_id")), Ckpt.SampleSized)
       val state = loadState()
       val live = state.join(purged, Seq("doc_id"), "left_anti")
-      val affected = state.join(purged, Seq("doc_id"), "left_semi")
-        .select(col("cluster_id")).distinct().localCheckpoint()
+      val affected = Ckpt.state(state.join(purged, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct(), Ckpt.SampleSized)
       val untouched = live.join(affected, Seq("cluster_id"), "left_anti")
         .select(col("doc_id"), col("cluster_id"))
       val fixed = live.join(affected, Seq("cluster_id"), "left_semi")
@@ -701,7 +703,7 @@ object Dedup {
     // (measured same-JVM at sf0.1: 3.55 s → 2.57 s, output identical).
     // One materialized gram pass is also the production layout (the
     // gramIndexSink state IS this table persisted).
-    val kg = substringGrams(docs).localCheckpoint()
+    val kg = Ckpt.local(substringGrams(docs), Ckpt.CorpusSized)
     val first = kg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     val dupWin = kg.join(first, "g")
       .filter(col("doc_id") > col("first_doc"))
@@ -810,7 +812,7 @@ object Dedup {
       fresh: DataFrame, batch: DataFrame): DataFrame = {
     // three consumers of the batch grams (compacted probe, fresh probe,
     // in-batch keep-first) — materialize once (opt r17)
-    val bg = substringGrams(batch).localCheckpoint()
+    val bg = Ckpt.local(substringGrams(batch), Ckpt.BatchSized)
     val dupVsCompacted = bucketedGramProbe(s, table, bg)
     val dupVsFresh = bg.join(broadcast(fresh.select(col("g"))), Seq("g"), "left_semi")
       .select(col("doc_id"), col("i"))
@@ -1021,7 +1023,7 @@ object Dedup {
     // batch grams feed three consumers (prior probe, first-in-batch agg,
     // in-batch probe) — materialize the batch-sized frame once (opt r17,
     // same rationale as substringDedup's kg)
-    val bg = substringGrams(batch).localCheckpoint()
+    val bg = Ckpt.local(substringGrams(batch), Ckpt.BatchSized)
     val dupVsPrior = bg.join(priorIdx, Seq("g"), "left_semi")
       .select(col("doc_id"), col("i"))
     val firstInBatch = bg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))

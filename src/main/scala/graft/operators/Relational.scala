@@ -1819,7 +1819,11 @@ object Relational {
       .select(col("user_id").cast("long"), col("event_type"),
         unix_micros(col("ts")).as("tm"))
       .filter(col("event_type").isin(steps: _*))
-      .filter(col("user_id").isNotNull)
+      // Null user_id AND null ts are excluded explicitly (ADVICE r17): the
+      // old relational min/join form silently ignored null-ts events; the
+      // typed tuple below would instead crash encoding a null into the
+      // non-nullable Long `tm`. Same rationale as funnelSingleScan.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("tm")) { (_: Long, rows: Iterator[(Long, String, Long)]) =>
@@ -1832,7 +1836,7 @@ object Relational {
         }
         (1 until k).iterator.map(i => (i, (times(i) - times(i - 1)).toDouble))
       }.toDF("grp", "x")
-      .localCheckpoint()
+      .transform(Ckpt.local(_, Ckpt.CorpusSized))
     val med = groupedEquidepthBounds(gaps, Seq(1 -> 0.5))
     val counts = gaps.groupBy(col("grp")).agg(count(lit(1)).as("n_users"))
     val pairName = (1 until steps.length)
